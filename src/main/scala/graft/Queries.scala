@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Exact._
+import graft.Tables._
+
+/** One declared operator query: the Spark implementation plus (when
+  * SQL-expressible) its DuckDB oracle. Column names/aliases MUST match
+  * between the two — the driver sorts columns by name before hashing.
+  */
+final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+/** Core relational operator catalog — SURVEY.md §2.1–§2.7.
+  *
+  * Conventions for oracle determinism (SURVEY §7.3 risk 1):
+  *  - every query ends in an ORDER BY over a unique key, mirrored in SQL;
+  *  - all double aggregation goes through [[graft.functions.Exact]];
+  *  - every computed column is aliased identically on both sides.
+  */
+object RelationalQueries {
+
+  // S6 + P2 + P5: pruned, filtered scan. Filter + projection push into parquet.
+  private val scanProject = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+            WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  // P1 + P3 + F12: staging-style typed cast projection + literal columns
+  // (mirrors /root/reference/dffoo_analyzer/models/stg/stg_abilities.sql:4-14).
+  private val stgCast = Q(
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey").cast("int").as("cust_id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price"),
+          col("o_orderdate").cast("date").as("order_date"),
+          lit("graft").as("source_system"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS cust_id, o_orderstatus AS status,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+            CAST(o_orderdate AS DATE) AS order_date, 'graft' AS source_system
+            FROM orders ORDER BY o_orderkey"""))
+
+  // P4 + F1: regex predicate (web_scraper.py:398-399,722-725 analog).
+  private val regexFilter = Q(
+    (s, d) =>
+      documents(s, d)
+        .filter(col("text").rlike("\\bspark\\b") && !col("text").rlike("\\bstream\\b"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE regexp_matches(text, '\bspark\b') AND NOT regexp_matches(text, '\bstream\b')
+            ORDER BY doc_id"""))
+
+  // F2 + F7: regex group extraction + int parse (web_scraper.py:302,392).
+  private val regexExtract = Q(
+    (s, d) => {
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      events(s, d)
+        .select(
+          col("event_id"),
+          when(k === "", lit(null)).otherwise(k).cast("int").as("k_val"),
+          col("event_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k_val,
+            event_type FROM events ORDER BY event_id"""))
+
+  // F3–F6: split/index, replace, case, concat, length.
+  private val stringFuncs = Q(
+    (s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          element_at(split(col("c_name"), "#"), 2).as("cust_num"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, upper(c_name) AS up_name, string_split(c_name, '#')[2] AS cust_num,
+            c_mktsegment || ':' || c_name AS tagged, CAST(length(c_name) AS INTEGER) AS name_len,
+            regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+            FROM customer ORDER BY c_custkey"""))
+
+  // F8: date formatting + grouped monthly rollup.
+  private val dateFuncs = Q(
+    (s, d) =>
+      orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("rev"),
+          min(col("o_orderdate").cast("date")).as("first_day"))
+        .orderBy("ym"),
+    Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders,
+            ${sqlDsum("o_totalprice")} AS rev, CAST(min(o_orderdate) AS DATE) AS first_day
+            FROM orders GROUP BY 1 ORDER BY ym"""))
+
+  // F10 + F11: array ops + the list-literal string codec round-trip
+  // (attribute_list TEXT ↔ array, stg_schema.yml:33-35).
+  private val arrayFuncs = Q(
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val head3 = slice(toks, 1, 3)
+      // F11 codec: render "['a', 'b']" then parse it back to an array.
+      val listLit = concat(lit("['"), array_join(head3, "', '"), lit("']"))
+      val parsed = from_json(regexp_replace(listLit, "'", "\""),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(toks, 1).as("first_tok"),
+          sort_array(array_distinct(toks)).as("vocab"),
+          parsed.as("head3"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+            list_contains(string_split(text, ' '), 'spark') AS has_spark,
+            string_split(text, ' ')[1] AS first_tok,
+            list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+            list_slice(string_split(text, ' '), 1, 3) AS head3
+            FROM documents ORDER BY doc_id"""))
+
+  // A1 + F9: TPC-H Q1-flavored conditional grouped sums
+  // (the web_scraper.py:383-490 accumulate-CASE ladder, relationalized).
+  private val aggConditionalSum = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(when(col("l_discount") > 0.05, dec(col("l_quantity")))).cast("double")
+            .as("high_disc_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS high_disc_qty,
+            count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  // A2: plain grouped sums.
+  private val aggSum = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+            ${sqlDsum("l_extendedprice")} AS sum_price, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // A3: counts incl. exact distinct.
+  private val aggCount = Q(
+    (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_cust
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // A4 + O4: DISTINCT.
+  private val distinctQ = Q(
+    (s, d) =>
+      lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // A5: grouped collect-to-list (sorted for determinism; Spark collect_list
+  // order is partition-dependent, so sort_array is mandatory).
+  private val aggCollectList = Q(
+    (s, d) =>
+      nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .orderBy("n_regionkey"),
+    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations FROM nation
+            GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // A6: latest-snapshot dedup via row_number (the reference's only window op,
+  // README.md:69-71). Tiebreak on o_orderkey for determinism.
+  private val windowLatest = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) t WHERE rn = 1 ORDER BY o_custkey"""))
+
+  // §2.5: top-k per group via rank window.
+  private val windowRankTopk = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
+
+  // O1: UNION ALL by name (pd.concat analog, web_scraper.py:1262).
+  private val unionAll = Q(
+    (s, d) => {
+      val c = customer(s, d).select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      val p = supplier(s, d).select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
+      c.unionByName(p).orderBy("kind", "id")
+    },
+    Some("""SELECT c_custkey AS id, 'customer' AS kind FROM customer
+            UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+            ORDER BY kind, id"""))
+
+  // O2: deterministic multi-column global sort.
+  private val sortOrder = Q(
+    (s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_orderdate").asc, col("o_totalprice").desc, col("o_orderkey").asc),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+            ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey ASC"""))
+
+  // O3: top-k limit after total order.
+  private val limitTopk = Q(
+    (s, d) =>
+      part(s, d)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(10),
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10"""))
+
+  // J3: broadcast equi join + rollup (customer is the small dimension side).
+  private val joinEqui = Q(
+    (s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy("c_mktsegment"),
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS rev
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // J1: broadcast override join — tiny correction table, value replaces base
+  // when the key is present (FIX_HP_CAP_DICT analog, web_scraper.py:99-115).
+  private val joinOverride = Q(
+    (s, d) => {
+      val overrides = s.createDataFrame(Seq(
+        ("Brand#2", "HOUSE"), ("Brand#7", "HOUSE"), ("Brand#11", "PREMIUM")
+      )).toDF("ov_brand", "new_brand")
+      part(s, d)
+        .join(broadcast(overrides), col("p_brand") === col("ov_brand"), "left")
+        .groupBy(coalesce(col("new_brand"), col("p_brand")).as("brand"))
+        .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("retail"))
+        .orderBy("brand")
+    },
+    Some(s"""SELECT coalesce(o.new_brand, p.p_brand) AS brand, count(*) AS n_parts,
+            ${sqlDsum("p_retailprice")} AS retail
+            FROM part p LEFT JOIN (VALUES ('Brand#2','HOUSE'),('Brand#7','HOUSE'),('Brand#11','PREMIUM'))
+              o(ov_brand, new_brand) ON p.p_brand = o.ov_brand
+            GROUP BY 1 ORDER BY brand"""))
+
+  // J2: left-semi membership (UNCAPPED_ABILITIES_DICT analog, web_scraper.py:90-95).
+  private val joinSemi = Q(
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  // left-anti: "requested but never scraped" analog (web_scraper.py:245-246).
+  private val joinAnti = Q(
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  // J5 flagship: latest-snapshot pick → 5-way join → conditional revenue rollup.
+  private[graft] val joinMultiway = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = orders(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_orderkey", "o_custkey")
+      val rev = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+      latest
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          countDistinct(col("c_custkey")).as("n_cust"),
+          sum(when(col("l_returnflag") === "R", rev)).cast("double").as("returned_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""WITH latest AS (
+              SELECT o_orderkey, o_custkey FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders) t WHERE rn = 1)
+            SELECT r_name, n_name, count(DISTINCT c.c_custkey) AS n_cust,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_rev,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+            FROM latest o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // P6 + J4: 1→N row fan-out (uncapped-split analog, web_scraper.py:513-543).
+  // Implemented as a genuine generator (explode of a conditionally-built array).
+  private val rowFanout = Q(
+    (s, d) => {
+      val base = struct(lit("base").as("variant"), col("p_size").as("sz"))
+      val large = when(col("p_size") > 25,
+        struct(lit("large").as("variant"), (col("p_size") - 10).as("sz")))
+      part(s, d)
+        .select(col("p_partkey"), explode(array_compact(array(base, large))).as("x"))
+        .select(col("p_partkey"), col("x.variant").as("variant"), col("x.sz").as("sz"))
+        .orderBy("p_partkey", "variant")
+    },
+    Some("""SELECT p_partkey, 'base' AS variant, p_size AS sz FROM part
+            UNION ALL SELECT p_partkey, 'large' AS variant, p_size - 10 AS sz FROM part WHERE p_size > 25
+            ORDER BY p_partkey, variant"""))
+
+  // S3/S4/S7: partitioned CSV sink + schema'd CSV source round-trip
+  // (per-key checkpoint files, web_scraper.py:1165-1183).
+  private val csvRoundtrip = Q(
+    (s, d) => {
+      val tmp = s"/root/repo/target/tmp/csv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      nation(s, d).write.mode("overwrite")
+        .partitionBy("n_regionkey").option("header", "true").csv(tmp)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  val all: List[(String, Q)] = List(
+    "scan_project" -> scanProject,
+    "stg_cast" -> stgCast,
+    "regex_filter" -> regexFilter,
+    "regex_extract" -> regexExtract,
+    "string_funcs" -> stringFuncs,
+    "date_funcs" -> dateFuncs,
+    "array_funcs" -> arrayFuncs,
+    "agg_conditional_sum" -> aggConditionalSum,
+    "agg_sum" -> aggSum,
+    "agg_count" -> aggCount,
+    "distinct" -> distinctQ,
+    "agg_collect_list" -> aggCollectList,
+    "window_latest" -> windowLatest,
+    "window_rank_topk" -> windowRankTopk,
+    "union_all" -> unionAll,
+    "sort_order" -> sortOrder,
+    "limit_topk" -> limitTopk,
+    "join_equi" -> joinEqui,
+    "join_override" -> joinOverride,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_multiway" -> joinMultiway,
+    "row_fanout" -> rowFanout,
+    "csv_roundtrip" -> csvRoundtrip)
+}

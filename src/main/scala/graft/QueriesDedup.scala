@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+import graft.Tables._
+
+/** Deduplication operator family — the training-data-pipeline core
+  * (SURVEY.md §2.9 X1/X2 + driver-mandated MinHash/SimHash/Jaccard variants).
+  *
+  * Scale posture (100 TB): every variant here avoids the O(n²) all-pairs
+  * comparison. Exact + normalized dedup are single hash-shuffles on the
+  * fingerprint. MinHash goes shingle→signature→band→bucket-join, so the only
+  * shuffle key is the (band, value) bucket — the standard LSH layout that
+  * keeps candidate generation linear in corpus size. N-gram Jaccard uses an
+  * inverted shingle index (join on shingle) rather than a cross join.
+  * Embedding near-dup below brute-forces only because the oracle needs a
+  * deterministic twin; the scale path is VectorQueries.simAnn's bucketed join.
+  */
+object DedupQueries {
+
+  // X1: exact dedup — keep the smallest doc_id per identical text.
+  private val dedupExact = Q(
+    (s, d) =>
+      documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+        .orderBy("doc_id"),
+    Some("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"))
+
+  // X2: normalized near-dup — lowercase/whitespace-collapse, md5 fingerprint,
+  // keep smallest doc_id per fingerprint (web_scraper latest-snapshot spirit).
+  private val dedupNormalized = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(normalized(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id"),
+    Some("""SELECT min(doc_id) AS doc_id, fp FROM (
+              SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents) t GROUP BY fp ORDER BY doc_id"""))
+
+  /** Shared oracle CTE prefix: tokens → 3-gram shingles → polynomial hashes. */
+  private val shingleCtes =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+       sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
+       hs AS (SELECT doc_id, list_transform(shingles, s ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''), c -> ascii(c))),
+                  (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh)"""
+
+  // MinHash + LSH banding: 16-hash signature, 4 bands × 4 rows; candidate
+  // pairs = docs sharing any band bucket. The join key is (band idx, band
+  // value) — at scale this is one shuffle over the banded signatures.
+  private val dedupMinhash = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), shingleHashes(shingles(tokens(col("text")), 3)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
+      val bandStructs = (0 until 4).map { k =>
+        struct(lit(k).as("k"),
+          concat_ws("_", (1 to 4).map(j => element_at(col("sig"), 4 * k + j)): _*).as("bv"))
+      }
+      val bands = docs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .orderBy("id1", "id2")
+    },
+    Some(s"""$shingleCtes,
+            sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                      j -> list_min(list_transform(hs, h -> ((2*j+1)*h + (j*j+7)) % 1000000007))) AS sig
+                    FROM hs),
+            bands AS (SELECT doc_id, k,
+                        CAST(sig[4*k+1] AS VARCHAR) || '_' || CAST(sig[4*k+2] AS VARCHAR) || '_' ||
+                        CAST(sig[4*k+3] AS VARCHAR) || '_' || CAST(sig[4*k+4] AS VARCHAR) AS bv
+                      FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(k))
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+            ORDER BY id1, id2"""))
+
+  // SimHash: 32-bit signature over token hashes. Pairing by hamming distance
+  // is exercised in scalatest; the oracle checks the signature computation.
+  private val dedupSimhash = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          transform(tokens(col("text")), t => charHash(t)).as("hs"))
+        .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            hs AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM tok)
+            SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+                     CASE WHEN list_sum(list_transform(hs, h ->
+                            CASE WHEN (h & (CAST(1 AS BIGINT) << b)) = (CAST(1 AS BIGINT) << b)
+                                 THEN 1 ELSE -1 END)) > 0
+                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+            FROM hs ORDER BY doc_id"""))
+
+  // N-gram Jaccard via inverted shingle index: join on shingle → intersection
+  // counts → |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere.
+  private val dedupNgramJaccard = Q(
+    (s, d) => {
+      val shd = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shd.as("a")
+        .join(shd.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+        .filter(col("c").cast("double") /
+          (col("s1.n") + col("s2.n") - col("c")).cast("double") >= 0.6)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
+            shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id1, id2 FROM inter
+            JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.6
+            ORDER BY id1, id2"""))
+
+  val all: List[(String, Q)] = List(
+    "dedup_exact" -> dedupExact,
+    "dedup_normalized" -> dedupNormalized,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard)
+}

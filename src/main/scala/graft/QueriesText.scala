@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Exact._
+import graft.functions.TextFns._
+import graft.Tables._
+
+/** Text-analysis + events operators — SURVEY.md §2.9 X4/X6 and the
+  * training-data-pipeline extensions (language ID, quality scoring, token
+  * counting, fingerprinting). All are shuffle-light: per-row expression work
+  * followed by at most one aggregation.
+  */
+object TextQueries {
+
+  // X4: corpus stats per language. Ratios are double divisions of exact ints,
+  // deterministic across engines.
+  private val textStats = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("n_chars"), size(tokens(col("text"))).as("ntok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("ntok").cast("long")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+        .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+            CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+  private val tokenCount = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          bpeishCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpeish_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  // Language ID: stopword-hit heuristic with a deterministic argmax ladder.
+  // (The synthetic corpus is English-ish for every lang label; the operator
+  // still demonstrates the n-gram/stopword scoring shape.)
+  private val langId = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val en = size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+      val es = size(filter(toks, t => t.isin("el", "la", "de", "y", "que")))
+      val de = size(filter(toks, t => t.isin("der", "die", "das", "und", "ist")))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"))
+        .withColumn("predicted",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), lit("en"))
+            .when(col("es_hits") >= col("de_hits"), lit("es"))
+            .otherwise(lit("de")))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to'))) AS INTEGER) AS en_hits,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('el','la','de','y','que'))) AS INTEGER) AS es_hits,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS de_hits,
+            CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to')))
+                      >= len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('el','la','de','y','que')))
+                  AND len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to')))
+                      >= len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+                 THEN 'en'
+                 WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('el','la','de','y','que')))
+                      >= len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+                 THEN 'es' ELSE 'de' END AS predicted
+            FROM documents ORDER BY doc_id"""))
+
+  // Quality scoring: length/punct/stopword ratios + a boolean keep-rule.
+  private val textQuality = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val ntok = size(toks).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+      val stop = stopwordHits(toks).cast("long")
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          ntok.as("n_tokens"),
+          (col("n_chars").cast("double") / ntok.cast("double")).as("chars_per_token"),
+          (punct.cast("double") / col("n_chars").cast("double")).as("punct_ratio"),
+          (stop.cast("double") / ntok.cast("double")).as("stopword_ratio"))
+        .withColumn("keep",
+          col("n_tokens") >= 10L && col("n_tokens") <= 100000L && col("stopword_ratio") >= 0.01)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, n_chars,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct,
+              CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop
+            FROM documents)
+            SELECT doc_id, n_tokens,
+              CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+              CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+              CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+              (n_tokens >= 10 AND n_tokens <= 100000
+               AND CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
+            FROM t ORDER BY doc_id"""))
+
+  // Document fingerprint: bottom-1 sketch = min polynomial hash over 3-gram
+  // shingles (winnowing-style rolling fingerprint).
+  private val docFingerprint = Q(
+    (s, d) => {
+      val sh = shingles(tokens(col("text")), 3)
+      documents(s, d)
+        .select(col("doc_id"), shingleHashes(sh).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), array_min(col("hs")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+            sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
+            hs AS (SELECT doc_id, list_transform(shingles, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh)
+            SELECT doc_id, list_min(hs) AS fingerprint FROM hs ORDER BY doc_id"""))
+
+  // X6: tumbling 1-hour event-time window aggregation, run batch so the
+  // date_trunc oracle applies. The Structured Streaming twin lives in
+  // graft.streaming.EventStream (same logical aggregation + watermark).
+  private val eventsWindow = Q(
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(
+          col("window.start").as("ws"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("ws", "event_type"),
+    Some(s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
+            ${sqlDsum("value")} AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
+  // Multimodal plumbing: opaque binary payload + typed metadata derived
+  // without decoding (byte length, content hash, magic-byte probe). The
+  // batched decode stub lives in graft.ops.Multimodal (mapPartitions).
+  private val multimodalMeta = Q(
+    (s, d) => {
+      val bin = col("text").cast("binary")
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(bin).as("n_bytes"),
+          md5(bin).as("content_md5"),
+          ascii(substring(col("text"), 1, 1)).as("magic"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+            md5(text) AS content_md5, ascii(substr(text, 1, 1)) AS magic
+            FROM documents ORDER BY doc_id"""))
+
+  val all: List[(String, Q)] = List(
+    "text_stats" -> textStats,
+    "token_count" -> tokenCount,
+    "lang_id" -> langId,
+    "text_quality" -> textQuality,
+    "doc_fingerprint" -> docFingerprint,
+    "events_window" -> eventsWindow,
+    "multimodal_meta" -> multimodalMeta)
+}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-deterministic arithmetic helpers.
+  *
+  * The driver hash-compares Spark results against a DuckDB oracle. Double
+  * aggregation is order-dependent (FP addition is not associative), so any
+  * `sum(double)` can differ in the last ulp between engines. The fix: cast to
+  * DECIMAL(18,4) *before* aggregating (exact integer arithmetic in both
+  * engines), aggregate exactly, and cast the final value back to DOUBLE
+  * (decimal→double rounding is IEEE round-to-nearest in both engines, hence
+  * bit-identical). Oracle-side mirror: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+  *
+  * This also scales: decimal sums still use partial (map-side) aggregation, so
+  * nothing here changes the shuffle shape vs a plain double sum.
+  */
+object Exact {
+  val D: DecimalType = DecimalType(18, 4)
+
+  def dec(c: Column): Column = c.cast(D)
+
+  /** Exact sum of a double column, emitted as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact sum of a product of two double columns (e.g. extendedprice * (1-discount)). */
+  def dsumProd(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
+
+  /** SQL snippets for the DuckDB oracle side. */
+  def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDsumProd(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the text-analysis and dedup operators.
+  *
+  * Everything here is a composition of codegen'd built-in functions (no UDFs),
+  * so it stays inside whole-stage codegen and runs per-partition with no
+  * shuffle. All hashing is deterministic integer arithmetic that the DuckDB
+  * oracle mirrors exactly (see Queries.scala for the SQL twins).
+  *
+  * Reference behaviors generalized here: regex-heavy line parsing
+  * (/root/reference/web_scraper.py:387-490), list-literal codec
+  * (/root/reference/dffoo_analyzer/models/stg/stg_schema.yml:33-35).
+  */
+object TextFns {
+  final val P: Long = 1000000007L
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty text → single "" token,
+    * mirrored in SQL. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Deterministic polynomial string hash: fold (acc*31 + ascii(char)) mod P.
+    * DuckDB twin: list_reduce(list_prepend(CAST(0 AS BIGINT),
+    *   list_transform(string_split(s,''), c -> ascii(c))), (a,c) -> (a*31+c) % P). */
+  def charHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % P)
+
+  /** Word n-gram shingles joined by single spaces; fewer than n tokens → empty array. */
+  def shingles(toks: Column, n: Int): Column = {
+    val mk = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(mk)
+  }
+
+  /** Hash every shingle with [[charHash]]'s arithmetic. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % P))
+
+  /** MinHash signature of `nSig` permutations over shingle hashes:
+    * sig[j] = min over h of ((2j+1)*h + (j*j+7)) mod P. */
+  def minhashSig(hashes: Column, nSig: Int): Column =
+    transform(sequence(lit(0), lit(nSig - 1)),
+      j => array_min(transform(hashes, h => ((j * 2L + 1L) * h + (j * j + lit(7L))) % P)))
+
+  /** 32-bit SimHash over token hashes: bit b set iff sum over tokens of
+    * (+1 if bit b of hash set else -1) is positive. Emitted as one BIGINT. */
+  def simhash32(hashes: Column): Column =
+    (0 until 32).map { b =>
+      val mask = 1L << b
+      val vote = aggregate(hashes, lit(0L),
+        (s, h) => s + when(h.bitwiseAND(mask) === mask, 1L).otherwise(-1L))
+      when(vote > 0L, lit(mask)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Normalized text for near-dup fingerprinting: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation marks. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** English-ish stopwords used for quality scoring and language ID. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness (not part of the driver contract).
+  *
+  * Usage:
+  *   runMain graft.tools.Dev smoke                 — entry() row count on sf0.001
+  *   runMain graft.tools.Dev explain <sfDir> [ids] — explain("formatted") per query
+  *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
+  */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "smoke" :: _ =>
+        println("ENTRY_ROWS=" + graft.SparkEntry.entry(spark).count())
+      case "explain" :: sfDir :: rest =>
+        val ids = if (rest.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted
+                  else rest.flatMap(_.split(","))
+        ids.foreach { id =>
+          println(s"===== $id =====")
+          graft.SparkEntry.queries(id)(spark, sfDir).explain("formatted")
+        }
+      case "time" :: sfDir :: id :: _ =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
+        println(f"$id: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      case other =>
+        System.err.println(s"unknown args: $other")
+    }
+    spark.stop()
+  }
+}

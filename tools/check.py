@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle in DuckDB
+over the same testdata, compare against the parquet dumped by graft.Verify
+(columns sorted by name, rows sorted, exact value equality)."""
+import sys, json, math, duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    try:
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        scols = sorted(spark_rel.columns)
+        sdf = spark_rel.project(", ".join(f'"{c}"' for c in scols)).fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark output unreadable: {e}"); fails.append(name); continue
+    try:
+        orel = con.sql(sql)
+        ocols = sorted(orel.columns)
+        odf = orel.project(", ".join(f'"{c}"' for c in ocols)).fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e)[:200]}"); fails.append(name); continue
+    if scols != ocols:
+        print(f"FAIL {name}: columns spark={scols} oracle={ocols}"); fails.append(name); continue
+    if len(sdf) != len(odf):
+        print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}"); fails.append(name); continue
+    srows, orows = sorted(map(repr, sdf)), sorted(map(repr, odf))
+    bad = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+    if bad:
+        i = bad[0]
+        print(f"FAIL {name}: {len(bad)} mismatched rows; first:\n  spark  {srows[i][:300]}\n  oracle {orows[i][:300]}")
+        fails.append(name); continue
+    print(f"ok   {name} ({len(sdf)} rows)")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass" + (f"; FAILING: {sorted(fails)}" if fails else ""))
+sys.exit(1 if fails else 0)
