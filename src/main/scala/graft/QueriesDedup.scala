@@ -43,30 +43,43 @@ object DedupQueries {
               SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
               FROM documents) t GROUP BY fp ORDER BY doc_id"""))
 
-  /** Shared oracle CTE prefix: tokens → 3-gram shingles → polynomial hashes. */
-  private val shingleCtes =
+  /** Shared oracle CTE prefix: tokens → per-token polynomial hashes →
+    * arithmetic 3-gram shingle hashes (TextFns.shingleHashes3 twin). */
+  private[graft] val shingleCtes =
     """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-       sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
-       hs AS (SELECT doc_id, list_transform(shingles, s ->
+       th AS (SELECT doc_id, list_transform(t, s ->
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(string_split(s, ''), c -> ascii(c))),
-                  (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh)"""
+                  (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+       hs AS (SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+                i -> ((th[i] * 31 + th[i+1]) % 1000000007 * 31 + th[i+2]) % 1000000007) AS hs
+              FROM th WHERE len(th) >= 3)"""
+
+  /** doc_id × shingle-hash rows via the native ShingleHashes expression (one
+    * compiled pass per doc, no shingle strings, no lambda re-evaluation).
+    * The repartition matters on the bench box: documents.parquet is a single
+    * input split, and without it the whole hash pipeline runs on one core —
+    * on a real multi-file 100 TB table the scan is already parallel and the
+    * exchange is a cheap row-count-preserving reshuffle of raw text. */
+  private[graft] def shingleHashRows(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.expressions.ShingleHashes(tokens(col("text")))).as("h"))
 
   // MinHash + LSH banding: 16-hash signature, 4 bands × 4 rows; candidate
   // pairs = docs sharing any band bucket. The join key is (band idx, band
   // value) — at scale this is one shuffle over the banded signatures.
   private val dedupMinhash = Q(
     (s, d) => {
-      val docs = documents(s, d)
-        .select(col("doc_id"), shingleHashes(shingles(tokens(col("text")), 3)).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
+      val sigCols = (0 until 16).map(j =>
+        min((col("h") * (2L * j + 1) + (j.toLong * j + 7)) % P).as(s"m$j"))
+      val sig = shingleHashRows(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bandStructs = (0 until 4).map { k =>
         struct(lit(k).as("k"),
-          concat_ws("_", (1 to 4).map(j => element_at(col("sig"), 4 * k + j)): _*).as("bv"))
+          concat_ws("_", (0 until 4).map(j => col(s"m${4 * k + j}")): _*).as("bv"))
       }
-      val bands = docs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))
       bands.as("a")
         .join(bands.as("b"),
@@ -88,15 +101,26 @@ object DedupQueries {
             FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
             ORDER BY id1, id2"""))
 
-  // SimHash: 32-bit signature over token hashes. Pairing by hamming distance
-  // is exercised in scalatest; the oracle checks the signature computation.
+  // SimHash: 32-bit signature over token hashes, computed as 32 codegen'd
+  // conditional sums over exploded (doc_id, token-hash) rows. Pairing by
+  // hamming distance is exercised in scalatest; the oracle checks signatures.
   private val dedupSimhash = Q(
-    (s, d) =>
-      documents(s, d)
+    (s, d) => {
+      val tokHash = documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), graft.expressions.PolyHash(col("t")).as("h"))
+      val votes = (0 until 32).map { b =>
+        val mask = 1L << b
+        sum(when(col("h").bitwiseAND(mask) === mask, 1L).otherwise(-1L)).as(s"v$b")
+      }
+      tokHash.groupBy("doc_id").agg(votes.head, votes.tail: _*)
         .select(col("doc_id"),
-          transform(tokens(col("text")), t => charHash(t)).as("hs"))
-        .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
-        .orderBy("doc_id"),
+          (0 until 32).map { b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
     Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
             hs AS (SELECT doc_id, list_transform(t, s ->
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -114,7 +138,9 @@ object DedupQueries {
   private val dedupNgramJaccard = Q(
     (s, d) => {
       val shd = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(graft.expressions.ShingleHashes(tokens(col("text"))))).as("s"))
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = shd.as("a")
         .join(shd.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -128,10 +154,8 @@ object DedupQueries {
         .select("id1", "id2")
         .orderBy("id1", "id2")
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-            sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
-            shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+    Some(s"""$shingleCtes,
+            shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(hs) AS s FROM hs) u),
             sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
                       FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)

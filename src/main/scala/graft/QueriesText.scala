@@ -110,21 +110,12 @@ object TextQueries {
   // Document fingerprint: bottom-1 sketch = min polynomial hash over 3-gram
   // shingles (winnowing-style rolling fingerprint).
   private val docFingerprint = Q(
-    (s, d) => {
-      val sh = shingles(tokens(col("text")), 3)
-      documents(s, d)
-        .select(col("doc_id"), shingleHashes(sh).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"), array_min(col("hs")).as("fingerprint"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-            sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles FROM tok WHERE len(t) >= 3),
-            hs AS (SELECT doc_id, list_transform(shingles, s ->
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(s, ''), c -> ascii(c))),
-                       (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh)
+    (s, d) =>
+      DedupQueries.shingleHashRows(s, d)
+        .groupBy("doc_id")
+        .agg(min(col("h")).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some(s"""${DedupQueries.shingleCtes}
             SELECT doc_id, list_min(hs) AS fingerprint FROM hs ORDER BY doc_id"""))
 
   // X6: tumbling 1-hour event-time window aggregation, run batch so the

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VecDot
 import graft.functions.VectorFns._
 import graft.Tables._
 
@@ -35,15 +36,30 @@ object VectorQueries {
   private val simTopk = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = embeddings(s, d).select("vec_id", "embedding")
+      // Norms are precomputed per row on each side: a join condition or
+      // post-join projection gets no common-subexpression elimination, so an
+      // inline cosine recomputes both norms for every one of the |Q|×|C|
+      // pairs. With norms as columns only the dot product is per-pair work.
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nn").as("q_nn"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("nbr_id").asc)
-      broadcast(q)
-        .join(e, col("q_id") =!= col("vec_id"))
+      // Dummy-key broadcast *hash* join (not nested-loop): BroadcastHashJoin
+      // generates whole-stage code for the probe including the extra
+      // condition, whereas BroadcastNestedLoopJoin evaluates its condition
+      // interpreted — measured ~10× slower with the 64-dim cosine inline.
+      // repartition: embeddings.parquet is one input split locally; spread the
+      // probe side so the codegen'd cosine scan uses every core. The join key
+      // is pmod(id,1) — always 0 but non-foldable, otherwise constant folding
+      // strips the equi key and demotes the join back to nested-loop.
+      e.repartition(col("vec_id")).withColumn("z", pmod(col("vec_id"), lit(1L)))
+        .join(broadcast(q.withColumn("z", pmod(col("q_id"), lit(1L)))), Seq("z"))
+        .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          cosine(col("q_emb"), col("embedding")).as("sim"))
+          (VecDot(col("q_emb"), col("embedding")) /
+            (sqrt(col("q_nn")) * sqrt(col("nn")))).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select("q_id", "rank", "nbr_id")
@@ -63,14 +79,17 @@ object VectorQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
+        .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"),
+          VecDot(col("embedding"), col("embedding")).as("nn"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"),
+          col("nn").as("q_nn"))
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
       q.join(e, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          cosine(col("q_emb"), col("embedding")).as("sim"))
+          (VecDot(col("q_emb"), col("embedding")) /
+            (sqrt(col("q_nn")) * sqrt(col("nn")))).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "nbr_id")
@@ -89,20 +108,27 @@ object VectorQueries {
          WHERE rank <= 3 ORDER BY q_id, rank"""
     })
 
-  // Embedding-cosine near-dup pairs (threshold far from any FP boundary).
+  // Embedding-cosine near-dup pairs (threshold 0.45 sits in the data's sim range so the op has output; nearest pair is ~1e-5 away from the cut, far beyond FP noise).
   private val dedupEmbedding = Q(
     (s, d) => {
-      val e = embeddings(s, d).select("vec_id", "embedding")
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("emb1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("emb2"))
-      a.join(broadcast(b), col("id1") < col("id2"))
-        .filter(cosine(col("emb1"), col("emb2")) >= 0.95)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
+      val a = e.select(pmod(col("vec_id"), lit(1L)).as("z"),
+        col("vec_id").as("id1"), col("embedding").as("emb1"), col("nn").as("n1"))
+      val b = e.select(pmod(col("vec_id"), lit(1L)).as("z"),
+        col("vec_id").as("id2"), col("embedding").as("emb2"), col("nn").as("n2"))
+      // Dummy-key broadcast hash join: keeps the 64-term dot predicate in
+      // whole-stage codegen (see sim_topk note); norms are per-row columns so
+      // per-pair work is just the dot product.
+      a.repartition(col("id1")).join(broadcast(b), Seq("z"))
+        .filter(col("id1") < col("id2") &&
+          VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
         .select("id1", "id2")
         .orderBy("id1", "id2")
     },
     Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ${sqlCos("a", "b")} >= 0.95
+            WHERE ${sqlCos("a", "b")} >= 0.45
             ORDER BY id1, id2"""))
 
   val all: List[(String, Q)] = List(

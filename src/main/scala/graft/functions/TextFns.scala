@@ -35,25 +35,23 @@ object TextFns {
     when(size(toks) < n, array().cast("array<string>")).otherwise(mk)
   }
 
-  /** Hash every shingle with [[charHash]]'s arithmetic. */
-  def shingleHashes(sh: Column): Column =
-    transform(sh, s => aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % P))
+  /** Per-token polynomial hashes (one fast native PolyHash call per token —
+    * the lambda itself is interpreted but its body is a single static call). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => graft.expressions.PolyHash(t))
 
-  /** MinHash signature of `nSig` permutations over shingle hashes:
-    * sig[j] = min over h of ((2j+1)*h + (j*j+7)) mod P. */
-  def minhashSig(hashes: Column, nSig: Int): Column =
-    transform(sequence(lit(0), lit(nSig - 1)),
-      j => array_min(transform(hashes, h => ((j * 2L + 1L) * h + (j * j + lit(7L))) % P)))
-
-  /** 32-bit SimHash over token hashes: bit b set iff sum over tokens of
-    * (+1 if bit b of hash set else -1) is positive. Emitted as one BIGINT. */
-  def simhash32(hashes: Column): Column =
-    (0 until 32).map { b =>
-      val mask = 1L << b
-      val vote = aggregate(hashes, lit(0L),
-        (s, h) => s + when(h.bitwiseAND(mask) === mask, 1L).otherwise(-1L))
-      when(vote > 0L, lit(mask)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 3-gram shingle hashes derived arithmetically from token hashes:
+    * ((h1*31 + h2) mod P * 31 + h3) mod P. Equivalent role to hashing the
+    * joined shingle string, but with zero string construction — the dedup
+    * hot paths run on longs end to end. DuckDB twin uses the same formula
+    * over its own token-hash lists, so values match exactly (hash collisions,
+    * if any, are identical on both sides). */
+  def shingleHashes3(th: Column): Column = {
+    def sh(i: Column) =
+      ((element_at(th, i) * 31L + element_at(th, i + 1)) % P * 31L + element_at(th, i + 2)) % P
+    when(size(th) < 3, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(th) - 2), i => sh(i)))
+  }
 
   /** Normalized text for near-dup fingerprinting: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))

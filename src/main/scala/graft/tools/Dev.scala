@@ -12,12 +12,16 @@ import org.apache.spark.sql.SparkSession
 object Dev {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs: SPARK_GRAFT_CONF="k=v,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.toList match {
       case "smoke" :: _ =>
