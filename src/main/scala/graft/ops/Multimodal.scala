@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * batched decode/feature-extraction over `mapPartitions`.
+  *
+  * The decode itself is a STUB — no image/audio codecs ship in this
+  * container — but everything Spark-side is real and tested: the schema
+  * (binary payload + struct metadata), the partitioning (payload-bearing rows
+  * repartition by id so decode parallelizes), the batch shape (one decoder
+  * instance per partition, amortized over its rows, the same lifecycle a
+  * JNI/codec handle needs), and the typed Dataset boundary.
+  *
+  * At 100 TB: payloads live in the table as binary columns (or pointers to
+  * object storage); decode is a narrow map stage with no shuffle, so it
+  * scales with input splits. Feature outputs are small typed columns that
+  * downstream relational ops consume normally.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Int,
+      checksum: Long,
+      width: Int,     // STUB: deterministic fake, a real decoder fills these
+      height: Int,    // STUB
+      n_frames: Int)  // STUB
+
+  /** Attach a binary payload column (here: utf8 bytes of `text` stand in for
+    * real media bytes) plus a kind tag derived from the source column. */
+  def attachPayload(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("image"))
+          .when(col("doc_id") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode: one stub decoder per partition, reused across rows —
+    * the shape a real codec handle (JNI, ffmpeg, turbojpeg) requires. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder // per-partition init, amortized
+      rows.map { r =>
+        val d = decoder.decode(r.kind, r.payload)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length, d.checksum, d.width, d.height, d.nFrames)
+      }
+    }
+  }
+
+  case class Decoded(checksum: Long, width: Int, height: Int, nFrames: Int)
+
+  /** STUB decoder: deterministic fake features derived from the bytes.
+    * A real implementation would wrap an image/audio/video codec here;
+    * the call signature and per-partition lifecycle are the real contract. */
+  final class StubDecoder {
+    def decode(kind: String, payload: Array[Byte]): Decoded = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      val w = 64 + (math.abs(sum) % 1856).toInt
+      kind match {
+        case "image" => Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1)
+        case "audio" => Decoded(sum, 0, 0, payload.length / 128 + 1)
+        case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
+      }
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Structured Streaming surface (SURVEY.md §2.9 X6).
+  *
+  * The reference has zero streaming (batch re-scrape + append,
+  * /root/reference/web_scraper.py:1288); these are the streaming twins of the
+  * batch operators so the same logical aggregations run over `readStream`
+  * sources. The batch `events_window` query in TextQueries uses the identical
+  * groupBy(window(...)) aggregation — Catalyst plans both; only the sink and
+  * watermark differ.
+  *
+  * Scale posture: event-time tumbling windows + watermark bound state size;
+  * the aggregation is keyed by (window, event_type) so state partitions by
+  * the shuffle key like any streaming agg. For sessionization-style custom
+  * state, use [[sessionize]] (flatMapGroupsWithState would be the next step;
+  * session_window covers the common case declaratively).
+  */
+object EventStream {
+
+  /** Tumbling 1-hour window counts/sums with a 2-hour watermark.
+    * Works on both batch and streaming DataFrames with schema
+    * (ts timestamp, event_type string, value double). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"),
+        col("total_value"))
+
+  /** Session windows per user: events within `gap` of each other merge into
+    * one session (declarative session_window — no manual state needed). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+}

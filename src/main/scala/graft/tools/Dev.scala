@@ -37,6 +37,17 @@ object Dev {
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
         println(f"$id: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      case "mart" :: _ =>
+        // game-domain flagship over the bundled fixture subsets
+        val res = "src/test/resources/game"
+        val ab = spark.read.schema(graft.domain.GameSchemas.rawAbilities)
+          .option("header", "true").csv(s"$res/raw_abilities_subset.csv")
+        val bt = spark.read.schema(graft.domain.GameSchemas.rawBtEffects)
+          .option("header", "true").csv(s"$res/raw_bt_effects_subset.csv")
+        val ha = spark.read.schema(graft.domain.GameSchemas.rawHighArmorCaps)
+          .option("header", "true").csv(s"$res/raw_high_armor_caps_subset.csv")
+        graft.domain.Mart.effectiveHpCap(ab, bt, ha)
+          .orderBy("char_name", "game_version").show(20, truncate = false)
       case other =>
         System.err.println(s"unknown args: $other")
     }

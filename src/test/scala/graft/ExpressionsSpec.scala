@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.expressions.{PolyHash, ShingleHashes, VecDot}
+import graft.functions.TextFns
+
+/** The native expressions must agree exactly with their composable
+  * column-function twins (which in turn mirror the DuckDB oracle SQL). */
+class ExpressionsSpec extends SparkSpec {
+  private def samples[A](g: Gen[A], n: Int = 30): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+  import TextFns.P
+
+  private def refPolyHash(s: String): Long = {
+    var acc = 0L
+    s.codePoints().toArray.foreach(cp => acc = (acc * 31 + cp) % P)
+    acc
+  }
+
+  test("PolyHash matches the fold definition, incl. edge cases") {
+    val samples = Seq("", "a", "spark", "hello world", "ünïcödé", "a b  c\t d", "0" * 500)
+    import spark.implicits._
+    val got = samples.toDF("s").select(PolyHash(col("s"))).as[Long].collect()
+    assert(got.toSeq == samples.map(refPolyHash))
+  }
+
+  test("PolyHash property: range [0, P) and equality with reference fold") {
+    samples(Gen.asciiPrintableStr, 100).foreach { s =>
+      val h = refPolyHash(s)
+      assert(h >= 0 && h < P)
+    }
+    import spark.implicits._
+    val gen = samples(Gen.asciiPrintableStr, 50).toList
+    val got = gen.toDF("s").select(PolyHash(col("s"))).as[Long].collect()
+    assert(got.toSeq == gen.map(refPolyHash))
+  }
+
+  test("ShingleHashes matches the column-function composition") {
+    import spark.implicits._
+    val docs = Seq("one two three four five", "a b", "", "x y z", "w1 w2 w3 w4")
+    val df = docs.toDF("text")
+    val viaExpr = df.select(ShingleHashes(TextFns.tokens(col("text"))).as("h"))
+      .as[Seq[Long]].collect()
+    val viaFns = df.select(
+      TextFns.shingleHashes3(TextFns.tokenHashes(TextFns.tokens(col("text")))).as("h"))
+      .as[Seq[Long]].collect()
+    assert(viaExpr.toSeq == viaFns.toSeq)
+    assert(viaExpr(1).isEmpty && viaExpr(2).isEmpty) // <3 tokens → empty
+    assert(viaExpr(0).length == 3)
+  }
+
+  test("VecDot matches the HOF dot product and oracle summation order") {
+    import spark.implicits._
+    val vs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(-0.3f, 0.4f)),
+      (Array.empty[Float], Array.empty[Float]))
+    val df = vs.toDF("a", "b")
+    val viaExpr = df.select(VecDot(col("a"), col("b"))).as[Double].collect()
+    val viaHof = df.select(graft.functions.VectorFns.dot(col("a"), col("b"))).as[Double].collect()
+    assert(viaExpr.toSeq == viaHof.toSeq)
+    assert(viaExpr(0) == (4.0 + 10.0 + 18.0))
+  }
+
+  test("row fan-out conserves attack counts (P6 invariant)") {
+    import spark.implicits._
+    samples(Gen.listOfN(20, Gen.chooseNum(0, 16)), 5).foreach { sizes =>
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val base = struct(lit("base").as("variant"), col("n").as("v"))
+      val extra = when(col("n") > 8, struct(lit("extra").as("variant"), (col("n") - 8).as("v")))
+      val out = df.select(col("id"), explode(array_compact(array(
+          when(col("n") > 8, struct(lit("base").as("variant"), lit(8).as("v"))).otherwise(base),
+          extra))).as("x"))
+        .groupBy("id").agg(sum(col("x.v")).as("total"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.foreach { case (n, i) => assert(out(i.toLong) == n.toLong) }
+    }
+  }
+
+  test("F11 list-literal codec round-trips") {
+    import spark.implicits._
+    val lists = Seq(Seq("Magic", "FollowUp"), Seq("Uncapped"), Seq.empty[String])
+    val df = lists.map(l => l.mkString("['", "', '", "']")).map(s => if (s == "['']") "[]" else s)
+      .toDF("txt")
+    val parsed = df.select(graft.domain.Staging.listLiteral(col("txt")).as("a"))
+      .as[Seq[String]].collect()
+    assert(parsed(0) == Seq("Magic", "FollowUp") && parsed(2).isEmpty)
+  }
+}

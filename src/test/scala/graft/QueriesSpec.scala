@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalog-level smoke + invariants at sf0.001. Exact value agreement with
+  * DuckDB is the driver's t2 gate (replicated locally by tools/check.py);
+  * these specs guard structural properties that survive refactors.
+  */
+class QueriesSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("every declared query with an oracle runs and is non-degenerate") {
+    val emptyOk = Set("join_anti", "dedup_embedding") // legitimately may be empty
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      if (!emptyOk(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracleSql covers every query (full t2 surface)") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry flagship returns nation-level rollup") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 25) // 25 nations
+    assert(rows.forall(_.getAs[Long]("n_cust") > 0))
+  }
+
+  test("dedup invariants: exact dedup is idempotent, minhash pairs are ordered") {
+    val d = SparkEntry.queries("dedup_exact")(spark, dir)
+    assert(d.count() == d.dropDuplicates("text").count())
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, dir).collect()
+    assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+  }
+
+  test("window_latest picks exactly one row per customer") {
+    val w = SparkEntry.queries("window_latest")(spark, dir)
+    assert(w.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("row_fanout conserves: base rows equal part count") {
+    val f = SparkEntry.queries("row_fanout")(spark, dir)
+    val parts = Tables.part(spark, dir).count()
+    assert(f.filter(col("variant") === "base").count() == parts)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val plan = SparkEntry.queries("scan_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"),
+      "projection not pruned")
+  }
+
+  test("small-dimension joins broadcast (join_multiway plan)") {
+    val plan = RelationalQueries.joinMultiway.fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+}

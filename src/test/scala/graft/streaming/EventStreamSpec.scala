@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed aggregation over a real stream (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1.5, 1),
+        Ev(ts("2024-01-01 10:55:00"), "click", 2.5, 2),
+        Ev(ts("2024-01-01 11:05:00"), "view", 4.0, 1))
+      q.processAllAvailable()
+      val out = spark.table("hourly").collect()
+      assert(out.length == 2)
+      val clicks = out.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n_events") == 2)
+      assert(clicks.getAs[Double]("total_value") == 4.0)
+      assert(clicks.getAs[Timestamp]("ws") == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("streaming and batch events_window agree on the same input") {
+    val batch = graft.SparkEntry.queries("events_window")(spark, sf("sf0.001"))
+    val viaStreamingLogic = EventStream.hourlyByType(
+        graft.Tables.events(spark, sf("sf0.001")))
+      .orderBy("ws", "event_type")
+    assert(batch.collect().map(_.toSeq.drop(0)).toSeq ==
+      viaStreamingLogic.collect().map(_.toSeq).toSeq)
+  }
+
+  test("sessionize merges events within the gap") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 7),
+      Ev(ts("2024-01-01 10:10:00"), "view", 1.0, 7),
+      Ev(ts("2024-01-01 12:00:00"), "click", 1.0, 7)).toDF()
+    val sessions = EventStream.sessionize(df).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
