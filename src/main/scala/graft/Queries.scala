@@ -379,7 +379,43 @@ object RelationalQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  // min/max selection aggregates (value pass-through: no arithmetic, so
+  // doubles cross engines bit-identically).
+  private val aggMinmax = Q(
+    (s, d) =>
+      supplier(s, d)
+        .groupBy("s_nationkey")
+        .agg(
+          min(col("s_acctbal")).as("min_bal"),
+          max(col("s_acctbal")).as("max_bal"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("s_nationkey"),
+    Some("""SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+            count(*) AS n_supp FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** One SQL text shared verbatim by spark.sql and the DuckDB oracle. */
+  private val sqlSurfaceText =
+    """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  // S6/dbt analog: named temp views + the SQL surface. dbt materializes each
+  // model as a DB view re-planned per query; temp views here are logical-plan
+  // aliases Catalyst sees straight through.
+  private val sqlSurface = Q(
+    (s, d) => {
+      Seq("region", "nation", "customer").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(t))
+      s.sql(sqlSurfaceText)
+    },
+    Some(sqlSurfaceText))
+
   val all: List[(String, Q)] = List(
+    "agg_minmax" -> aggMinmax,
+    "sql_surface" -> sqlSurface,
     "scan_project" -> scanProject,
     "stg_cast" -> stgCast,
     "regex_filter" -> regexFilter,

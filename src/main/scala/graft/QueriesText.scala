@@ -152,7 +152,47 @@ object TextQueries {
             md5(text) AS content_md5, ascii(substr(text, 1, 1)) AS magic
             FROM documents ORDER BY doc_id"""))
 
+  // Batch sessionization via lag + gaps-and-islands (the analytic-window
+  // operator family; the streaming twin is EventStream.sessionize's
+  // session_window). 30-minute gap; epoch-µs integer compares only.
+  private val eventsSessionize = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(byUser)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    },
+    Some(s"""WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (
+              SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+              ${sqlDsum("value")} AS total_value
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id, session_start"""))
+
   val all: List[(String, Q)] = List(
+    "events_sessionize" -> eventsSessionize,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
     "lang_id" -> langId,

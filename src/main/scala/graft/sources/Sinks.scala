@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink surface (SURVEY.md §2.1 S3/S4/S5).
+  *
+  * The reference writes one CSV per (char, version) for restartability
+  * (web_scraper.py:1165-1183), three final omnibus CSVs (:1266-1282), and
+  * appends to Postgres in one transaction (:1286-1291). Spark-first:
+  * per-key files fall out of a partitioned write, the "omnibus" is just the
+  * unpartitioned dataset, and JDBC append is the built-in connector.
+  *
+  * At 100 TB: `partitionBy` keys must be low-cardinality (they become
+  * directories); never `coalesce(1)` an engine path — single-file outputs
+  * exist only in driver-side verify dumps.
+  */
+object Sinks {
+
+  /** S3: per-key checkpointed CSV layout (one directory per key value). */
+  def csvPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*)
+      .option("header", "true").csv(path)
+
+  /** S4: omnibus CSV (parallel multi-part; readers glob the directory). */
+  def csvOmnibus(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Parquet with keyed layout — the engine's durable format of choice
+    * (typed, splittable, prunable), partitioned for downstream pruning. */
+  def parquetPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+
+  /** S5: transactional-append JDBC sink (to_sql if_exists='append' analog).
+    * Untested here — no database ships in the harness — but the connector
+    * options are the complete production surface. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      user: String, password: String, batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "READ_COMMITTED")
+      .mode("append")
+      .save()
+}
