@@ -131,8 +131,69 @@ object VectorQueries {
             WHERE ${sqlCos("a", "b")} >= 0.45
             ORDER BY id1, id2"""))
 
+  // IVF-style ANN: deterministic coarse centroids (the embeddings of
+  // vec_id 0..15 — a real build would k-means; centroid choice is config,
+  // the partitioned search shape is the operator), assign every vector to
+  // its nearest centroid by cosine (argmin with id tiebreak), then answer
+  // queries inside their own cell only. At scale: the assignment is one
+  // broadcast pass over the corpus, the search an equi join on cell id —
+  // same shuffle shape as sim_ann but with data-adaptive cells.
+  private val simIvf = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nn").as("c_nn"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_sim").desc, col("c_id").asc)
+      val assigned = e.repartition(col("vec_id")).withColumn("z", pmod(col("vec_id"), lit(1L)))
+        .join(broadcast(cents.withColumn("z", pmod(col("c_id"), lit(1L)))), Seq("z"))
+        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id"),
+          (VecDot(col("embedding"), col("c_emb")) /
+            (sqrt(col("nn")) * sqrt(col("c_nn")))).as("c_sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nn").as("q_nn"), col("cell"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+      q.join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          (VecDot(col("q_emb"), col("embedding")) /
+            (sqrt(col("q_nn")) * sqrt(col("nn")))).as("sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "nbr_id")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT a.vec_id, a.embedding, c.c_id AS cell,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_sum(list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(generate_series(1, len(c.c_emb)),
+                               i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))) DESC,
+                         c.c_id ASC) AS rn
+                FROM e a CROSS JOIN cents c) t WHERE rn = 1)
+            SELECT q_id, rank, nbr_id FROM (
+              SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id ASC) AS rank
+              FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10) t
+            WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
+    "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
 }

@@ -48,6 +48,16 @@ object Dev {
           .option("header", "true").csv(s"$res/raw_high_armor_caps_subset.csv")
         graft.domain.Mart.effectiveHpCap(ab, bt, ha)
           .orderBy("char_name", "game_version").show(20, truncate = false)
+      case "stateful" :: rest =>
+        // flatMapGroupsWithState dedup over the real documents table (batch
+        // execution of the same state function the streaming query runs)
+        import spark.implicits._
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        val docs = graft.Tables.documents(spark, d)
+          .selectExpr("doc_id", "md5(text) AS fp", "text")
+          .as[graft.streaming.StatefulOps.FpDoc]
+        val out = graft.streaming.StatefulOps.streamingDedup(docs)
+        println(s"STATEFUL_DEDUP in=${docs.count()} out=${out.count()}")
       case other =>
         System.err.println(s"unknown args: $other")
     }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-mechanism proofs: salting preserves join semantics; bucketed tables
+  * co-locate the join and eliminate the shuffle.
+  */
+class ScaleSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("salted join returns exactly the plain join result") {
+    val orders = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", factor = 7)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted count equals plain count per key") {
+    val li = graft.Tables.lineitem(spark, dir)
+    val plain = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(li, "l_returnflag", factor = 11)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = "target/bucketing-spec"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.Tables.orders(spark, dir)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    graft.Tables.customer(spark, dir)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer").saveAsTable("b_customer")
+    // below the broadcast threshold both sides would broadcast; force the
+    // shuffle-join path to show bucketing removes the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == graft.Tables.orders(spark, dir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
