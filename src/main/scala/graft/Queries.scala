@@ -413,10 +413,12 @@ object RelationalQueries {
     },
     Some(sqlSurfaceText))
 
+  // scan_project leads so the one-time JVM/codegen warmup in Bench lands on
+  // the cheapest query instead of a random one (queries is insertion-ordered).
   val all: List[(String, Q)] = List(
+    "scan_project" -> scanProject,
     "agg_minmax" -> aggMinmax,
     "sql_surface" -> sqlSurface,
-    "scan_project" -> scanProject,
     "stg_cast" -> stgCast,
     "regex_filter" -> regexFilter,
     "regex_extract" -> regexExtract,

@@ -17,9 +17,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.joinMultiway.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Insertion-ordered so Bench timings are attributed deterministically. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalog.map { case (name, q) => name -> q.fn }.toMap
+    scala.collection.immutable.ListMap(
+      catalog.map { case (name, q) => name -> q.fn }: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

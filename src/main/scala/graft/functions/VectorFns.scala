@@ -20,20 +20,11 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  /** Fixed-dimension variants: the dot/norm sums unrolled into plain column
-    * arithmetic. Unlike the higher-order-function forms above (interpreted,
-    * one closure call per element), these stay inside whole-stage codegen —
-    * measured ~10× faster on the all-pairs similarity queries. Same
-    * left-to-right summation order, so oracle values are unchanged. */
-  def dotN(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
-
-  def normN(a: Column, dim: Int): Column =
-    (1 to dim).map { i => val x = element_at(a, i).cast("double"); x * x }.reduce(_ + _)
-
-  def cosineN(a: Column, b: Column, dim: Int): Column =
-    dotN(a, b, dim) / (sqrt(normN(a, dim)) * sqrt(normN(b, dim)))
+  // NOTE: hot paths use graft.expressions.VecDot instead of the HOF forms
+  // above — interpreted lambdas cost ~20ns/element, and a fully unrolled
+  // column-arithmetic variant (tried in between) exceeded the JIT's
+  // huge-method limit. The HOF forms remain the arbitrary-dim reference
+  // implementation, equivalence-tested against VecDot in ExpressionsSpec.
 
   /** Random-hyperplane-style LSH bucket, degenerated to deterministic axis
     * signs of the first `dims` components: a coarse but oracle-expressible
