@@ -191,7 +191,30 @@ object TextQueries {
             FROM sessions GROUP BY user_id, session_id
             ORDER BY user_id, session_start"""))
 
+  // Corpus-wide top-k bigram frequency (integer counts, total order on
+  // (count desc, ngram asc) — fully deterministic).
+  private val ngramTopk = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      documents(s, d)
+        .repartition(col("doc_id"))
+        .select(explode(bigrams).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(20)
+    },
+    Some("""SELECT ngram, count(*) AS n FROM (
+              SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1])) AS ngram
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents) s
+              WHERE len(t) >= 2) u
+            GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20"""))
+
   val all: List[(String, Q)] = List(
+    "ngram_topk" -> ngramTopk,
     "events_sessionize" -> eventsSessionize,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,

@@ -58,6 +58,15 @@ object Dev {
           .as[graft.streaming.StatefulOps.FpDoc]
         val out = graft.streaming.StatefulOps.streamingDedup(docs)
         println(s"STATEFUL_DEDUP in=${docs.count()} out=${out.count()}")
+      case "sqlfns" :: rest =>
+        // native expressions through the spark.sql surface
+        graft.expressions.GraftFunctions.register(spark)
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        graft.Tables.documents(spark, d).createOrReplaceTempView("documents_v")
+        spark.sql(
+          """SELECT count(DISTINCT graft_poly_hash(text)) AS distinct_hashes,
+                    min(size(graft_shingle_hashes(split(text, ' ')))) AS min_shingles
+             FROM documents_v""").show(truncate = false)
       case other =>
         System.err.println(s"unknown args: $other")
     }

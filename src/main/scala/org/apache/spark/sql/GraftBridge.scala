@@ -9,4 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native expression under a SQL function name in this session,
+    * making it callable from spark.sql text. */
+  def registerExpression(
+      spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "internal")
 }
