@@ -379,6 +379,20 @@ object RelationalQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  // Pivot (long→wide): Spark's relational pivot; oracle as conditional
+  // aggregation — the portable formulation — with identical column names.
+  private val pivotWide = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag,
+            ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+            ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // min/max selection aggregates (value pass-through: no arithmetic, so
   // doubles cross engines bit-identically).
   private val aggMinmax = Q(
@@ -417,6 +431,7 @@ object RelationalQueries {
   // the cheapest query instead of a random one (queries is insertion-ordered).
   val all: List[(String, Q)] = List(
     "scan_project" -> scanProject,
+    "pivot_wide" -> pivotWide,
     "agg_minmax" -> aggMinmax,
     "sql_surface" -> sqlSurface,
     "stg_cast" -> stgCast,

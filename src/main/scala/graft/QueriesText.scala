@@ -213,7 +213,27 @@ object TextQueries {
               WHERE len(t) >= 2) u
             GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20"""))
 
+  // Semi-structured ops over the JSON props column: path extraction, typed
+  // parse (from_json), validity flag, grouped rollup on an extracted field.
+  private val jsonFuncs = Q(
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k_typed"),
+          col("props").rlike("^\\{").as("looks_json"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+            regexp_matches(props, '^\{') AS looks_json
+            FROM events ORDER BY event_id"""))
+
   val all: List[(String, Q)] = List(
+    "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
     "events_sessionize" -> eventsSessionize,
     "text_stats" -> textStats,
