@@ -393,6 +393,37 @@ object RelationalQueries {
             ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // Hierarchical rollup with explicit NULLS FIRST on both sides — Spark
+  // defaults nulls-first in ASC sorts, DuckDB defaults nulls-last.
+  private val rollupAgg = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some(s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty,
+            count(*) AS n_rows FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // INTERSECT / EXCEPT (both DISTINCT semantics in both engines).
+  private val setIntersect = Q(
+    (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey"),
+    Some("""SELECT c_nationkey AS nkey FROM customer
+            INTERSECT SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey"""))
+
+  private val setExcept = Q(
+    (s, d) =>
+      nation(s, d).select("n_nationkey")
+        .except(nation(s, d).filter(col("n_regionkey").isin(0, 1)).select("n_nationkey"))
+        .orderBy("n_nationkey"),
+    Some("""SELECT n_nationkey FROM nation
+            EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1)
+            ORDER BY n_nationkey"""))
+
   // min/max selection aggregates (value pass-through: no arithmetic, so
   // doubles cross engines bit-identically).
   private val aggMinmax = Q(
@@ -432,6 +463,9 @@ object RelationalQueries {
   val all: List[(String, Q)] = List(
     "scan_project" -> scanProject,
     "pivot_wide" -> pivotWide,
+    "rollup_agg" -> rollupAgg,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
     "agg_minmax" -> aggMinmax,
     "sql_surface" -> sqlSurface,
     "stg_cast" -> stgCast,
