@@ -155,6 +155,10 @@ object VectorQueries {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nn"), col("c_id").as("cell"))
+        // both sides of the cell join read the assignment; cache it so the
+        // centroid-scoring pass runs once (an IVF index is persistent state
+        // in production anyway — this is the in-session equivalent)
+        .persist()
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nn").as("q_nn"), col("cell"))
