@@ -48,6 +48,14 @@ object Dev {
           .option("header", "true").csv(s"$res/raw_high_armor_caps_subset.csv")
         graft.domain.Mart.effectiveHpCap(ab, bt, ha)
           .orderBy("char_name", "game_version").show(20, truncate = false)
+        // BT/HA buff-line extraction over sample effect lines
+        import spark.implicits._
+        val lines = Seq(
+          ("sherlotta", "GL", "MAX BRV Cap Up by 30%"),
+          ("sherlotta", "GL", "party  MAX BRV Cap Up by 15%"),
+          ("kelger", "GL", "party  MAX BRV Cap Up by 30%"))
+          .toDF("char_name", "game_version", "line")
+        graft.domain.BuffParsers.btCaps(lines).orderBy("char_name").show(truncate = false)
       case "stateful" :: rest =>
         // flatMapGroupsWithState dedup over the real documents table (batch
         // execution of the same state function the streaming query runs)
