@@ -122,15 +122,15 @@ object RelationalQueries {
           size(toks).as("n_tokens"),
           array_contains(toks, "spark").as("has_spark"),
           element_at(toks, 1).as("first_tok"),
-          sort_array(array_distinct(toks)).as("vocab"),
-          parsed.as("head3"))
+          array_join(sort_array(array_distinct(toks)), "|").as("vocab"),
+          array_join(parsed, "|").as("head3"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
             list_contains(string_split(text, ' '), 'spark') AS has_spark,
             string_split(text, ' ')[1] AS first_tok,
-            list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-            list_slice(string_split(text, ' '), 1, 3) AS head3
+            array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
+            array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS head3
             FROM documents ORDER BY doc_id"""))
 
   // A1 + F9: TPC-H Q1-flavored conditional grouped sums
@@ -186,15 +186,16 @@ object RelationalQueries {
             ORDER BY l_returnflag, l_linestatus"""))
 
   // A5: grouped collect-to-list (sorted for determinism; Spark collect_list
-  // order is partition-dependent, so sort_array is mandatory).
+  // order is partition-dependent, so sort_array is mandatory). The gate's
+  // pandas compare can't hash array cells, so serialize to a joined string.
   private val aggCollectList = Q(
     (s, d) =>
       nation(s, d)
         .groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("nations"))
         .orderBy("n_regionkey"),
-    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations FROM nation
-            GROUP BY n_regionkey ORDER BY n_regionkey"""))
+    Some("""SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
   // A6: latest-snapshot dedup via row_number (the reference's only window op,
   // README.md:69-71). Tiebreak on o_orderkey for determinism.

@@ -27,8 +27,8 @@ object TextQueries {
           sum(col("ntok").cast("long")).as("total_tokens"),
           (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
         .orderBy("lang"),
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-            sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
             CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang"""))
 

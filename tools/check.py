@@ -14,16 +14,22 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
+    # Mirror the driver: both sides go through PANDAS (DuckDB HUGEINT -> float64,
+    # array cells -> ndarray which sort_values can't hash), then value-compare.
     try:
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        scols = sorted(spark_rel.columns)
-        sdf = spark_rel.project(", ".join(f'"{c}"' for c in scols)).fetchall()
+        spark_pd = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        scols = sorted(spark_pd.columns)
+        spark_pd = spark_pd[scols]
+        sdf = [tuple(r) for r in spark_pd.itertuples(index=False)]
+        spark_pd.sort_values(by=scols)  # raises like the driver on unhashable cells
     except Exception as e:
-        print(f"FAIL {name}: spark output unreadable: {e}"); fails.append(name); continue
+        print(f"FAIL {name}: spark output unreadable/unsortable: {str(e)[:200]}"); fails.append(name); continue
     try:
-        orel = con.sql(sql)
-        ocols = sorted(orel.columns)
-        odf = orel.project(", ".join(f'"{c}"' for c in ocols)).fetchall()
+        opd = con.sql(sql).df()
+        ocols = sorted(opd.columns)
+        opd = opd[ocols]
+        odf = [tuple(r) for r in opd.itertuples(index=False)]
+        opd.sort_values(by=ocols)
     except Exception as e:
         print(f"FAIL {name}: oracle error: {str(e)[:200]}"); fails.append(name); continue
     if scols != ocols:
