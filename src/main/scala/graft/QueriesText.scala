@@ -192,16 +192,13 @@ object TextQueries {
             ORDER BY user_id, session_start"""))
 
   // Corpus-wide top-k bigram frequency (integer counts, total order on
-  // (count desc, ngram asc) — fully deterministic).
+  // (count desc, ngram asc) — fully deterministic). Bigram construction is a
+  // native expression: the HOF form re-tokenizes per index (O(tokens²)/doc).
   private val ngramTopk = Q(
     (s, d) => {
-      val toks = tokens(col("text"))
-      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       documents(s, d)
         .repartition(col("doc_id"))
-        .select(explode(bigrams).as("ngram"))
+        .select(explode(graft.expressions.Bigrams(tokens(col("text")))).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)
         .limit(20)

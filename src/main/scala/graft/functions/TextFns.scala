@@ -27,14 +27,6 @@ object TextFns {
   def charHash(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % P)
 
-  /** Word n-gram shingles joined by single spaces; fewer than n tokens → empty array. */
-  def shingles(toks: Column, n: Int): Column = {
-    val mk = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    when(size(toks) < n, array().cast("array<string>")).otherwise(mk)
-  }
-
   /** Per-token polynomial hashes (one fast native PolyHash call per token —
     * the lambda itself is interpreted but its body is a single static call). */
   def tokenHashes(toks: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.expressions.{PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{Bigrams, PolyHash, ShingleHashes, VecDot}
 import graft.functions.TextFns
 
 /** The native expressions must agree exactly with their composable
@@ -50,6 +50,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr.toSeq == viaFns.toSeq)
     assert(viaExpr(1).isEmpty && viaExpr(2).isEmpty) // <3 tokens → empty
     assert(viaExpr(0).length == 3)
+  }
+
+  test("Bigrams matches the HOF composition, incl. edge cases") {
+    import spark.implicits._
+    val docs = Seq("one two three four", "solo", "", "a b", "x  y\tz")
+    val df = docs.toDF("text")
+    val toks = TextFns.tokens(col("text"))
+    val viaExpr = df.select(Bigrams(toks).as("g")).as[Seq[String]].collect()
+    val viaHof = df.select(
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("g"))
+      .as[Seq[String]].collect()
+    assert(viaExpr.toSeq == viaHof.toSeq)
+    assert(viaExpr(0) == Seq("one two", "two three", "three four"))
+    assert(viaExpr(1).isEmpty && viaExpr(2).isEmpty)
+    assert(viaExpr(4) == Seq("x y", "y z"))
   }
 
   test("VecDot matches the HOF dot product and oracle summation order") {
