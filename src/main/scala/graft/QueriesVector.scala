@@ -195,9 +195,61 @@ object VectorQueries {
               WHERE a.vec_id < 10) t
             WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  /** Deterministic ±1 pseudo-random hyperplane component for plane `j`,
+    * 1-based dimension `i` (column): parity of an integer product mod P.
+    * Exact 64-bit integer arithmetic, mirrored term-for-term in the oracle. */
+  private def hpSign(j: Int, i: org.apache.spark.sql.Column) =
+    when(pmod(lit((j + 1).toLong) * (i.cast("long") + 7L) * lit(2654435761L),
+      lit(1000000007L)) % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  private def sqlHpSign(j: Int, i: String): String =
+    s"(CASE WHEN (${j + 1} * ($i + 7) * 2654435761) % 1000000007 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+
+  // Random-hyperplane LSH near-dup: 8 signed projections → 256 buckets →
+  // exact cosine only within buckets. This is dedup_embedding's 100 TB path:
+  // candidate generation is an equi join on the bucket key (one shuffle,
+  // AQE-skew-splittable), not an all-pairs broadcast. The hyperplanes are
+  // pseudo-random from an integer hash so the oracle derives identical signs;
+  // projections sum left-to-right so the sign bits match bit-for-bit.
+  private val dedupLshCosine = Q(
+    (s, d) => {
+      val emb = col("embedding")
+      val bucket = concat((0 until 8).map { j =>
+        val proj = aggregate(sequence(lit(1), size(emb)), lit(0.0),
+          (acc, i) => acc + element_at(emb, i) * hpSign(j, i))
+        when(proj > 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+      val e = embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), emb, bucket.as("bucket"),
+          VecDot(emb, emb).as("nn"))
+      val a = e.select(col("bucket"), col("vec_id").as("id1"),
+        emb.as("emb1"), col("nn").as("n1"))
+      val b = e.select(col("bucket"), col("vec_id").as("id2"),
+        emb.as("emb2"), col("nn").as("n2"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id1") < col("id2") &&
+          VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val bucket = (0 until 8).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+            i -> CAST(embedding[i] AS DOUBLE) * ${sqlHpSign(j, "i")})) > 0
+            THEN '1' ELSE '0' END)"""
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE ${sqlCos("a", "b")} >= 0.45
+         ORDER BY id1, id2"""
+    })
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_lsh_cosine" -> dedupLshCosine)
 }
