@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{Bigrams, PolyHash, ShingleHashes, VecDot}
+
+/** Session extension entry point: registers graft's native Catalyst
+  * expressions as SQL functions, so the library's hot-path primitives are
+  * callable from pure `spark.sql` text as well as the Column API.
+  *
+  * Two ways in:
+  *  - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (applies at session build — the standard deployment path);
+  *  - [[GraftExtensions.register]] on a live session (tests, notebooks).
+  *
+  * No custom optimizer rules or strategies are injected: every graft
+  * operator plans through Catalyst's existing rules, and the native
+  * expressions carry their own codegen. Extension scope stays minimal on
+  * purpose — the declarative plans are the optimization surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def unary(f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case args => throw new IllegalArgumentException(s"expected 1 argument, got ${args.length}")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> unary(PolyHash(_)),
+    "graft_shingle_hashes" -> unary(ShingleHashes(_)),
+    "graft_bigrams" -> unary(Bigrams(_)),
+    "graft_vec_dot" -> { (args: Seq[Expression]) =>
+      require(args.length == 2, s"expected 2 arguments, got ${args.length}")
+      VecDot(args(0), args(1))
+    })
+
+  /** Register all graft SQL functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      GraftBridge.registerExpression(spark, name, builder)
+    }
+}

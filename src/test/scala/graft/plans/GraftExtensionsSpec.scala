@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.{Bigrams, PolyHash}
+import graft.functions.TextFns
+
+/** The SQL function surface must agree with the Column API it wraps. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq("one two three", "solo", "").toDF("text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT graft_poly_hash(text) AS h,
+               graft_bigrams(split(trim(text), '\\s+')) AS g,
+               graft_shingle_hashes(split(trim(text), '\\s+')) AS sh
+        FROM ext_docs""").collect()
+    val viaCol = docs.select(
+      PolyHash(col("text")).as("h"),
+      Bigrams(TextFns.tokens(col("text"))).as("g"),
+      graft.expressions.ShingleHashes(TextFns.tokens(col("text"))).as("sh")).collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+
+    val dot = spark.sql(
+      "SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").as[Double].head()
+    assert(dot == 11.0)
+  }
+
+  test("extensions class injects the same functions at session build") {
+    // The JVM-wide test session already exists, so exercise the injector
+    // directly against a fresh SparkSessionExtensions instance.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)  // must not throw; registration list is shared
+    assert(GraftExtensions.functions.map(_._1).toSet ==
+      Set("graft_poly_hash", "graft_shingle_hashes", "graft_bigrams", "graft_vec_dot"))
+  }
+}
