@@ -459,6 +459,111 @@ object RelationalQueries {
     },
     Some(sqlSurfaceText))
 
+  // Full outer join with genuinely unmatched rows on both sides (filtered
+  // nation ranges overlap only partially). Keys coalesced; counts go null
+  // on the unmatched side in both engines.
+  private val joinOuter = Q(
+    (s, d) => {
+      val c = customer(s, d).filter(col("c_nationkey") < 15)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val su = supplier(s, d).filter(col("s_nationkey") >= 10)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nkey")
+    },
+    Some("""SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nkey, c.n_cust, s.n_supp
+            FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+                  WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+            FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                  WHERE s_nationkey >= 10 GROUP BY s_nationkey) s
+            ON c.c_nationkey = s.s_nationkey
+            ORDER BY nkey"""))
+
+  // Unpivot (wide→long, the inverse of pivot_wide): metric name + value rows.
+  // Oracle uses the portable UNION ALL formulation with identical labels.
+  private val unpivotLong = Q(
+    (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+        .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+            ORDER BY p_partkey, metric"""))
+
+  // Exact variance / stddev: the raw moments are exact decimal sums cast to
+  // double (integer-valued quantities → exactly representable), and the
+  // variance formula is written with the same association on both sides, so
+  // every double op is bit-identical. var_samp = (n·Σx² − (Σx)²) / (n·(n−1)).
+  private val aggVarStats = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sx") / col("n").cast("double")).as("mean_qty"),
+          ((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_qty"),
+          sqrt((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))).as("sd_qty"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, n, sx / CAST(n AS DOUBLE) AS mean_qty,
+            (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty,
+            sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd_qty
+            FROM (SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity")} AS sx,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+                  FROM lineitem GROUP BY l_returnflag) t
+            ORDER BY l_returnflag"""))
+
+  // Fuzzy string matching: Levenshtein distance over the nation-name pair
+  // space (integer edit distance — deterministic in both engines). The tiny
+  // side is broadcast; at scale one side is always a bounded dictionary.
+  private val fuzzyLevenshtein = Q(
+    (s, d) => {
+      val a = nation(s, d).select(col("n_nationkey").as("id1"), col("n_name").as("name1"))
+      val b = nation(s, d).select(col("n_nationkey").as("id2"), col("n_name").as("name2"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id1") < col("id2") && levenshtein(col("name1"), col("name2")) <= 4)
+        .select(col("id1"), col("id2"),
+          levenshtein(col("name1"), col("name2")).as("dist"))
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.n_nationkey AS id1, b.n_nationkey AS id2,
+            CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+            FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+            WHERE levenshtein(a.n_name, b.n_name) <= 4
+            ORDER BY id1, id2"""))
+
+  /** TPC-H Q3-shaped text shared verbatim by spark.sql and DuckDB. */
+  private val tpchQ3Text =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  // Classic shipping-priority query shape (TPC-H Q3 adapted to this schema):
+  // selective dimension filter → two fact joins → grouped decimal revenue →
+  // deterministic top-10. One SQL text runs on both engines.
+  private val sqlTpchQ3 = Q(
+    (s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ3Text)
+    },
+    Some(tpchQ3Text))
+
   // scan_project leads so the one-time JVM/codegen warmup in Bench lands on
   // the cheapest query instead of a random one (queries is insertion-ordered).
   val all: List[(String, Q)] = List(
@@ -491,5 +596,10 @@ object RelationalQueries {
     "join_anti" -> joinAnti,
     "join_multiway" -> joinMultiway,
     "row_fanout" -> rowFanout,
-    "csv_roundtrip" -> csvRoundtrip)
+    "csv_roundtrip" -> csvRoundtrip,
+    "join_outer" -> joinOuter,
+    "unpivot_long" -> unpivotLong,
+    "agg_var_stats" -> aggVarStats,
+    "fuzzy_levenshtein" -> fuzzyLevenshtein,
+    "sql_tpch_q3" -> sqlTpchQ3)
 }
