@@ -59,6 +59,45 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(doc_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  /** Resize: payload→payload transform at a target resolution. The stub
+    * "resizer" truncates/extends bytes deterministically; a real one wraps
+    * an image library. Narrow map stage — no shuffle, scales with splits. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.map { r =>
+        val resized = decoder.resizeBytes(r.payload, targetW * targetH / 256 + 1)
+        ResizedRow(r.doc_id, r.kind, resized, targetW, targetH)
+      }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** Frame sampling: one video row fans out to every `stride`-th frame —
+    * a generator (1→N) stage. Frame extraction is stubbed (checksum over a
+    * byte slice); the fan-out, typed schema and downstream-relational shape
+    * are real. At 100 TB the explosion happens AFTER split-local decode, so
+    * no payload bytes ever shuffle. */
+  def frameSample(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.flatMap { r =>
+        val d = decoder.decode(r.kind, r.payload)
+        (0 until d.nFrames by stride).map { i =>
+          FrameRow(r.doc_id, i, decoder.frameChecksum(r.payload, i))
+        }
+      }
+    }
+  }
+
   case class Decoded(checksum: Long, width: Int, height: Int, nFrames: Int)
 
   /** STUB decoder: deterministic fake features derived from the bytes.
@@ -75,6 +114,23 @@ object Multimodal {
         case "audio" => Decoded(sum, 0, 0, payload.length / 128 + 1)
         case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
       }
+    }
+
+    /** STUB resize: deterministic byte reshaping to the target size. */
+    def resizeBytes(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+      val out = new Array[Byte](targetLen)
+      var i = 0
+      while (i < targetLen) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+      out
+    }
+
+    /** STUB frame extraction: checksum over the frame's byte slice. */
+    def frameChecksum(payload: Array[Byte], frameIdx: Int): Long = {
+      var sum = frameIdx.toLong
+      var i = frameIdx * 64 % math.max(payload.length, 1)
+      val end = math.min(i + 64, payload.length)
+      while (i < end) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      sum
     }
   }
 }
