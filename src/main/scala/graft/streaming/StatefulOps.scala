@@ -33,6 +33,48 @@ object StatefulOps {
       }
   }
 
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, n_events: Long, total: Double,
+      started: java.sql.Timestamp, last_seen: java.sql.Timestamp)
+
+  /** Custom sessionization with an EVENT-TIME TIMEOUT: events accumulate into
+    * per-user session state; when the watermark passes last_seen + gap the
+    * state times out and the completed session is emitted. This is the
+    * production custom-state shape — unlike NoTimeout, state cannot grow
+    * unboundedly: it dies `gapMs` behind the watermark. The declarative
+    * `session_window` (EventStream.sessionize) covers plain gap-merge;
+    * this operator exists for semantics that need arbitrary state (e.g.
+    * emit-on-close with custom aggregates).
+    * Requires `withWatermark("ts", ...)` upstream on streaming input. */
+  def sessionizeWithTimeout(events: Dataset[TimedEvent], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TimedEvent], state: GroupState[Session]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last_seen + gap: close and emit the session
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val merged = sorted.foldLeft(state.getOption) {
+              case (None, e) => Some(Session(uid, 1L, e.value, e.ts, e.ts))
+              case (Some(sess), e) =>
+                Some(sess.copy(n_events = sess.n_events + 1,
+                  total = sess.total + e.value,
+                  last_seen = if (e.ts.after(sess.last_seen)) e.ts else sess.last_seen))
+            }
+            merged.foreach { sess =>
+              state.update(sess)
+              state.setTimeoutTimestamp(sess.last_seen.getTime + gapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Running per-user event counter with capped emission: emits an updated
     * total per user per batch — a minimal custom-accumulator shape. */
   case class UserEvent(user_id: Long, value: Double)

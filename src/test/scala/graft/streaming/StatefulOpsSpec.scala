@@ -25,6 +25,31 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization closes sessions behind the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val mem = MemoryStream[TimedEvent]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[TimedEvent]
+    val q = sessionizeWithTimeout(withWm, gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(TimedEvent(1, ts(0), 1.0), TimedEvent(1, ts(2), 2.0), TimedEvent(2, ts(1), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // nothing closed yet
+      // advance event time far past both sessions' gap → both time out
+      mem.addData(TimedEvent(3, ts(30), 9.0))
+      q.processAllAvailable()
+      mem.addData(TimedEvent(3, ts(31), 1.0)) // extra batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
+        .toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"got $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("running totals accumulate state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
