@@ -19,8 +19,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("oracleSql covers every query (full t2 surface)") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  test("oracleSql covers every query except the declared sketch ops") {
+    // Engine-specific sketches (HLL++/KLL/DataSketches) have no cross-engine
+    // oracle by design — the driver rows-only-checks them; SketchSpec bounds
+    // their accuracy against exact answers.
+    val rowsOnly = Set("agg_approx_distinct", "agg_approx_quantile", "agg_hll_merge")
+    assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("entry flagship returns nation-level rollup") {
