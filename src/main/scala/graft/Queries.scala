@@ -541,6 +541,22 @@ object RelationalQueries {
             WHERE levenshtein(a.n_name, b.n_name) <= 4
             ORDER BY id1, id2"""))
 
+  // Skew-mitigated shuffle join: the salted join MUST return exactly what
+  // the plain join returns (salting only spreads rows), so the oracle is the
+  // unsalted SQL — the equality IS the correctness property.
+  private val joinSkewSalted = Q(
+    (s, d) => {
+      val big = lineitem(s, d).select(col("l_suppkey").as("skey"), col("l_quantity"))
+      val small = supplier(s, d).select(col("s_suppkey").as("skey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(big, small, "skey", factor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+    Some(s"""SELECT s_nationkey, count(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   /** TPC-H Q3-shaped text shared verbatim by spark.sql and DuckDB. */
   private val tpchQ3Text =
     """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
@@ -601,5 +617,6 @@ object RelationalQueries {
     "unpivot_long" -> unpivotLong,
     "agg_var_stats" -> aggVarStats,
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
-    "sql_tpch_q3" -> sqlTpchQ3)
+    "sql_tpch_q3" -> sqlTpchQ3,
+    "join_skew_salted" -> joinSkewSalted)
 }

@@ -164,10 +164,74 @@ object DedupQueries {
             WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.6
             ORDER BY id1, id2"""))
 
+  // Near-dup CLUSTERING: connected components over the Jaccard candidate
+  // graph via min-label propagation — each doc ends up labeled with the
+  // smallest doc_id reachable through near-dup edges (the canonical pick).
+  // The fixpoint is unique, so any engine/iteration order converges to the
+  // same answer; the oracle computes it with a recursive CTE.
+  //
+  // Scale posture: this is iterative Pregel-style message passing as keyed
+  // joins — each round is one shuffle on the edge key; lineage is cut per
+  // round (localCheckpoint) so plans stay bounded; rounds ≤ graph diameter
+  // (near-dup components are shallow). The edge set is persisted once.
+  private val dedupCluster = Q(
+    (s, d) => {
+      val pairs = dedupNgramJaccard.fn(s, d).select("id1", "id2")
+      val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")
+        .persist() // materialized by first use; every later round reuses it
+      // Only edge-touched nodes can change label; singletons (the vast
+      // majority of any near-dup graph) skip the iteration entirely and are
+      // unioned back at the end.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      // Σlabel strictly decreases every non-converged round (labels only
+      // shrink), so the fixpoint test is one tiny agg on the new checkpoint —
+      // no diff join against the previous round.
+      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 20) {
+        val msgs = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val s2 = next.agg(sum(col("label"))).head.getLong(0)
+        converged = s2 == prevSum
+        prevSum = s2
+        labels = next
+        iter += 1
+      }
+      val singletons = documents(s, d).select(col("doc_id").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("label", col("id"))
+      edges.unpersist()
+      labels.union(singletons)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(hs) AS s FROM hs) u),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id1, id2 FROM inter
+                      JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+                      WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.6),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                      UNION ALL SELECT id2, id1 FROM pairs),
+            reach AS (SELECT doc_id AS id, doc_id AS label FROM documents
+                      UNION
+                      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+            SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+            FROM reach GROUP BY id ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_ngram_jaccard" -> dedupNgramJaccard)
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_cluster" -> dedupCluster)
 }
