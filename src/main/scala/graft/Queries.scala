@@ -557,6 +557,58 @@ object RelationalQueries {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // SCD type-1 upsert (MERGE shape): updates override base on the key, new
+  // keys insert. Spark has no MERGE INTO without a table format; the engine
+  // formulation is a full outer join + side-pick — one shuffle on the key,
+  // identical to what a MERGE materializes. The reference's append-only raw
+  // tables + "filter to most recent ingest" critique (README.md:69-71) is
+  // exactly the problem this op solves at write time.
+  private val upsertSnapshot = Q(
+    (s, d) => {
+      val base = orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val updates = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") + 100.0).as("u_price"), lit("U").as("u_status"))
+      base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("u_key")).as("okey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"))
+        .orderBy("okey")
+    },
+    Some("""SELECT coalesce(b.o_orderkey, u.u_key) AS okey,
+            coalesce(u.u_price, b.o_totalprice) AS price,
+            coalesce(u.u_status, b.o_orderstatus) AS status
+            FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                  WHERE o_orderkey % 3 <> 0) b
+            FULL JOIN (SELECT o_orderkey AS u_key, o_totalprice + 100.0 AS u_price,
+                  'U' AS u_status FROM orders WHERE o_orderkey % 2 = 0) u
+            ON b.o_orderkey = u.u_key
+            ORDER BY okey"""))
+
+  // SCD type-2 history build: per-key validity intervals via lead() — each
+  // order's valid_to is the next order's date (null = current row). The
+  // standard dimension-history shape: one shuffle/sort per key.
+  private val scd2History = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("valid_from"),
+          lead(col("o_orderdate").cast("date"), 1).over(w).as("valid_to"),
+          (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(o_orderdate AS DATE) AS valid_from,
+            CAST(lead(o_orderdate, 1) OVER w AS DATE) AS valid_to,
+            (lead(o_orderdate, 1) OVER w IS NULL) AS is_current
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
   /** TPC-H Q3-shaped text shared verbatim by spark.sql and DuckDB. */
   private val tpchQ3Text =
     """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
@@ -618,5 +670,7 @@ object RelationalQueries {
     "agg_var_stats" -> aggVarStats,
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q3" -> sqlTpchQ3,
-    "join_skew_salted" -> joinSkewSalted)
+    "join_skew_salted" -> joinSkewSalted,
+    "upsert_snapshot" -> upsertSnapshot,
+    "scd2_history" -> scd2History)
 }

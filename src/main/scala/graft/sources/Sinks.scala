@@ -30,6 +30,11 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
 
+  /** ORC sink (columnar alternative; same partitioned-layout semantics as
+    * parquet — useful where the downstream stack is ORC-native). */
+  def orcPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).orc(path)
+
   /** Bucketed parquet table: rows hash-partitioned into a fixed number of
     * buckets on `key` at write time, sorted within each bucket. Two tables
     * bucketed the same way co-locate their join keys, so a join between

@@ -59,6 +59,17 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("ORC sink round-trips with partition pruning") {
+    val out = "target/sinks-spec/orc_keyed"
+    Sinks.orcPartitioned(graft.Tables.orders(spark, dir), out, Seq("o_orderstatus"))
+    val back = spark.read.orc(out)
+    assert(back.count() == graft.Tables.orders(spark, dir).count())
+    val one = back.filter(col("o_orderstatus") === "F")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"ORC partition pruning missing:\n$plan")
+  }
+
   test("omnibus CSV sink writes a readable multi-part directory") {
     val out = "target/sinks-spec/csv_omnibus"
     Sinks.csvOmnibus(graft.Tables.region(spark, dir), out)
