@@ -10,6 +10,21 @@ import graft.SparkSpec
 class ScaleSpec extends SparkSpec {
   private val dir = sf("sf0.001")
 
+  test("plan lint: no cartesian product or accidental nested-loop join in any catalog query") {
+    // BroadcastNestedLoopJoin evaluates its condition interpreted and cannot
+    // scale past a broadcastable side; CartesianProduct is never acceptable.
+    // Allowlist: fuzzy_levenshtein deliberately cross-joins a 25-row
+    // dictionary side (broadcast; bounded by construction).
+    val bnljOk = Set("fuzzy_levenshtein")
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$plan")
+      if (!bnljOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
     val customer = graft.Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
