@@ -188,21 +188,32 @@ object DedupQueries {
         .localCheckpoint()
       // Σlabel strictly decreases every non-converged round (labels only
       // shrink), so the fixpoint test is one tiny agg on the new checkpoint —
-      // no diff join against the previous round.
-      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+      // no diff join against the previous round. sum() is null on an empty
+      // frame (no edges at all) — treat as already converged.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+        val row = df.agg(sum(col("label"))).head
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      }
+      var prevSum = labelSum(labels)
       var iter = 0
-      var converged = false
-      while (!converged && iter < 20) {
+      var converged = prevSum.isEmpty
+      // Rounds needed = propagation radius of the largest component, bounded
+      // by node count. The cap is a runaway backstop, not a semantic limit —
+      // exceeding it is an ERROR (silent cap-exit would return labels that
+      // diverge from the oracle's true fixpoint).
+      val maxIter = 1000
+      while (!converged && iter < maxIter) {
         val msgs = edges.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
         val next = labels.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
           .localCheckpoint()
-        val s2 = next.agg(sum(col("label"))).head.getLong(0)
+        val s2 = labelSum(next)
         converged = s2 == prevSum
         prevSum = s2
         labels = next
         iter += 1
       }
+      require(converged, s"dedup_cluster: label propagation did not converge in $maxIter rounds")
       val singletons = documents(s, d).select(col("doc_id").as("id"))
         .join(labels.select("id"), Seq("id"), "left_anti")
         .withColumn("label", col("id"))

@@ -169,7 +169,7 @@ object TimeQueries {
         .orderBy("o_orderpriority", "o_orderkey")
     },
     Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
-            ntile(4) OVER w AS quartile,
+            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
             percent_rank() OVER w AS pct_rank,
             cume_dist() OVER w AS cd
             FROM orders

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** SQL-surface registration for the native expressions, so spark.sql text
   * can call them alongside the Column API:
@@ -8,15 +8,11 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
   *   GraftFunctions.register(spark)
   *   spark.sql("SELECT graft_poly_hash(text), graft_vec_dot(e, e) FROM t")
   *
-  * Idempotent per session (createOrReplace).
+  * Idempotent per session (createOrReplace). The single source of truth for
+  * the function list is [[graft.plans.GraftExtensions.functions]] — this is
+  * the live-session convenience alias of the same registry.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    GraftBridge.registerExpression(spark, "graft_poly_hash",
-      args => PolyHash(args.head))
-    GraftBridge.registerExpression(spark, "graft_shingle_hashes",
-      args => ShingleHashes(args.head))
-    GraftBridge.registerExpression(spark, "graft_vec_dot",
-      args => VecDot(args(0), args(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    graft.plans.GraftExtensions.register(spark)
 }

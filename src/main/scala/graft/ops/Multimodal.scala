@@ -116,11 +116,13 @@ object Multimodal {
       }
     }
 
-    /** STUB resize: deterministic byte reshaping to the target size. */
+    /** STUB resize: deterministic byte reshaping to the target size.
+      * Empty payloads resize to all-zero bytes. */
     def resizeBytes(payload: Array[Byte], targetLen: Int): Array[Byte] = {
       val out = new Array[Byte](targetLen)
+      if (payload.isEmpty) return out
       var i = 0
-      while (i < targetLen) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+      while (i < targetLen) { out(i) = payload(i % payload.length); i += 1 }
       out
     }
 

@@ -58,19 +58,31 @@ object StatefulOps {
             state.remove()
             Iterator.single(done)
           } else {
+            // Fold events in event-time order; an event more than gap after
+            // last_seen CLOSES the open session and starts a new one — a
+            // later event arriving before the timeout fires must not fuse
+            // two gap-separated sessions.
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val merged = sorted.foldLeft(state.getOption) {
-              case (None, e) => Some(Session(uid, 1L, e.value, e.ts, e.ts))
-              case (Some(sess), e) =>
-                Some(sess.copy(n_events = sess.n_events + 1,
-                  total = sess.total + e.value,
-                  last_seen = if (e.ts.after(sess.last_seen)) e.ts else sess.last_seen))
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(sess) if e.ts.getTime > sess.last_seen.getTime + gapMs =>
+                  closed += sess
+                  open = Some(Session(uid, 1L, e.value, e.ts, e.ts))
+                case Some(sess) =>
+                  open = Some(sess.copy(n_events = sess.n_events + 1,
+                    total = sess.total + e.value,
+                    last_seen = if (e.ts.after(sess.last_seen)) e.ts else sess.last_seen))
+                case None =>
+                  open = Some(Session(uid, 1L, e.value, e.ts, e.ts))
+              }
             }
-            merged.foreach { sess =>
+            open.foreach { sess =>
               state.update(sess)
               state.setTimeoutTimestamp(sess.last_seen.getTime + gapMs)
             }
-            Iterator.empty
+            closed.result().iterator
           }
       }
   }

@@ -50,6 +50,29 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap-separated events close the open session even before its timeout fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val mem = MemoryStream[TimedEvent]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[TimedEvent]
+    val q = sessionizeWithTimeout(withWm, gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_gap_out").outputMode("append").start()
+    try {
+      mem.addData(TimedEvent(1, ts(0), 1.0))
+      q.processAllAvailable()
+      // next event for the SAME user lands 20 min later (> gap) in the next
+      // batch — it must close the first session, not extend it
+      mem.addData(TimedEvent(1, ts(20), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_gap_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
+        .toSet
+      assert(rows.contains((1L, 1L, 1.0)), s"first session not closed separately: $rows")
+      assert(!rows.contains((1L, 2L, 3.0)), s"gap-separated sessions were fused: $rows")
+    } finally q.stop()
+  }
+
   test("running totals accumulate state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
