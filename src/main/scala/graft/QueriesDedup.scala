@@ -142,8 +142,17 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(array_distinct(graft.expressions.ShingleHashes(tokens(col("text"))))).as("s"))
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shd.as("a")
-        .join(shd.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      // A shingle held by a single document cannot produce a pair: dropping
+      // document-frequency-1 shingles BEFORE the self-join is a semantic
+      // no-op (the result set is identical — sizes still count all shingles)
+      // that removes the bulk of the join input. At corpus scale most
+      // shingles are unique, so this is the difference between joining the
+      // whole inverted index and joining only its shared slice.
+      val shared = shd.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select("s")
+      val shdShared = shd.join(shared, "s")
+      val inter = shdShared.as("a")
+        .join(shdShared.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
       inter
