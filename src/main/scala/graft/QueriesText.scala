@@ -210,6 +210,31 @@ object TextQueries {
               WHERE len(t) >= 2) u
             GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20"""))
 
+  // Funnel analysis: users whose earliest view precedes their earliest
+  // click precedes their earliest purchase (strict event-time ordering).
+  // One hash aggregation with conditional mins — no joins, no windows.
+  private val eventsFunnel = Q(
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .filter(col("first_view") < col("first_click") &&
+          col("first_click") < col("first_purchase"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id
+            HAVING min(CASE WHEN event_type = 'view' THEN ts END)
+                 < min(CASE WHEN event_type = 'click' THEN ts END)
+               AND min(CASE WHEN event_type = 'click' THEN ts END)
+                 < min(CASE WHEN event_type = 'purchase' THEN ts END)
+            ORDER BY user_id"""))
+
   // Semi-structured ops over the JSON props column: path extraction, typed
   // parse (from_json), validity flag, grouped rollup on an extracted field.
   private val jsonFuncs = Q(
@@ -239,5 +264,6 @@ object TextQueries {
     "text_quality" -> textQuality,
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
+    "events_funnel" -> eventsFunnel,
     "multimodal_meta" -> multimodalMeta)
 }
