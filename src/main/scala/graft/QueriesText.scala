@@ -235,6 +235,87 @@ object TextQueries {
                  < min(CASE WHEN event_type = 'purchase' THEN ts END)
             ORDER BY user_id"""))
 
+  // Cohort retention: users grouped by their first active week, counted in
+  // each subsequent week they return. Weeks are engine-aligned (Monday
+  // truncation in both); offsets are exact integer day-diffs / 7.
+  private val eventsRetention = Q(
+    (s, d) => {
+      val weekly = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      weekly.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH weekly AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+                            FROM events),
+            cohort AS (SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id)
+            SELECT c.cohort_week, CAST(date_diff('day', c.cohort_week, w.wk) / 7 AS INTEGER) AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset"""))
+
+  // Gaps-and-islands: consecutive-active-day streaks per user via the
+  // day − row_number() island key — the classic formulation, one
+  // shuffle/sort per user.
+  private val eventsStreaks = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp", date_sub(col("day"), col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(min(col("day")).as("streak_start"), max(col("day")).as("streak_end"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "streak_start", "streak_end", "n_days")
+        .orderBy("user_id", "streak_start")
+    },
+    Some("""WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            ranked AS (SELECT user_id, day,
+                       row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+                       FROM daily)
+            SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+                   count(*) AS n_days
+            FROM ranked GROUP BY user_id, day - CAST(rn AS INTEGER)
+            ORDER BY user_id, streak_start"""))
+
+  // TF-IDF-style distinctive terms, integer-ranked: top-3 tokens per doc by
+  // (term frequency desc, document frequency asc, token asc). Pure integer
+  // ordering — no float idf, so no cross-engine libm (ln) divergence.
+  private val textTfidfTopk = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(df, "tok")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                        FROM documents),
+            tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY doc_id, tok),
+            dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY tok)
+            SELECT doc_id, rank, tok, tf, df FROM (
+              SELECT tfc.doc_id, tfc.tok, tfc.tf, dfc.df,
+                     row_number() OVER (PARTITION BY tfc.doc_id
+                       ORDER BY tfc.tf DESC, dfc.df ASC, tfc.tok ASC) AS rank
+              FROM tfc JOIN dfc ON tfc.tok = dfc.tok) t
+            WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   // Semi-structured ops over the JSON props column: path extraction, typed
   // parse (from_json), validity flag, grouped rollup on an extracted field.
   private val jsonFuncs = Q(
@@ -265,5 +346,8 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
+    "events_streaks" -> eventsStreaks,
+    "text_tfidf_topk" -> textTfidfTopk,
     "multimodal_meta" -> multimodalMeta)
 }
