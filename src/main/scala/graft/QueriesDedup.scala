@@ -211,22 +211,23 @@ object DedupQueries {
       // exceeding it is an ERROR (silent cap-exit would return labels that
       // diverge from the oracle's true fixpoint).
       val maxIter = 1000
-      while (!converged && iter < maxIter) {
-        val msgs = edges.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(next)
-        converged = s2 == prevSum
-        prevSum = s2
-        labels = next
-        iter += 1
-      }
-      require(converged, s"dedup_cluster: label propagation did not converge in $maxIter rounds")
+      try {
+        while (!converged && iter < maxIter) {
+          val msgs = edges.join(labels, col("src") === col("id"))
+            .select(col("dst").as("id"), col("label"))
+          val next = labels.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
+            .localCheckpoint()
+          val s2 = labelSum(next)
+          converged = s2 == prevSum
+          prevSum = s2
+          labels = next
+          iter += 1
+        }
+        require(converged, s"dedup_cluster: label propagation did not converge in $maxIter rounds")
+      } finally edges.unpersist()
       val singletons = documents(s, d).select(col("doc_id").as("id"))
         .join(labels.select("id"), Seq("id"), "left_anti")
         .withColumn("label", col("id"))
-      edges.unpersist()
       labels.union(singletons)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .orderBy("doc_id")

@@ -309,7 +309,7 @@ object TextQueries {
                         FROM documents),
             tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY doc_id, tok),
             dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY tok)
-            SELECT doc_id, rank, tok, tf, df FROM (
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df FROM (
               SELECT tfc.doc_id, tfc.tok, tfc.tf, dfc.df,
                      row_number() OVER (PARTITION BY tfc.doc_id
                        ORDER BY tfc.tf DESC, dfc.df ASC, tfc.tok ASC) AS rank

@@ -23,31 +23,46 @@ import graft.Tables._
   */
 object TimeQueries {
 
+  /** As-of core, shared by the catalog query and its spec: left rows pick up
+    * the `carry` columns of the most recent right row with right.ts <=
+    * left.ts per `key` (>= / backward semantics; ties match). The scalable
+    * formulation: union both sides with a side marker, sort each key
+    * partition by (ts, side) with right rows first on ties, carry the last
+    * seen right values forward with last(_, ignoreNulls) — ONE shuffle/sort
+    * per key. `right` must be unique per (key, ts) for determinism. */
+  private[graft] def asofJoin(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      key: String, ts: String, carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val leftExtras = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val l = carry.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r = leftExtras.foldLeft(right.withColumn("__side", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(l.unionByName(r.select(l.columns.map(col).toSeq: _*))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
   // As-of join: every click event picks the most recent purchase by the same
-  // user at-or-before its timestamp. Spark has no ASOF join; the scalable
-  // formulation unions both sides tagged with a side marker, sorts each user
-  // partition by (ts, side) with purchases first on ties (>= semantics), and
-  // carries the last seen purchase forward with last(_, ignoreNulls).
+  // user at-or-before its timestamp. Spark has no ASOF join; see [[asofJoin]].
   // Purchases are pre-deduplicated per (user, ts) so the carried value is
   // deterministic. DuckDB twin: native ASOF LEFT JOIN.
   private val joinAsof = Q(
     (s, d) => {
       val ev = events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
-          lit(null).cast("long").as("pe_id"), lit(null).cast("timestamp").as("p_ts"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max(col("event_id")).as("pe_id"))
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          lit(null).cast("long").as("event_id"), col("pe_id"), col("ts").as("p_ts"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("m_pe", last(col("pe_id"), ignoreNulls = true).over(w))
-        .withColumn("m_ts", last(col("p_ts"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("m_pe").as("pe_id"), col("m_ts").as("p_ts"))
+        .withColumn("p_ts", col("ts"))
+      asofJoin(clicks, purchases, "user_id", "ts", Seq("pe_id", "p_ts"))
+        .select("event_id", "user_id", "ts", "pe_id", "p_ts")
         .orderBy("event_id")
     },
     Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -62,6 +77,14 @@ object TimeQueries {
   // each band into the fixed-width buckets it covers and equi-joining on the
   // bucket makes it a codegen'd BroadcastHashJoin — and at 100 TB the bucket
   // key also co-partitions a shuffle join if the band table ever grows.
+  /** Expand half-open [lo, hi) bands into every fixed-width bucket they
+    * cover (shared by the catalog query and its spec): the equi key that
+    * turns an interval predicate into a hash join. */
+  private[graft] def expandBands(
+      bands: org.apache.spark.sql.DataFrame, width: Long): org.apache.spark.sql.DataFrame =
+    bands.withColumn("bucket",
+      explode(sequence(floor(col("lo") / width), floor((col("hi") - 1) / width))))
+
   private val joinRange = Q(
     (s, d) => {
       import s.implicits._
@@ -70,8 +93,7 @@ object TimeQueries {
         (0L, 50000L, "p0_low"), (50000L, 150000L, "p1_mid"),
         (150000L, 300000L, "p2_high"), (300000L, 600000L, "p3_top"))
         .toDF("lo", "hi", "band")
-      val expanded = bands.withColumn("bucket",
-        explode(sequence(floor(col("lo") / W), floor((col("hi") - 1) / W))))
+      val expanded = expandBands(bands, W)
       orders(s, d)
         .withColumn("bucket", floor(col("o_totalprice") / W))
         .join(broadcast(expanded), Seq("bucket"))

@@ -58,10 +58,15 @@ object StatefulOps {
             state.remove()
             Iterator.single(done)
           } else {
-            // Fold events in event-time order; an event more than gap after
-            // last_seen CLOSES the open session and starts a new one — a
-            // later event arriving before the timeout fires must not fuse
-            // two gap-separated sessions.
+            // Fold events in event-time order. Both gap directions close:
+            // an event more than gap AFTER last_seen closes the open session
+            // and starts a new one (a later in-order event must not fuse two
+            // gap-separated sessions), and a late event more than gap BEFORE
+            // the open session's start is emitted as its own closed session
+            // (it belongs to an earlier, already-gap-separated span — fusing
+            // it would produce a session whose start postdates a member).
+            // Late events within the gap of `started` extend the session
+            // backwards.
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             val closed = Seq.newBuilder[Session]
             var open = state.getOption
@@ -70,9 +75,12 @@ object StatefulOps {
                 case Some(sess) if e.ts.getTime > sess.last_seen.getTime + gapMs =>
                   closed += sess
                   open = Some(Session(uid, 1L, e.value, e.ts, e.ts))
+                case Some(sess) if e.ts.getTime < sess.started.getTime - gapMs =>
+                  closed += Session(uid, 1L, e.value, e.ts, e.ts)
                 case Some(sess) =>
                   open = Some(sess.copy(n_events = sess.n_events + 1,
                     total = sess.total + e.value,
+                    started = if (e.ts.before(sess.started)) e.ts else sess.started,
                     last_seen = if (e.ts.after(sess.last_seen)) e.ts else sess.last_seen))
                 case None =>
                   open = Some(Session(uid, 1L, e.value, e.ts, e.ts))

@@ -73,6 +73,30 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event more than gap before the open session becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val mem = MemoryStream[TimedEvent]
+    // generous watermark delay so the late event is still delivered
+    val withWm = mem.toDS().withWatermark("ts", "30 minutes").as[TimedEvent]
+    val q = sessionizeWithTimeout(withWm, gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_late_out").outputMode("append").start()
+    try {
+      mem.addData(TimedEvent(1, ts(30), 3.0)) // open session started 10:30
+      q.processAllAvailable()
+      // late event at 10:07: > gap before the open session's start -> must be
+      // emitted as its own closed singleton, NOT fused into the 10:30 session
+      mem.addData(TimedEvent(1, ts(7), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
+        .toSet
+      assert(rows.contains((1L, 1L, 1.0)), s"late event not emitted as own session: $rows")
+      assert(!rows.exists(r => r._2 == 2L), s"late event fused into open session: $rows")
+    } finally q.stop()
+  }
+
   test("running totals accumulate state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
