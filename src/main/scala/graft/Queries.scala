@@ -142,13 +142,13 @@ object RelationalQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-            .cast("double").as("sum_disc_price"),
+            .cast(D38).cast("double").as("sum_disc_price"),
           sum(when(col("l_discount") > 0.05, dec(col("l_quantity")))).cast("double")
             .as("high_disc_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some(s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
             CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS high_disc_qty,
             count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
@@ -330,8 +330,8 @@ object RelationalQueries {
         .groupBy("r_name", "n_name")
         .agg(
           countDistinct(col("c_custkey")).as("n_cust"),
-          sum(when(col("l_returnflag") === "R", rev)).cast("double").as("returned_rev"),
-          sum(rev).cast("double").as("total_rev"))
+          sum(when(col("l_returnflag") === "R", rev)).cast(D38).cast("double").as("returned_rev"),
+          sum(rev).cast(D38).cast("double").as("total_rev"))
         .orderBy("r_name", "n_name")
     },
     Some("""WITH latest AS (
@@ -340,8 +340,8 @@ object RelationalQueries {
                        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
                 FROM orders) t WHERE rn = 1)
             SELECT r_name, n_name, count(DISTINCT c.c_custkey) AS n_cust,
-                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_rev,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+                   CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS returned_rev,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_rev
             FROM latest o
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -506,7 +506,7 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           dsum(col("l_quantity")).as("sx"),
-          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"))
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(D38).cast("double").as("sxx"))
         .select(col("l_returnflag"), col("n"),
           (col("sx") / col("n").cast("double")).as("mean_qty"),
           ((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
@@ -518,7 +518,7 @@ object RelationalQueries {
             (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty,
             sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd_qty
             FROM (SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity")} AS sx,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+                  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx
                   FROM lineitem GROUP BY l_returnflag) t
             ORDER BY l_returnflag"""))
 
@@ -612,7 +612,7 @@ object RelationalQueries {
   /** TPC-H Q3-shaped text shared verbatim by spark.sql and DuckDB. */
   private val tpchQ3Text =
     """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
        FROM customer JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
        WHERE c_mktsegment = 'BUILDING'

@@ -20,16 +20,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Exact {
   val D: DecimalType = DecimalType(18, 4)
 
+  /** Scale-4 reduction type for sums of decimal PRODUCTS. A decimal(18,4)
+    * product is decimal(37,8), and its sum decimal(38,8) — exact, but
+    * DuckDB's DECIMAL→DOUBLE cast computes double(unscaled)/10^scale, which
+    * double-rounds once the unscaled value exceeds 2^53 (≈9e7 at scale 8),
+    * while Spark's BigDecimal cast rounds once. Reducing to scale 4 first is
+    * EXACT for 4-dp inputs (the scale-8 value ends in four zeros) and keeps
+    * the unscaled value below 2^53 for sums up to ~9e11. */
+  val D38: DecimalType = DecimalType(38, 4)
+
   def dec(c: Column): Column = c.cast(D)
 
   /** Exact sum of a double column, emitted as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
-  /** Exact sum of a product of two double columns (e.g. extendedprice * (1-discount)). */
-  def dsumProd(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
+  /** Exact sum of a product of two double columns (e.g. extendedprice *
+    * (1-discount)), reduced to scale 4 before the double cast — see [[D38]]. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(dec(a) * dec(b)).cast(D38).cast(DoubleType)
 
   /** SQL snippets for the DuckDB oracle side. */
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDsumProd(a: String, b: String): String =
-    s"CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)"
 }
