@@ -25,7 +25,15 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: spark output unreadable/unsortable: {str(e)[:200]}"); fails.append(name); continue
     try:
-        opd = con.sql(sql).df()
+        orel = con.sql(sql)
+        # DECIMAL results double-round through DuckDB's DOUBLE cast path and
+        # HUGEINT becomes float64 in pandas — both diverge from Spark's
+        # parquet dtypes. Oracles must cast these away explicitly.
+        risky = [f"{c}:{t}" for c, t in zip(orel.columns, orel.types)
+                 if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()]
+        if risky:
+            print(f"FAIL {name}: oracle returns gate-unsafe dtypes {risky}"); fails.append(name); continue
+        opd = orel.df()
         ocols = sorted(opd.columns)
         opd = opd[ocols]
         odf = [tuple(r) for r in opd.itertuples(index=False)]
