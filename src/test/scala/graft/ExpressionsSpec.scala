@@ -52,6 +52,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr(0).length == 3)
   }
 
+  test("Bigrams property: matches a Scala reference on random token arrays") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("ü"), Gen.const("")))
+    val cases = samples(gen, 40).filter(_.nonEmpty)
+    val df = cases.map(l => Tuple1(l)).toDF("toks")
+    val got = df.select(Bigrams(col("toks")).as("g")).as[Seq[String]].collect()
+    val want = cases.map(l =>
+      if (l.length < 2) Seq.empty[String]
+      else l.sliding(2).map(_.mkString(" ")).toSeq)
+    assert(got.toSeq == want)
+  }
+
   test("Bigrams matches the HOF composition, incl. edge cases") {
     import spark.implicits._
     val docs = Seq("one two three four", "solo", "", "a b", "x  y\tz")
