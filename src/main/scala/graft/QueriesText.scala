@@ -235,6 +235,44 @@ object TextQueries {
                  < min(CASE WHEN event_type = 'purchase' THEN ts END)
             ORDER BY user_id"""))
 
+  // Pretraining text cleanup: strip tag-like spans, collapse whitespace,
+  // trim — the canonical first pass of a corpus pipeline. Pure per-row
+  // regex work (Java and RE2 agree on this subset), no shuffle.
+  private val textClean = Q(
+    (s, d) => {
+      val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
+      val cleaned = trim(regexp_replace(stripped, "\\s+", " "))
+      documents(s, d)
+        .select(col("doc_id"), cleaned.as("cleaned"),
+          length(cleaned).as("n_chars_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
+            CAST(length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS INTEGER) AS n_chars_clean
+            FROM documents ORDER BY doc_id"""))
+
+  // PII masking: emails and long digit runs replaced with typed tokens,
+  // with per-doc hit counts — the redaction pass every training-data
+  // pipeline runs before tokenization.
+  private val textPiiMask = Q(
+    (s, d) => {
+      val emailPat = "[\\w.+-]+@[\\w-]+\\.[\\w.]+"
+      val numPat = "\\d{4,}"
+      val masked = regexp_replace(regexp_replace(col("text"), emailPat, "[EMAIL]"),
+        numPat, "[NUM]")
+      documents(s, d)
+        .select(col("doc_id"), masked.as("masked"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_nums"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            regexp_replace(regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.]+', '[EMAIL]', 'g'), '\d{4,}', '[NUM]', 'g') AS masked,
+            CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) AS INTEGER) AS n_emails,
+            CAST(len(regexp_extract_all(text, '\d{4,}')) AS INTEGER) AS n_nums
+            FROM documents ORDER BY doc_id"""))
+
   // Cohort retention: users grouped by their first active week, counted in
   // each subsequent week they return. Weeks are engine-aligned (Monday
   // truncation in both); offsets are exact integer day-diffs / 7.
@@ -349,5 +387,7 @@ object TextQueries {
     "events_retention" -> eventsRetention,
     "events_streaks" -> eventsStreaks,
     "text_tfidf_topk" -> textTfidfTopk,
+    "text_clean" -> textClean,
+    "text_pii_mask" -> textPiiMask,
     "multimodal_meta" -> multimodalMeta)
 }
