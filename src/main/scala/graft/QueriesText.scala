@@ -237,19 +237,21 @@ object TextQueries {
 
   // Pretraining text cleanup: strip tag-like spans, collapse whitespace,
   // trim — the canonical first pass of a corpus pipeline. Pure per-row
-  // regex work (Java and RE2 agree on this subset), no shuffle.
+  // regex work, no shuffle. The whitespace class is an EXPLICIT char class,
+  // not \s: Java's \s includes vertical tab \x0B while RE2's (DuckDB's)
+  // does not, so \s would silently diverge on corpora containing \x0B.
   private val textClean = Q(
     (s, d) => {
       val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
-      val cleaned = trim(regexp_replace(stripped, "\\s+", " "))
+      val cleaned = trim(regexp_replace(stripped, "[ \\t\\n\\f\\r]+", " "))
       documents(s, d)
         .select(col("doc_id"), cleaned.as("cleaned"),
           length(cleaned).as("n_chars_clean"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-            trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
-            CAST(length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS INTEGER) AS n_chars_clean
+            trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g')) AS cleaned,
+            CAST(length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) AS INTEGER) AS n_chars_clean
             FROM documents ORDER BY doc_id"""))
 
   // PII masking: emails and long digit runs replaced with typed tokens,

@@ -28,25 +28,32 @@ object TimeQueries {
     * left.ts per `key` (>= / backward semantics; ties match). The scalable
     * formulation: union both sides with a side marker, sort each key
     * partition by (ts, side) with right rows first on ties, carry the last
-    * seen right values forward with last(_, ignoreNulls) — ONE shuffle/sort
-    * per key. `right` must be unique per (key, ts) for determinism. */
+    * seen right row forward with last(_, ignoreNulls) — ONE shuffle/sort
+    * per key. The carry columns travel as ONE struct (null only on left
+    * rows), so a matched right row whose individual carry values are null
+    * is still the row that wins — per-column carries would skip it and mix
+    * values from different right rows. `right` must be unique per
+    * (key, ts) for determinism. */
   private[graft] def asofJoin(
       left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame,
       key: String, ts: String, carry: Seq[String]): org.apache.spark.sql.DataFrame = {
     val leftExtras = left.columns.toSeq.filterNot(c => c == key || c == ts)
-    val l = carry.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r = leftExtras.foldLeft(right.withColumn("__side", lit(0))) { (df, c) =>
+    val r = leftExtras.foldLeft(
+        right.withColumn("__side", lit(0))
+          .withColumn("__carry", struct(carry.map(col): _*))
+          .drop(carry: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(l.unionByName(r.select(l.columns.map(col).toSeq: _*))) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = l.unionByName(r.select(l.columns.map(col).toSeq: _*))
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    carry.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, col(s"__carry.$c"))
+    }.drop("__side", "__carry")
   }
 
   // As-of join: every click event picks the most recent purchase by the same

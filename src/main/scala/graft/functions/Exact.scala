@@ -24,9 +24,12 @@ object Exact {
     * product is decimal(37,8), and its sum decimal(38,8) — exact, but
     * DuckDB's DECIMAL→DOUBLE cast computes double(unscaled)/10^scale, which
     * double-rounds once the unscaled value exceeds 2^53 (≈9e7 at scale 8),
-    * while Spark's BigDecimal cast rounds once. Reducing to scale 4 first is
-    * EXACT for 4-dp inputs (the scale-8 value ends in four zeros) and keeps
-    * the unscaled value below 2^53 for sums up to ~9e11. */
+    * while Spark's BigDecimal cast rounds once. Reducing to scale 4 first
+    * keeps the unscaled value below 2^53 for sums up to ~9e11, and is EXACT
+    * whenever the factors' decimal places sum to <= 4 (TPC-H-style 2-dp
+    * money x 2-dp rates). For genuinely 4-dp x 4-dp factors the reduction
+    * rounds at 1e-4 — identically on both engines, so the oracle still
+    * matches, but the sum is no longer the exact decimal value. */
   val D38: DecimalType = DecimalType(38, 4)
 
   def dec(c: Column): Column = c.cast(D)

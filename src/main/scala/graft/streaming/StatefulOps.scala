@@ -37,61 +37,51 @@ object StatefulOps {
   case class Session(user_id: Long, n_events: Long, total: Double,
       started: java.sql.Timestamp, last_seen: java.sql.Timestamp)
 
-  /** Custom sessionization with an EVENT-TIME TIMEOUT: events accumulate into
-    * per-user session state; when the watermark passes last_seen + gap the
-    * state times out and the completed session is emitted. This is the
-    * production custom-state shape — unlike NoTimeout, state cannot grow
-    * unboundedly: it dies `gapMs` behind the watermark. The declarative
-    * `session_window` (EventStream.sessionize) covers plain gap-merge;
-    * this operator exists for semantics that need arbitrary state (e.g.
-    * emit-on-close with custom aggregates).
+  /** Custom sessionization with an EVENT-TIME TIMEOUT: per-user events merge
+    * into gap-separated sessions; a session is emitted only once the
+    * watermark passes its last_seen + gap, so out-of-order events within the
+    * watermark delay land in the right session (including bridging two
+    * sessions into one). State holds the LIST of still-open sessions — with
+    * late data, several disjoint spans can be open at once — and cannot grow
+    * unboundedly: every span dies gapMs behind the watermark. The
+    * declarative `session_window` (EventStream.sessionize) covers plain
+    * gap-merge; this operator exists for semantics that need arbitrary
+    * state (emit-on-close with custom aggregates).
     * Requires `withWatermark("ts", ...)` upstream on streaming input. */
   def sessionizeWithTimeout(events: Dataset[TimedEvent], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[TimedEvent], state: GroupState[Session]) =>
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed last_seen + gap: close and emit the session
-            val done = state.get
-            state.remove()
-            Iterator.single(done)
-          } else {
-            // Fold events in event-time order. Both gap directions close:
-            // an event more than gap AFTER last_seen closes the open session
-            // and starts a new one (a later in-order event must not fuse two
-            // gap-separated sessions), and a late event more than gap BEFORE
-            // the open session's start is emitted as its own closed session
-            // (it belongs to an earlier, already-gap-separated span — fusing
-            // it would produce a session whose start postdates a member).
-            // Late events within the gap of `started` extend the session
-            // backwards.
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[Session]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open match {
-                case Some(sess) if e.ts.getTime > sess.last_seen.getTime + gapMs =>
-                  closed += sess
-                  open = Some(Session(uid, 1L, e.value, e.ts, e.ts))
-                case Some(sess) if e.ts.getTime < sess.started.getTime - gapMs =>
-                  closed += Session(uid, 1L, e.value, e.ts, e.ts)
-                case Some(sess) =>
-                  open = Some(sess.copy(n_events = sess.n_events + 1,
-                    total = sess.total + e.value,
-                    started = if (e.ts.before(sess.started)) e.ts else sess.started,
-                    last_seen = if (e.ts.after(sess.last_seen)) e.ts else sess.last_seen))
-                case None =>
-                  open = Some(Session(uid, 1L, e.value, e.ts, e.ts))
+        (uid: Long, rows: Iterator[TimedEvent], state: GroupState[List[Session]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Nil)
+          if (!(rows.isEmpty && state.hasTimedOut)) {
+            // Merge each event into every session within gap of it — an
+            // event can bridge two previously-disjoint sessions, which then
+            // merge into one.
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val (near, far) = sessions.partition(s =>
+                e.ts.getTime >= s.started.getTime - gapMs &&
+                  e.ts.getTime <= s.last_seen.getTime + gapMs)
+              val merged = near.foldLeft(Session(uid, 1L, e.value, e.ts, e.ts)) {
+                (acc, s) =>
+                  Session(uid, acc.n_events + s.n_events, acc.total + s.total,
+                    if (s.started.before(acc.started)) s.started else acc.started,
+                    if (s.last_seen.after(acc.last_seen)) s.last_seen else acc.last_seen)
               }
+              sessions = merged :: far
             }
-            open.foreach { sess =>
-              state.update(sess)
-              state.setTimeoutTimestamp(sess.last_seen.getTime + gapMs)
-            }
-            closed.result().iterator
           }
+          // Emit every session the watermark has sealed (no event that could
+          // still arrive can extend it); keep the rest open.
+          val (done, open) = sessions.partition(s => s.last_seen.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.last_seen.getTime).min + gapMs)
+          }
+          done.sortBy(_.started.getTime).iterator
       }
   }
 

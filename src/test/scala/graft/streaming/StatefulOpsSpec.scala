@@ -28,7 +28,8 @@ class StatefulOpsSpec extends SparkSpec {
   test("event-time-timeout sessionization closes sessions behind the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + min * 60000L)
     val mem = MemoryStream[TimedEvent]
     val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[TimedEvent]
     val q = sessionizeWithTimeout(withWm, gapMs = 5 * 60 * 1000)
@@ -53,7 +54,8 @@ class StatefulOpsSpec extends SparkSpec {
   test("gap-separated events close the open session even before its timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + min * 60000L)
     val mem = MemoryStream[TimedEvent]
     val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[TimedEvent]
     val q = sessionizeWithTimeout(withWm, gapMs = 5 * 60 * 1000)
@@ -62,13 +64,20 @@ class StatefulOpsSpec extends SparkSpec {
       mem.addData(TimedEvent(1, ts(0), 1.0))
       q.processAllAvailable()
       // next event for the SAME user lands 20 min later (> gap) in the next
-      // batch — it must close the first session, not extend it
+      // batch — it must start a second session, not extend the first
       mem.addData(TimedEvent(1, ts(20), 2.0))
+      q.processAllAvailable()
+      // flush: advance the watermark far past both sessions, twice so the
+      // timeout batch runs
+      mem.addData(TimedEvent(9, ts(50), 0.0))
+      q.processAllAvailable()
+      mem.addData(TimedEvent(9, ts(51), 0.0))
       q.processAllAvailable()
       val rows = spark.table("sess_gap_out").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
         .toSet
-      assert(rows.contains((1L, 1L, 1.0)), s"first session not closed separately: $rows")
+      assert(rows.contains((1L, 1L, 1.0)), s"first session missing: $rows")
+      assert(rows.contains((1L, 1L, 2.0)), s"second session missing: $rows")
       assert(!rows.contains((1L, 2L, 3.0)), s"gap-separated sessions were fused: $rows")
     } finally q.stop()
   }
@@ -76,7 +85,8 @@ class StatefulOpsSpec extends SparkSpec {
   test("a late event more than gap before the open session becomes its own session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + min * 60000L)
     val mem = MemoryStream[TimedEvent]
     // generous watermark delay so the late event is still delivered
     val withWm = mem.toDS().withWatermark("ts", "30 minutes").as[TimedEvent]
@@ -85,15 +95,22 @@ class StatefulOpsSpec extends SparkSpec {
     try {
       mem.addData(TimedEvent(1, ts(30), 3.0)) // open session started 10:30
       q.processAllAvailable()
-      // late event at 10:07: > gap before the open session's start -> must be
-      // emitted as its own closed singleton, NOT fused into the 10:30 session
-      mem.addData(TimedEvent(1, ts(7), 1.0))
+      // late events at 10:06/10:07: > gap before the open session's start ->
+      // they form their OWN session (merged together), not fused into 10:30
+      mem.addData(TimedEvent(1, ts(7), 1.0), TimedEvent(1, ts(6), 0.5))
+      q.processAllAvailable()
+      // flush: advance the watermark past every session, twice so the
+      // timeout batch runs (30-minute watermark delay)
+      mem.addData(TimedEvent(9, ts(90), 0.0))
+      q.processAllAvailable()
+      mem.addData(TimedEvent(9, ts(91), 0.0))
       q.processAllAvailable()
       val rows = spark.table("sess_late_out").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
         .toSet
-      assert(rows.contains((1L, 1L, 1.0)), s"late event not emitted as own session: $rows")
-      assert(!rows.exists(r => r._2 == 2L), s"late event fused into open session: $rows")
+      assert(rows.contains((1L, 2L, 1.5)), s"late events not merged into own session: $rows")
+      assert(rows.contains((1L, 1L, 3.0)), s"original session missing: $rows")
+      assert(!rows.exists(r => r._1 == 1L && r._2 == 3L), s"late events fused into open session: $rows")
     } finally q.stop()
   }
 
