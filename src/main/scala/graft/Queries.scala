@@ -632,6 +632,46 @@ object RelationalQueries {
     },
     Some(tpchQ3Text))
 
+  /** GROUPING SETS text shared verbatim by spark.sql and DuckDB (both
+    * support the explicit form; completes the rollup/cube family). */
+  private val groupingSetsText =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  private val groupingSets = Q(
+    (s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(groupingSetsText)
+    },
+    Some(groupingSetsText))
+
+  // RANGE window frame: all orders within +-30 days of each order's date
+  // (value-based frame, vs window_move_avg's row-based one). Frame
+  // membership is date arithmetic — deterministic in both engines.
+  private val windowRangeFrame = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("date").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 30L * 86400)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("n_within_30d"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_within_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+            count(*) OVER w AS n_within_30d,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_within_30d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND INTERVAL 30 DAY FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   // scan_project leads so the one-time JVM/codegen warmup in Bench lands on
   // the cheapest query instead of a random one (queries is insertion-ordered).
   val all: List[(String, Q)] = List(
@@ -672,5 +712,7 @@ object RelationalQueries {
     "sql_tpch_q3" -> sqlTpchQ3,
     "join_skew_salted" -> joinSkewSalted,
     "upsert_snapshot" -> upsertSnapshot,
-    "scd2_history" -> scd2History)
+    "scd2_history" -> scd2History,
+    "grouping_sets" -> groupingSets,
+    "window_range_frame" -> windowRangeFrame)
 }
