@@ -650,14 +650,16 @@ object RelationalQueries {
     Some(groupingSetsText))
 
   // RANGE window frame: all orders within +-30 days of each order's date
-  // (value-based frame, vs window_move_avg's row-based one). Frame
-  // membership is date arithmetic — deterministic in both engines.
+  // (value-based frame, vs window_move_avg's row-based one). Ordering is a
+  // timezone-free epoch DAY number (unix_date), so the ±30 frame is exact
+  // calendar days regardless of session timezone — a date→timestamp→long
+  // ordering would make the ±30*86400 s frame DST-dependent.
   private val windowRangeFrame = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").cast("date").cast("timestamp").cast("long"))
-        .rangeBetween(-30L * 86400, 30L * 86400)
+        .orderBy(unix_date(col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 30)
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           count(lit(1)).over(w).as("n_within_30d"),

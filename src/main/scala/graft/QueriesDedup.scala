@@ -198,10 +198,13 @@ object DedupQueries {
       // Σlabel strictly decreases every non-converged round (labels only
       // shrink), so the fixpoint test is one tiny agg on the new checkpoint —
       // no diff join against the previous round. sum() is null on an empty
-      // frame (no edges at all) — treat as already converged.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Option[Long] = {
-        val row = df.agg(sum(col("label"))).head
-        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      // frame (no edges at all) — treat as already converged. The sum is
+      // taken as decimal(38,0): a Long sum with ANSI off wraps silently at
+      // billions of large ids, and a wrapped-equal sum could fake
+      // convergence; decimal(38,0) cannot wrap at any realistic row count.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Option[java.math.BigDecimal] = {
+        val row = df.agg(sum(col("label").cast("decimal(38,0)"))).head
+        if (row.isNullAt(0)) None else Some(row.getDecimal(0))
       }
       var prevSum = labelSum(labels)
       var iter = 0

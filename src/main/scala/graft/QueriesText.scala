@@ -261,18 +261,22 @@ object TextQueries {
     (s, d) => {
       val emailPat = "[\\w.+-]+@[\\w-]+\\.[\\w.]+"
       val numPat = "\\d{4,}"
-      val masked = regexp_replace(regexp_replace(col("text"), emailPat, "[EMAIL]"),
-        numPat, "[NUM]")
+      // Masking is sequential (emails first), so digit counts are taken on
+      // the email-masked INTERMEDIATE: every n counted as a [NUM] hit is one
+      // that actually appears masked in the output (digit runs inside email
+      // local-parts are already gone). Oracle mirrors the same nesting.
+      val emailMasked = regexp_replace(col("text"), emailPat, "[EMAIL]")
+      val masked = regexp_replace(emailMasked, numPat, "[NUM]")
       documents(s, d)
         .select(col("doc_id"), masked.as("masked"),
           size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_nums"))
+          size(regexp_extract_all(emailMasked, lit(numPat), lit(0))).as("n_nums"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
             regexp_replace(regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.]+', '[EMAIL]', 'g'), '\d{4,}', '[NUM]', 'g') AS masked,
             CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) AS INTEGER) AS n_emails,
-            CAST(len(regexp_extract_all(text, '\d{4,}')) AS INTEGER) AS n_nums
+            CAST(len(regexp_extract_all(regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.]+', '[EMAIL]', 'g'), '\d{4,}')) AS INTEGER) AS n_nums
             FROM documents ORDER BY doc_id"""))
 
   // Cohort retention: users grouped by their first active week, counted in

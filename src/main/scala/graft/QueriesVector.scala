@@ -163,7 +163,7 @@ object VectorQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nn").as("q_nn"), col("cell"))
       val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
-      q.join(assigned, Seq("cell"))
+      val result = q.join(assigned, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
           (VecDot(col("q_emb"), col("embedding")) /
@@ -172,6 +172,13 @@ object VectorQueries {
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "nbr_id")
         .orderBy("q_id", "rank")
+        // Materialize the (top-k per query — tiny) answer now, then release
+        // the cached assignment: no cache outlives this call. A production
+        // IVF index would be persistent state with its own lifecycle; inside
+        // a one-shot query the index must not squat on executor memory.
+        .localCheckpoint(true)
+      assigned.unpersist()
+      result
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
             cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id < 16),
