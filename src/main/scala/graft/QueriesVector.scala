@@ -14,7 +14,10 @@ import graft.Tables._
   * a nested-loop join; the corpus streams by without shuffling). `sim_ann`
   * is the scale path: an LSH-style sign bucket turns the cross join into an
   * equi join on the bucket key, so candidate generation shuffles only by
-  * bucket. `dedup_embedding` (cosine near-dup) follows the same pattern.
+  * bucket. For near-dup pairs, `dedup_embedding` is the EXACT answer via the
+  * triangle block self-join (ops.AllPairs — no corpus-sized broadcast), and
+  * `dedup_lsh_cosine` the banded-LSH approximate answer whose recall/cost
+  * tradeoff vs exact is measured in VectorRecallSpec.
   * All cosine math is double-precision with array-order summation so the
   * DuckDB oracle computes identical values (see functions.VectorFns).
   */
@@ -108,22 +111,27 @@ object VectorQueries {
          WHERE rank <= 3 ORDER BY q_id, rank"""
     })
 
-  // Embedding-cosine near-dup pairs (threshold 0.45 sits in the data's sim range so the op has output; nearest pair is ~1e-5 away from the cut, far beyond FP noise).
+  // Embedding-cosine near-dup pairs (threshold 0.45 sits in the data's sim
+  // range so the op has output; nearest pair is ~1e-5 away from the cut, far
+  // beyond FP noise). Exact — recall 1.0 by construction — via the triangle
+  // block self-join (ops.AllPairs): no broadcast grows with the corpus, each
+  // task holds 2·n/P rows and the n²/2 dot products spread over P(P+1)/2
+  // reducers. This is the canonical exact answer; at low thresholds like 0.45
+  // no LSH family prunes candidates below all-pairs cost anyway (a τ=0.45
+  // pair agrees with a random hyperplane with p≈0.65, so the bands needed for
+  // recall→1 cost more than n²/2 — measured in VectorRecallSpec), which is
+  // why the approximate dedup_lsh_cosine below targets the high-τ regime.
   private val dedupEmbedding = Q(
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
-      val a = e.select(pmod(col("vec_id"), lit(1L)).as("z"),
-        col("vec_id").as("id1"), col("embedding").as("emb1"), col("nn").as("n1"))
-      val b = e.select(pmod(col("vec_id"), lit(1L)).as("z"),
-        col("vec_id").as("id2"), col("embedding").as("emb2"), col("nn").as("n2"))
-      // Dummy-key broadcast hash join: keeps the 64-term dot predicate in
-      // whole-stage codegen (see sim_topk note); norms are per-row columns so
-      // per-pair work is just the dot product.
-      a.repartition(col("id1")).join(broadcast(b), Seq("z"))
-        .filter(col("id1") < col("id2") &&
-          VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
-        .select("id1", "id2")
+      // Norms precomputed per row BEFORE replication (no common-subexpression
+      // elimination after the join); per-pair work is just the codegen'd dot.
+      graft.ops.AllPairs.selfPairs(e, "vec_id", blocks = 16)
+        .filter(VecDot(col("embedding1"), col("embedding2")) /
+          (sqrt(col("nn1")) * sqrt(col("nn2"))) >= 0.45)
+        .select(least(col("vec_id1"), col("vec_id2")).as("id1"),
+          greatest(col("vec_id1"), col("vec_id2")).as("id2"))
         .orderBy("id1", "id2")
     },
     Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -212,43 +220,52 @@ object VectorQueries {
   private def sqlHpSign(j: Int, i: String): String =
     s"(CASE WHEN (${j + 1} * ($i + 7) * 2654435761) % 1000000007 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
 
-  // Random-hyperplane LSH near-dup: 8 signed projections → 256 buckets →
-  // exact cosine only within buckets. This is dedup_embedding's 100 TB path:
-  // candidate generation is an equi join on the bucket key (one shuffle,
-  // AQE-skew-splittable), not an all-pairs broadcast. The hyperplanes are
-  // pseudo-random from an integer hash so the oracle derives identical signs;
-  // projections sum left-to-right so the sign bits match bit-for-bit.
+  // Banded random-hyperplane LSH near-dup (OR-amplified, MinHash-LSH style —
+  // the same band construction dedup_minhash uses for Jaccard): 16 signed
+  // projections grouped into 4 bands of 4; a pair is a candidate if ANY band
+  // key matches, then exact cosine verifies. Candidate generation is ONE equi
+  // join on (band_index, band_key) after a posexplode — a single shuffle that
+  // scales out; precision is 1.0 by construction (exact verify), recall is
+  // the LSH tradeoff: ~(1-(1-p⁴)⁴) per pair, ≈54% for borderline τ=0.45
+  // pairs, →1 as similarity rises — measured against the exact operator in
+  // VectorRecallSpec. At 100 TB this (or more bands) is the only affordable
+  // shape; the exact blocked all-pairs above is for corpora where n² pays.
+  // Hyperplanes are pseudo-random from integer arithmetic so the oracle
+  // derives identical signs; projections sum left-to-right to match bit-level.
   private val dedupLshCosine = Q(
     (s, d) => {
       val emb = col("embedding")
-      val bucket = concat((0 until 8).map { j =>
+      def bandKey(b: Int) = concat((4 * b until 4 * b + 4).map { j =>
         val proj = aggregate(sequence(lit(1), size(emb)), lit(0.0),
           (acc, i) => acc + element_at(emb, i) * hpSign(j, i))
         when(proj > 0, lit("1")).otherwise(lit("0"))
       }: _*)
       val e = embeddings(s, d)
         .repartition(col("vec_id"))
-        .select(col("vec_id"), emb, bucket.as("bucket"),
-          VecDot(emb, emb).as("nn"))
-      val a = e.select(col("bucket"), col("vec_id").as("id1"),
+        .select(col("vec_id"), emb, VecDot(emb, emb).as("nn"),
+          posexplode(array((0 until 4).map(bandKey): _*)).as(Seq("band", "key")))
+      val a = e.select(col("band"), col("key"), col("vec_id").as("id1"),
         emb.as("emb1"), col("nn").as("n1"))
-      val b = e.select(col("bucket"), col("vec_id").as("id2"),
+      val b = e.select(col("band"), col("key"), col("vec_id").as("id2"),
         emb.as("emb2"), col("nn").as("n2"))
-      a.join(b, Seq("bucket"))
+      a.join(b, Seq("band", "key"))
         .filter(col("id1") < col("id2") &&
           VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
         .select("id1", "id2")
+        .distinct() // a pair may collide in >1 band
         .orderBy("id1", "id2")
     },
     Some {
-      val bucket = (0 until 8).map { j =>
+      def sqlBandKey(b: Int) = (4 * b until 4 * b + 4).map { j =>
         s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
             i -> CAST(embedding[i] AS DOUBLE) * ${sqlHpSign(j, "i")})) > 0
             THEN '1' ELSE '0' END)"""
       }.mkString(" || ")
-      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+      val bands = (0 until 4).map(b => s"${sqlBandKey(b)} AS k$b").mkString(", ")
+      val anyBand = (0 until 4).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, embedding, $bands FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2
-         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         FROM e a JOIN e b ON ($anyBand) AND a.vec_id < b.vec_id
          WHERE ${sqlCos("a", "b")} >= 0.45
          ORDER BY id1, id2"""
     })

@@ -47,8 +47,8 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
   /** S5: transactional-append JDBC sink (to_sql if_exists='append' analog).
-    * Untested here — no database ships in the harness — but the connector
-    * options are the complete production surface. */
+    * Exercised in SinksSpec against embedded Derby (append semantics, batch
+    * size, type round-trip); the same options drive any production RDBMS. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
       user: String, password: String, batchSize: Int = 10000): Unit =
     df.write.format("jdbc")

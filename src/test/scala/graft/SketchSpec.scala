@@ -25,6 +25,18 @@ class SketchSpec extends SparkSpec {
     val q = SparkEntry.queries("agg_approx_quantile")(spark, dir).collect()
     assert(q.forall(r => r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3)),
       "p50 <= p95 <= p99 ordering violated")
+    // percentile_approx(accuracy=10000) guarantees rank error <= N/accuracy.
+    // Check the actual rank of each returned p50 against that bound (plus a
+    // couple of rows of slack for ties at the boundary value).
+    q.foreach { r =>
+      val status = r.getString(0)
+      val grp = li.filter(col("l_linestatus") === status)
+      val n = grp.count().toDouble
+      val below = grp.filter(col("l_extendedprice") <= r.getDouble(1)).count() / n
+      val bound = 1.0 / 10000 + 4 / n
+      assert(math.abs(below - 0.5) <= bound,
+        s"status=$status p50 rank ${below} outside 0.5±$bound (accuracy=10000)")
+    }
 
     val merged = SparkEntry.queries("agg_hll_merge")(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
@@ -38,19 +50,59 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct is within rsd bound of exact") {
+  test("serialized sketch state is deterministic: identical bytes across runs") {
+    // Re-aggregation at 100 TB relies on sketches being stable artifacts: the
+    // same input must produce byte-identical state so persisted rollups are
+    // reproducible. HLL register state is a per-register max — commutative
+    // and order-insensitive — so two independent runs over the same
+    // deterministic scan must agree byte-for-byte, both for the per-group
+    // sketches and for the merged (union) sketch.
+    def perNation(): Seq[(Int, Seq[Byte])] = Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      .orderBy("c_nationkey").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("sk").toSeq).toSeq
+    val run1 = perNation()
+    val run2 = perNation()
+    assert(run1 == run2, "per-group HLL sketch bytes differ across identical runs")
+
+    def mergedBytes(): Seq[Byte] = Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("u"))
+      .head().getAs[Array[Byte]]("u").toSeq
+    assert(mergedBytes() == mergedBytes(), "merged HLL union bytes differ across runs")
+
+    // estimate-level determinism for the other two catalog sketches
+    def distinctRun() = SparkEntry.queries("agg_approx_distinct")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(distinctRun() == distinctRun(), "approx_count_distinct not deterministic")
+    def quantileRun() = SparkEntry.queries("agg_approx_quantile")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(quantileRun() == quantileRun(), "percentile_approx not deterministic")
+  }
+
+  test("approx_count_distinct is within 3x rsd of exact") {
+    // rsd is the standard deviation of the HLL++ estimator; 3σ is the
+    // tightest bound that holds deterministically-per-input without being
+    // flaky across register-hash luck on other columns.
     val li = Tables.lineitem(spark, dir)
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
     val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02)).head().getLong(0)
     val err = math.abs(approx - exact).toDouble / exact
-    assert(err < 0.06, s"exact=$exact approx=$approx err=$err")
+    assert(err < 3 * 0.02, s"exact=$exact approx=$approx err=$err (3x rsd=0.06)")
   }
 
-  test("approx quantile brackets the exact median") {
+  test("approx quantile respects the configured relativeError rank bound") {
+    // approxQuantile(relativeError=0.01) guarantees the returned value's rank
+    // is within 0.01*N of the target rank — assert that actual bound (plus
+    // tie slack), not a loose ±0.05 window.
     val o = Tables.orders(spark, dir)
     val Array(approxMed) = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)
-    val n = o.count()
-    val below = o.filter(col("o_totalprice") <= approxMed).count().toDouble / n
-    assert(below > 0.45 && below < 0.55, s"approx median at quantile $below")
+    val n = o.count().toDouble
+    val below = o.filter(col("o_totalprice") <= approxMed).count() / n
+    val bound = 0.01 + 4 / n
+    assert(math.abs(below - 0.5) <= bound,
+      s"approx median at quantile $below, outside 0.5±$bound")
   }
 }

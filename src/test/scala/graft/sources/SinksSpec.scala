@@ -70,6 +70,34 @@ class SinksSpec extends SparkSpec {
       s"ORC partition pruning missing:\n$plan")
   }
 
+  test("JDBC append sink round-trips against embedded Derby; append doubles rows") {
+    // Derby ships on the Spark classpath (metastore dependency) — an embedded
+    // in-JVM database, so the reference's load step (web_scraper.py:1286-1291,
+    // to_sql if_exists='append') is exercised end-to-end: table auto-creation
+    // on first append, true append (not overwrite) on the second, and type
+    // fidelity through Spark's DerbyDialect both directions.
+    System.setProperty("derby.system.home", "target/sinks-spec/derby-home")
+    val url = "jdbc:derby:target/sinks-spec/derbydb;create=true"
+    val table = "graft_region"
+    // clean slate across test re-runs (Derby has no DROP TABLE IF EXISTS)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(s"DROP TABLE $table")
+    catch { case _: java.sql.SQLException => () } finally conn.close()
+
+    val src = graft.Tables.region(spark, dir)
+    Sinks.jdbcAppend(src, url, table, "app", "app", batchSize = 2)
+    Sinks.jdbcAppend(src, url, table, "app", "app", batchSize = 2)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", "app").option("password", "app").load()
+    assert(back.count() == 10, "two appends of 5 rows must yield 10")
+    // types survive: the int key is still numeric (summable), strings round-trip
+    assert(back.select(sum("r_regionkey")).first().getLong(0) == 2L * (0 to 4).sum)
+    assert(back.select("r_name").distinct().count() == 5)
+    assert(back.schema("r_regionkey").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("omnibus CSV sink writes a readable multi-part directory") {
     val out = "target/sinks-spec/csv_omnibus"
     Sinks.csvOmnibus(graft.Tables.region(spark, dir), out)
