@@ -14,13 +14,16 @@ import scala.util.matching.Regex
   *  - hp_dmg_cap_up_perc — summed from "MAX BRV Cap … +N%" lines (:391-392)
   *  - attributes — collected from "inline <Attr>" markers (:296-305)
   *
-  * Line grammar handled here:
-  *   "<name> - <kind>"            header; name = text before " - " (:293)
+  * Line grammar handled here (the header line carries only the name and is
+  * excluded from the state machine — abilities named "HP Attack+" must not
+  * count their own header as an attack):
+  *   "<name> - <kind> [#<id>]"    header; name = text before " - " (:293)
   *   "inline <Attr>"              attribute token (:302)
   *   "HP Attack" [suffix +/++]    1 HP attack to the main target
   *   "... to all enemies"         following an attack: also counts non-target
   *   "<n> times"                  multiplies the preceding attack line (:474)
   *   "Group <k>"                  group attack: main + non-target (:456)
+  *   "to non-targets [× <n>]"     non-target-only damage (:464-470)
   *   "MAX BRV Cap Up <n>%"        cap accumulation (:391-392,733)
   *   lines containing "inline HP" are skipped (:398-399)
   *
@@ -44,6 +47,7 @@ object AbilityParser {
   private val times: Regex = """(\d+) times""".r
   private val group: Regex = """Group (\d+)""".r
   private val capUp: Regex = """MAX BRV Cap Up.*?(\d+)%""".r
+  private val nonTarget: Regex = """to non-targets(?: × (\d+))?""".r
 
   def parse(block: AbilityBlock): ParsedAbility = {
     val lines = block.lines.toIndexedSeq
@@ -54,7 +58,7 @@ object AbilityParser {
     var cap = 0
     val attrs = scala.collection.mutable.LinkedHashSet.empty[String]
 
-    var i = 0
+    var i = 1 // line 0 is the header: name only, never state-machine input
     while (i < lines.length) {
       val line = lines(i)
       if (line.contains("inline HP")) {
@@ -66,6 +70,11 @@ object AbilityParser {
           val k = m.group(1).toInt
           main += k; non += k
         }
+        if (line.contains("to non-targets"))
+          // non-target-only damage line (web_scraper.py:464-470): counts
+          // toward non_target alone, optional "× n" multiplier
+          non += nonTarget.findFirstMatchIn(line)
+            .flatMap(m => Option(m.group(1)).map(_.toInt)).getOrElse(1)
         if (line.contains("HP Attack") && !line.contains("Cap")) {
           // lookahead: "<n> times" multiplier and AOE marker on later lines
           val mult = lines.lift(i + 1).flatMap(times.findFirstMatchIn)

@@ -81,9 +81,8 @@ class DomainSpec extends SparkSpec {
 
   test("golden totals match post-split raw when recombined") {
     // auron and warrioroflight drifted between the golden scrape and the
-    // recorded raw run (in-game reworks changed their attack counts:
-    // e.g. auron Dragon Fang golden 4/4 vs raw 6/6) — the goldens are
-    // hand-verified against the OLDER state, so those two are excluded.
+    // recorded raw run; they are asserted in the dedicated drift test below
+    // against version-matched expectations, closing all 7 reference fixtures.
     val goldens = Seq("aerith", "astos", "lenna", "paine")
       .map(c => spark.read.option("header", "true")
         .schema("char_name STRING, ability_name STRING, main_target_hp_attacks INT, non_target_hp_attacks INT, hp_dmg_cap_up_perc INT")
@@ -106,6 +105,120 @@ class DomainSpec extends SparkSpec {
         col("g.non_target_hp_attacks") =!= col("non")).count()
     assert(joined.count() > 20)
     assert(mismatched == 0)
+  }
+
+  test("auron + warrioroflight goldens re-included: drift vs raw is exactly the documented reworks") {
+    // The reference's own newer dump (datasets/temp/ability_dfs/
+    // {auron,warrioroflight}_abiilty_df_gl.csv) value-matches the recorded raw
+    // snapshot for these two chars, so the raw subset IS the version-matched
+    // expectation; the goldens are hand-verified against the OLDER in-game
+    // state. This test proves the drift is exactly the documented reworks —
+    // nothing else moved — re-including both fixtures instead of excluding
+    // them on an asserted (unproven) drift claim.
+    //   (char, golden ability) -> (main delta, non delta), golden -> raw
+    val reworks: Map[(String, String), (Int, Int)] = Map(
+      ("auron", "Banishing Blade")                  -> (2, 0), // 3/1 -> 5/1
+      ("auron", "Purgatory")                        -> (1, 1), // 2/2 -> 3/3
+      ("auron", "Dragon Fang")                      -> (2, 2), // 4/4 -> 6/6
+      ("auron", "Tornado")                          -> (1, 1), // 4/4 -> 5/5
+      // a second LD-board variant (ability_id 17156, 4/0) was ADDED beside
+      // the golden-era row (19241, 6/0); name-summed raw is 10/0
+      ("warrioroflight", "Shining Shield Follow Up") -> (4, 0))
+    val goldens = Seq("auron", "warrioroflight")
+      .map(c => spark.read.option("header", "true")
+        .schema("char_name STRING, ability_name STRING, main_target_hp_attacks INT, non_target_hp_attacks INT, hp_dmg_cap_up_perc INT")
+        .csv(res(s"${c}_ability_df.csv")))
+      .reduce(_ unionByName _)
+    // snapshot keyed WITH ability_id: same-named ability variants are distinct
+    // abilities (different ids), not re-scrapes — both must survive the dedup
+    val snap = Mart.latestSnapshot(
+      rawAbilities.filter(col("game_version") === "GL" &&
+        col("char_name").isin("auron", "warrioroflight")),
+      Seq("char_name", "ability_name", "ability_id", "game_version"))
+    val recombined = snap
+      .groupBy(col("char_name"), col("ability_name").as("base_name"))
+      .agg(sum("main_target_hp_attacks").as("main"),
+        sum("non_target_hp_attacks").as("non"))
+    val rows = goldens.as("g").join(recombined.as("r"),
+        col("g.char_name") === col("r.char_name") && col("g.ability_name") === col("base_name"))
+      .select(col("g.char_name"), col("g.ability_name"),
+        col("g.main_target_hp_attacks"), col("g.non_target_hp_attacks"),
+        col("main"), col("non"))
+      .collect()
+    assert(rows.length == 15, "every golden row must match a raw ability by name")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (dm, dn) = reworks.getOrElse(key, (0, 0))
+      assert(r.getInt(2) + dm == r.getLong(4) && r.getInt(3) + dn == r.getLong(5),
+        s"$key: golden ${r.getInt(2)}/${r.getInt(3)} + rework ($dm,$dn) != raw ${r.getLong(4)}/${r.getLong(5)}")
+      if (reworks.contains(key))
+        assert(r.getInt(2) != r.getLong(4) || r.getInt(3) != r.getLong(5),
+          s"$key is in the rework list but did not actually drift")
+    }
+    // the one cap-only rework: Soul of Light 260 (golden) -> 250 (raw)
+    val sol = snap.filter(col("char_name") === "warrioroflight" &&
+      col("ability_name") === "Soul of Light").head()
+    assert(sol.getAs[Int]("hp_dmg_cap_up_perc") == 250)
+    assert(goldens.filter(col("ability_name") === "Soul of Light")
+      .head().getAs[Int]("hp_dmg_cap_up_perc") == 260)
+  }
+
+  test("S1 end-to-end: raw page text → parse → overrides → staging → mart in one job") {
+    // The reference's real dataflow (web_scraper.py:176-186,374-490): a
+    // character page prettified to text lines, parsed per ability block,
+    // corrections applied, loaded to the raw layer, then dbt-staged. Here the
+    // same flow from page-shaped files with NOTHING pre-built: raw lines in,
+    // mart out, one job.
+    val pages = Pages.readPages(spark, res("pages"))
+    val parsed = Pages.parsePages(pages)
+
+    // the hand-verified sherlotta golden, asserted from raw lines (pre-split view)
+    val golden = spark.read.option("header", "true")
+      .schema("char_name STRING, ability_name STRING, main_target_hp_attacks INT, non_target_hp_attacks INT, hp_dmg_cap_up_perc INT")
+      .csv(res("sherlotta_ability_df.csv"))
+    val gm = golden.as("g").join(parsed.as("p"),
+        Seq("char_name", "ability_name"), "left")
+      .filter(col("g.main_target_hp_attacks") =!= col("p.main_target_hp_attacks") ||
+        col("g.non_target_hp_attacks") =!= col("p.non_target_hp_attacks") ||
+        col("g.hp_dmg_cap_up_perc") =!= col("p.hp_dmg_cap_up_perc") ||
+        col("p.ability_name").isNull)
+    assert(gm.count() == 0, s"parsed page diverges from golden: ${gm.collect().mkString("; ")}")
+
+    // overrides + fan-out, then re-encode to the raw layer's persisted shape
+    val out = Overrides(
+      parsed,
+      capFixes = Seq(Overrides.CapFix("sherlotta", "Crystal Dice", 250)),
+      splits = Seq(
+        Overrides.UncappedSplit("sherlotta", "Chuck Staff", 1, 1),
+        Overrides.UncappedSplit("sherlotta", "Crystal Ray", 1, 1)))
+    val raw = Pages.toRawLayer(out, "2023-09-09 11:56:19", "2023-09-09 14:05:34")
+
+    // row-for-row identical to the recorded raw snapshot (ids, counts, caps,
+    // attribute list literals, version, timestamps)
+    val recorded = rawAbilities.filter(
+      col("char_name").isin("sherlotta", "auron") && col("game_version") === "GL")
+    assert(raw.count() == 29)
+    val missing = recorded.exceptAll(raw).collect()
+    val extra = raw.exceptAll(recorded).collect()
+    assert(missing.isEmpty && extra.isEmpty,
+      s"raw-layer mismatch; missing=${missing.mkString("; ")} extra=${extra.mkString("; ")}")
+
+    // staging decodes the list literal back to a real array
+    val stg = Staging.stgAbilities(raw)
+    assert(stg.filter(col("char_name") === "auron" && col("ability_name") === "Tornado")
+      .head().getAs[scala.collection.Seq[String]]("attributes")
+      == Seq("Group", "Melee", "IgnoreDEF", "NoFree"))
+
+    // and the mart built from page-derived rows equals the mart from the snapshot
+    val bt = spark.read.schema(GameSchemas.rawBtEffects).option("header", "true")
+      .csv(res("raw_bt_effects_subset.csv"))
+    val ha = spark.read.schema(GameSchemas.rawHighArmorCaps).option("header", "true")
+      .csv(res("raw_high_armor_caps_subset.csv"))
+    def martRows(ab: org.apache.spark.sql.DataFrame) =
+      Mart.effectiveHpCap(ab, bt, ha)
+        .filter(col("char_name").isin("sherlotta", "auron"))
+        .collect().map(_.toSeq).toSet
+    assert(martRows(raw) == martRows(recorded) && martRows(raw).size == 2)
   }
 
   test("effective cap mart joins the three tables (J5 game flagship)") {

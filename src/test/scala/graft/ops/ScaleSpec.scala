@@ -75,6 +75,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits the skewed partition of a shuffle join (skew=true in final plan)") {
+    // The claim in Skew.scala's doc — "AQE's skew-join handles sort-merge
+    // cases adaptively" — proven at local scale: one hot key owns ~75% of the
+    // big side, thresholds lowered so the hot partition qualifies as skewed
+    // at MB size, then the FINAL adaptive plan (AQE re-plans at runtime, so
+    // the join must execute first) must carry the skew=true marker on the
+    // join node. Salting (tested above) remains the pre-AQE/aggregation tool;
+    // this is the runtime path a 100 TB join would actually take.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    try {
+      val big = spark.range(400000).select(
+        when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val small = spark.range(1000).select(col("id").as("k"), lit("dim").as("v"))
+      val joined = big.join(small, "k")
+      // collect() (NOT count(): that spawns a separate QueryExecution and
+      // would leave this one un-executed) drives joined's own adaptive plan
+      // to its final form. hot key 0: 300000 (id%4!=0) + id=0 itself;
+      // uniform: ids 4,8,...,996.
+      assert(joined.collect().length === 300250)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = "target/bucketing-spec"
     spark.sql("DROP TABLE IF EXISTS b_orders")
