@@ -21,6 +21,28 @@ object GameSchemas {
     StructField("scrape_started_at_utc", TimestampType, nullable = true),
     StructField("scrape_ended_at_utc", TimestampType, nullable = true)))
 
+  /** raw_followups_manual_entry: declared in the reference's source YAML
+    * (raw_sources.yml:97-170) but never modeled there — covered here so the
+    * full declared raw surface is readable. Timestamps in this CSV use the
+    * spreadsheet format "M/d/yyyy H:mm" (manual entry), so they stay STRING
+    * at the raw layer and are parsed by [[Staging.stgFollowups]]. */
+  val rawFollowups: StructType = StructType(Seq(
+    StructField("char_name", StringType, nullable = false),
+    StructField("ability_name", StringType, nullable = false),
+    StructField("ability_id", IntegerType, nullable = true),
+    StructField("main_target_hp_attacks", IntegerType, nullable = true),
+    StructField("non_target_hp_attacks", IntegerType, nullable = true),
+    StructField("hp_dmg_cap_up_perc", IntegerType, nullable = true),
+    StructField("attribute_list", StringType, nullable = true),
+    StructField("game_version", StringType, nullable = false),
+    StructField("scrape_started_at_utc", StringType, nullable = true),
+    StructField("scrape_ended_at_utc", StringType, nullable = true),
+    StructField("timing", StringType, nullable = true),   // during | before | after
+    StructField("triggers", StringType, nullable = true), // ability list or behavior label
+    StructField("default", StringType, nullable = true),          // 'T' | 'F'
+    StructField("during_bt", StringType, nullable = true),        // 'T' | 'F'
+    StructField("double_during_bt", StringType, nullable = true)))// 'T' | 'F'
+
   val rawBtEffects: StructType = StructType(Seq(
     StructField("char_name", StringType, nullable = false),
     StructField("bt_personal_hp_dmg_cap_up", IntegerType, nullable = true),

@@ -38,6 +38,31 @@ object Staging {
       col("scrape_started_at_utc").cast("timestamp"),
       col("scrape_ended_at_utc").cast("timestamp"))
 
+  /** Staging for the declared-but-unmodeled followups source
+    * (raw_sources.yml:97-170): same cast conventions as the other stg views,
+    * plus the columns unique to this table — spreadsheet-format timestamps
+    * ("M/d/yyyy H:mm", manual entry), 'T'/'F' booleans, and the comma-
+    * separated trigger list parsed to a real array. */
+  def stgFollowups(raw: DataFrame): DataFrame = {
+    def tf(c: String) = (col(c) === "T").as(c)
+    raw.select(
+      col("char_name").cast(StringType),
+      col("ability_name").cast(StringType),
+      col("ability_id").cast(IntegerType),
+      col("main_target_hp_attacks").cast(ShortType).as("main_target_hp_attacks"),
+      col("non_target_hp_attacks").cast(ShortType).as("non_target_hp_attacks"),
+      col("hp_dmg_cap_up_perc").cast(ShortType).as("hp_dmg_cap_up_perc"),
+      col("attribute_list").cast(StringType),
+      listLiteral(col("attribute_list")).as("attributes"),
+      col("game_version").cast(StringType),
+      to_timestamp(col("scrape_started_at_utc"), "M/d/yyyy H:mm").as("scrape_started_at_utc"),
+      to_timestamp(col("scrape_ended_at_utc"), "M/d/yyyy H:mm").as("scrape_ended_at_utc"),
+      col("timing").cast(StringType),
+      col("triggers").cast(StringType),
+      transform(split(col("triggers"), ","), trim(_)).as("trigger_list"),
+      tf("default"), tf("during_bt"), tf("double_during_bt"))
+  }
+
   def stgBtEffects(raw: DataFrame): DataFrame =
     raw.select(
       col("char_name").cast(StringType),

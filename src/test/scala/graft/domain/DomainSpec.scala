@@ -221,6 +221,57 @@ class DomainSpec extends SparkSpec {
     assert(martRows(raw) == martRows(recorded) && martRows(raw).size == 2)
   }
 
+  test("followups source: declared schema reads, casts apply, id-carrying rows agree with raw abilities") {
+    // raw_followups_manual_entry is declared in the reference's source YAML
+    // (raw_sources.yml:97-170) but never modeled — read + staged here so the
+    // full declared raw surface works end to end.
+    val raw = spark.read.schema(GameSchemas.rawFollowups).option("header", "true")
+      .csv(res("raw_followups_subset.csv"))
+    val stg = Staging.stgFollowups(raw)
+    assert(stg.count() == 8)
+    val f = stg.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(f("main_target_hp_attacks") == "smallint" && f("during_bt") == "boolean" &&
+      f("trigger_list") == "array<string>" && f("scrape_started_at_utc") == "timestamp")
+    // spreadsheet-format timestamp parsed, not nulled
+    assert(stg.filter(col("scrape_started_at_utc").isNull).count() == 0)
+    // multi-ability trigger strings split clean
+    val wol = stg.filter(col("char_name") === "warrioroflight").head()
+    assert(wol.getAs[scala.collection.Seq[String]]("trigger_list") == Seq("Shining Shield"))
+    assert(wol.getAs[Boolean]("during_bt") && !wol.getAs[Boolean]("double_during_bt"))
+    // every followup row that carries an ability_id must describe the SAME
+    // attack counts as the raw abilities table (manual entry vs scrape agree)
+    val joined = stg.filter(col("ability_id").isNotNull).as("f")
+      .join(Staging.stgAbilities(rawAbilities).as("a"),
+        Seq("char_name", "ability_id", "game_version"))
+    assert(joined.count() == 6) // every id-carrying fixture row resolves
+    val mismatch = joined
+      .filter(col("f.main_target_hp_attacks") =!= col("a.main_target_hp_attacks") ||
+        col("f.non_target_hp_attacks") =!= col("a.non_target_hp_attacks") ||
+        col("f.hp_dmg_cap_up_perc") =!= col("a.hp_dmg_cap_up_perc"))
+    assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
+  }
+
+  test("injectRows adds the hardcoded Seymour Chainspell follow-up (P6 injection)") {
+    import spark.implicits._
+    // the reference injects this row because the site omits it
+    // (web_scraper.py:547-559); here it is a unionByName of a literal-row DF
+    val chainspell = Seq(
+      ("seymour", "Chainspell - Follow Up", Option.empty[Int], 4, 0, 20,
+        Seq("Magic", "FollowUp"), "GL"))
+      .toDF("char_name", "ability_name", "ability_id", "main_target_hp_attacks",
+        "non_target_hp_attacks", "hp_dmg_cap_up_perc", "attributes", "game_version")
+    val base = Staging.stgAbilities(rawAbilities)
+    val out = Overrides.injectRows(base, chainspell)
+    assert(out.count() == base.count() + 1)
+    val row = out.filter(col("char_name") === "seymour").head()
+    assert(row.getAs[Any]("ability_id") == null) // like the synthetic split rows
+    assert(row.getAs[Int]("main_target_hp_attacks") == 4 &&
+      row.getAs[Int]("hp_dmg_cap_up_perc") == 20)
+    assert(row.getAs[scala.collection.Seq[String]]("attributes") == Seq("Magic", "FollowUp"))
+    // columns the injected row doesn't carry (scrape timestamps) are null-filled
+    assert(row.getAs[Any]("scrape_started_at_utc") == null)
+  }
+
   test("effective cap mart joins the three tables (J5 game flagship)") {
     val bt = spark.read.schema(GameSchemas.rawBtEffects).option("header", "true")
       .csv(res("raw_bt_effects_subset.csv"))
