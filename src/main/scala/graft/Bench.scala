@@ -21,7 +21,11 @@ object Bench {
         col("n_regionkey") === col("r_regionkey")).count()
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only knob (the driver never sets it): comma-separated query ids to
+    // skip, for scale probes where quadratic-by-contract ops are excluded.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.filter(q => !skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   *  - Every int64 key is offset by `copy * 1e10`: orders↔lineitem↔customer↔part↔
   *    supplier referential integrity holds within each copy, and group-by key
   *    cardinality grows ~K× like a real scale-up.
-  *  - `documents.text` gets a per-copy character rotation (`translate` over a
-  *    10-letter alphabet). Verbatim clones would give every doc 9 artificial
-  *    near-duplicates, inflating LSH/Jaccard candidate pairs by K² and making
-  *    near-dup queries look super-linear for a fake reason. The rotation changes
-  *    every shingle while preserving length, word boundaries and the WITHIN-copy
-  *    duplicate structure, so the duplicate ratio stays constant as data grows.
+  *  - `documents.text` gets a per-copy character rotation (`translate` over two
+  *    disjoint 10-letter alphabets → up to 100 distinct transforms). Verbatim
+  *    clones would give every doc K−1 artificial near-duplicates, inflating
+  *    LSH/Jaccard candidate pairs by K² and making near-dup queries look
+  *    super-linear for a fake reason. The rotation changes every shingle while
+  *    preserving length, word boundaries and the WITHIN-copy duplicate
+  *    structure, so the duplicate ratio stays constant as data grows.
   *  - `embeddings.embedding` gets a per-copy diagonal ±1 sign flip — an
   *    orthogonal transform, so all within-copy cosines/dot-products are exactly
   *    preserved (dot(Sx, Sy) = dot(x, y) for diagonal S with s²=1) while
@@ -45,12 +46,14 @@ object GenScale {
     "embeddings" -> Seq("vec_id")
   )
 
-  /** 10-letter alphabet: rotations 1..9 are all fixed-point-free vs identity. */
-  private val Alphabet = "aeiounrstl"
-  private def rotated(i: Int): String = {
-    val r = i % Alphabet.length
-    Alphabet.drop(r) + Alphabet.take(r)
-  }
+  /** Two DISJOINT 10-letter alphabets; copy i applies rotation i%10 to the
+    * first and i/10%10 to the second, giving 100 distinct injective
+    * transforms (rotations 1..9 are fixed-point-free; the alphabets don't
+    * interact). For i<10 the second rotation is the identity, so 10-copy
+    * output is unchanged vs the single-alphabet scheme. */
+  private val Alphabet  = "aeiounrstl"
+  private val Alphabet2 = "cdmpbghfwk"
+  private def rotated(a: String, r: Int): String = a.drop(r % a.length) + a.take(r % a.length)
 
   private def copyOf(df: DataFrame, table: String, i: Int): DataFrame = {
     val keyed = int64Keys.getOrElse(table, Nil).foldLeft(df) { (d, k) =>
@@ -58,7 +61,9 @@ object GenScale {
     }
     val perturbed = table match {
       case "documents" if i > 0 =>
-        keyed.withColumn("text", translate(col("text"), Alphabet, rotated(i)))
+        keyed.withColumn("text",
+          translate(translate(col("text"), Alphabet, rotated(Alphabet, i % 10)),
+            Alphabet2, rotated(Alphabet2, i / 10 % 10)))
       case "embeddings" if i > 0 =>
         // deterministic per-(copy, index) sign flip; seed varies by copy
         keyed.withColumn("embedding", expr(
