@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g deliberately, NOT bigger: interleaved A/B at sf10 (dedup_ngram_jaccard,
+  // local[32]) measured 8g at 52-64 s vs 24g at 73-107 s — a larger heap lets
+  // hash aggregations grow cache-hostile and stretches GC, while early spill
+  // lands in the warm page cache. Override with SPARK_DRIVER_MEM if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
