@@ -33,6 +33,38 @@ object EventStream {
       .select(col("window.start").as("ws"), col("event_type"), col("n_events"),
         col("total_value"))
 
+  /** Exactly-once parquet sink: foreachBatch + dynamic-partition overwrite
+    * into a `batch_id=<n>` directory. After a failure, Structured Streaming
+    * replays the last uncommitted micro-batch with the SAME batch id, and the
+    * overwrite replaces that one partition instead of appending duplicates —
+    * the standard idempotent-sink pattern for file stores without
+    * transactions (checkpoint tracks offsets; the partition overwrite makes
+    * the write side effect replay-safe). Scale posture: each micro-batch is
+    * an independent partitioned write; downstream readers see append-only
+    * batch_id partitions and can compact asynchronously. */
+  def exactlyOnceParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch.toDF(), path, id)
+      }
+      .start()
+
+  /** The foreachBatch body, separated so idempotence is directly testable:
+    * running it twice with the same batch id must leave one copy. */
+  private[streaming] def writeBatch(batch: DataFrame, path: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.withColumn("batch_id", lit(id))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Session windows per user: events within `gap` of each other merge into
     * one session (declarative session_window — no manual state needed). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

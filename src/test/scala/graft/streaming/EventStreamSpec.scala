@@ -43,6 +43,37 @@ class EventStreamSpec extends SparkSpec {
       viaStreamingLogic.collect().map(_.toSeq).toSeq)
   }
 
+  test("exactly-once parquet sink: streams commit per batch, replayed batch does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = "target/stream-spec/exactly_once"
+    val ckpt = "target/stream-spec/exactly_once_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.exactlyOnceParquet(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1.5, 1))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(ts("2024-01-01 10:55:00"), "click", 2.5, 2),
+        Ev(ts("2024-01-01 11:05:00"), "view", 4.0, 1))
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() == 3)
+      assert(sunk.select("batch_id").distinct().count() == 2)
+      // failure replay: the engine re-runs the SAME micro-batch with the same
+      // id; the dynamic-partition overwrite must replace, not duplicate
+      val replay = Seq(
+        Ev(ts("2024-01-01 10:55:00"), "click", 2.5, 2),
+        Ev(ts("2024-01-01 11:05:00"), "view", 4.0, 1)).toDF()
+      EventStream.writeBatch(replay, out, 1L)
+      assert(spark.read.parquet(out).count() == 3, "replayed batch duplicated rows")
+      // and the overwrite is scoped to its own partition: batch 0 intact
+      assert(spark.read.parquet(out).filter(col("batch_id") === 0).count() == 1)
+    } finally q.stop()
+  }
+
   test("sessionize merges events within the gap") {
     import spark.implicits._
     val df = Seq(
