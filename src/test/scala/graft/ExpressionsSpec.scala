@@ -94,6 +94,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr(0) == (4.0 + 10.0 + 18.0))
   }
 
+  test("custom expressions: interpreted eval agrees with codegen") {
+    // All four expressions route eval and doGenCode through one static
+    // kernel, so divergence is impossible by construction — this guards the
+    // construction: if someone inlines a tweaked kernel into doGenCode, the
+    // codegen-disabled fallback (what Spark silently uses when a generated
+    // method fails to compile) would start returning different values.
+    import spark.implicits._
+    def run(): Any = {
+      val sdf = Seq("", "a", "hello world", "ünïcödé").toDF("s")
+      val p = sdf.select(PolyHash(col("s"))).as[Long].collect().toSeq
+      val docs = Seq("one two three four five", "a b", "").toDF("text")
+      val sh = docs.select(ShingleHashes(TextFns.tokens(col("text"))))
+        .as[Seq[Long]].collect().toSeq
+      val bg = docs.select(Bigrams(TextFns.tokens(col("text"))))
+        .as[Seq[String]].collect().toSeq
+      val vs = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      val vd = vs.select(VecDot(col("a"), col("b"))).as[Double].collect().toSeq
+      (p, sh, bg, vd)
+    }
+    val underCodegen = run()
+    val confs = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try assert(run() == underCodegen)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("row fan-out conserves attack counts (P6 invariant)") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(0, 16)), 5).foreach { sizes =>
