@@ -133,49 +133,34 @@ object DedupQueries {
                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
             FROM hs ORDER BY doc_id"""))
 
-  // N-gram Jaccard via PREFIX-FILTERED inverted index (Bayardo et al.
-  // "Scaling Up All Pairs", PPJoin): under a global rarest-first shingle
-  // order, a pair with J ≥ τ MUST collide within each side's first
-  // |A| − ⌈τ·|A|⌉ + 1 shingles (overlap ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ ≥ ⌈τ·|A|⌉),
-  // so only those prefixes are indexed — a LOSSLESS filter: the result set
-  // (and the oracle, which runs the naive formulation) is identical. Because
-  // prefixes hold each doc's RAREST shingles, candidate volume collapses vs
-  // indexing every shared shingle (r3: 43 s → measured below at sf10).
-  // Verification is an inline array_intersect on the two shingle sets,
-  // pipelined straight out of the join (no re-attach shuffle — same lesson
-  // as dedup_lsh_cosine's join shape, BASELINE.md r3), with the symmetric
-  // size bound τ·max(|A|,|B|) ≤ min(|A|,|B|) pruning before the intersect.
+  // N-gram Jaccard via inverted shingle index: join on shingle → intersection
+  // counts → |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere.
   private val dedupNgramJaccard = Q(
     (s, d) => {
-      val tau = 0.6
       val shd = documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(array_distinct(graft.expressions.ShingleHashes(tokens(col("text"))))).as("s"))
-      val dfs = shd.groupBy("s").agg(count(lit(1)).as("df"))
-      val ordered = shd.join(dfs, "s")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
-          collect_list(col("s")).as("hs"),
-          count(lit(1)).as("n"))
-      val pre = ordered.select(col("doc_id"), col("hs"), col("n"),
-        explode(expr(s"slice(ord, 1, cast(n - ceil($tau * n) + 1 as int))")).as("p"))
-        // a df=1 shingle occupies its prefix slot (the slice is over the full
-        // ordered set) but can never produce a pair — dropping it AFTER the
-        // slice is free, lossless index pruning
-        .filter(col("p.df") > 1)
-        .select(col("doc_id"), col("hs"), col("n"), col("p.s").as("s"))
-      val a = pre.select(col("s"), col("doc_id").as("id1"), col("hs").as("hs1"), col("n").as("n1"))
-      val b = pre.select(col("s"), col("doc_id").as("id2"), col("hs").as("hs2"), col("n").as("n2"))
-      a.join(b, Seq("s"))
-        .filter(col("id1") < col("id2") &&
-          greatest(col("n1"), col("n2")) * tau <= least(col("n1"), col("n2")))
-        .select(col("id1"), col("id2"), col("n1"), col("n2"),
-          size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("c"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // A shingle held by a single document cannot produce a pair: dropping
+      // document-frequency-1 shingles BEFORE the self-join is a semantic
+      // no-op (the result set is identical — sizes still count all shingles)
+      // that removes the bulk of the join input. At corpus scale most
+      // shingles are unique, so this is the difference between joining the
+      // whole inverted index and joining only its shared slice.
+      val shared = shd.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select("s")
+      val shdShared = shd.join(shared, "s")
+      val inter = shdShared.as("a")
+        .join(shdShared.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
         .filter(col("c").cast("double") /
-          (col("n1") + col("n2") - col("c")).cast("double") >= tau)
+          (col("s1.n") + col("s2.n") - col("c")).cast("double") >= 0.6)
         .select("id1", "id2")
-        .distinct() // a pair may collide on several prefix shingles
         .orderBy("id1", "id2")
     },
     Some(s"""$shingleCtes,
