@@ -1,0 +1,151 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VecDot
+
+/** Public similarity-search / embedding-dedup API.
+  *
+  * The operator catalog (QueriesVector) delegates here with the thresholds the
+  * driver corpus needs; library users call these directly with their own τ.
+  * All cosine math is double-precision with array-order summation (VecDot) so
+  * results are deterministic and oracle-matchable.
+  */
+object Similarity {
+
+  /** Deterministic ±1 pseudo-random hyperplane component for plane `j`,
+    * 1-based dimension column `i`: parity of an integer product mod P. Exact
+    * 64-bit integer arithmetic, so an external SQL oracle derives identical
+    * signs (see VectorQueries.sqlHpSign for the DuckDB twin).
+    */
+  def hpSign(j: Int, i: Column): Column =
+    when(pmod(lit((j + 1).toLong) * (i.cast("long") + 7L) * lit(2654435761L),
+      lit(1000000007L)) % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Default (nBands, bitsPerBand) for a cosine threshold τ.
+    *
+    * A τ-similar pair agrees with one random hyperplane with
+    * p = 1 − arccos(τ)/π; a band of b bits matches with p^b, and n bands give
+    * recall 1 − (1 − p^b)^n while candidate volume scales ~ n·n_rows²/2^b.
+    * High τ affords wide bands (few candidates, recall stays high); low τ
+    * forces narrow bands because p^b collapses. Defaults (recall at the tier's
+    * lower edge in parentheses):
+    *   τ ≥ 0.9 → (16, 12)  (p≈0.86, recall ≈ 0.93, candidates ~ n²/256)
+    *   τ ≥ 0.8 → (16, 8)   (p≈0.80, recall ≈ 0.94, candidates ~ n²/16... per
+    *                        band n²/256, 16 bands)
+    *   τ ≥ 0.6 → (8, 5)    (p≈0.70, recall ≈ 0.78)
+    *   else    → (4, 4)    (p≈0.65 at τ=0.45, recall ≈ 0.54 — at these τ the
+    *                        exact blocked all-pairs is usually the right tool;
+    *                        see exactNearDupPairs)
+    * Callers with a measured similarity distribution should override.
+    */
+  def bandGeometry(tau: Double): (Int, Int) =
+    if (tau >= 0.9) (16, 12)
+    else if (tau >= 0.8) (16, 8)
+    else if (tau >= 0.6) (8, 5)
+    else (4, 4)
+
+  /** Banded sign-LSH candidate pairs (id1 < id2, distinct), BEFORE the exact
+    * cosine verify. The banded index carries ONLY (band, key, id) — candidate
+    * generation is one equi join over narrow rows, so at 100 TB the shuffle
+    * moves ids, not embedding payloads. Exposed separately so callers (and
+    * specs) can measure candidate volume per geometry.
+    */
+  def lshCandidates(emb: DataFrame, idCol: String, embCol: String,
+      nBands: Int, bitsPerBand: Int): DataFrame = {
+    require(nBands > 0 && bitsPerBand > 0)
+    val e = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+      // embeddings tables often arrive as few input splits; spreading by id
+      // parallelizes the projection pass (row-count-preserving reshuffle)
+      .repartition(col("__id"))
+    def bandKey(b: Int) = concat((bitsPerBand * b until bitsPerBand * (b + 1)).map { j =>
+      val proj = aggregate(sequence(lit(1), size(col("__emb"))), lit(0.0),
+        (acc, i) => acc + element_at(col("__emb"), i) * hpSign(j, i))
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val bands = e.select(col("__id"),
+      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "key")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct() // a pair may collide in >1 band; verify each pair once
+  }
+
+  /** Approximate near-duplicate pairs by banded sign-LSH + exact cosine
+    * verify: precision 1.0 by construction, recall is the band-geometry
+    * tradeoff (see bandGeometry). Output: (id1, id2) with id1 < id2.
+    *
+    * Scale shape: one narrow-row equi join for candidates, then two keyed
+    * joins to re-attach embeddings only for surviving pairs — embedding
+    * payloads never ride the candidate shuffle.
+    */
+  def lshCosineNearDup(emb: DataFrame, idCol: String, embCol: String, tau: Double,
+      nBands: Int, bitsPerBand: Int): DataFrame = {
+    require(tau > -1 && tau < 1, s"tau must be in (-1,1), got $tau")
+    val withNorm = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"),
+      VecDot(col(embCol), col(embCol)).as("__nn"))
+    lshCandidates(emb, idCol, embCol, nBands, bitsPerBand)
+      .join(withNorm.select(col("__id").as("id1"), col("__emb").as("__e1"),
+        col("__nn").as("__n1")), "id1")
+      .join(withNorm.select(col("__id").as("id2"), col("__emb").as("__e2"),
+        col("__nn").as("__n2")), "id2")
+      .filter(VecDot(col("__e1"), col("__e2")) /
+        (sqrt(col("__n1")) * sqrt(col("__n2"))) >= tau)
+      .select("id1", "id2")
+  }
+
+  /** lshCosineNearDup with geometry defaulted from τ. */
+  def lshCosineNearDup(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val (b, w) = bandGeometry(tau)
+    lshCosineNearDup(emb, idCol, embCol, tau, b, w)
+  }
+
+  /** EXACT near-duplicate pairs (recall 1.0) via the triangle block self-join
+    * (ops.AllPairs): O(n/P) memory per task, n²/2 dot products spread over
+    * P(P+1)/2 reducers, no corpus-sized broadcast. Quadratic compute by
+    * declared contract — for corpora where n² pays; beyond that use
+    * lshCosineNearDup. Output: (id1, id2) with id1 < id2.
+    */
+  def exactNearDupPairs(emb: DataFrame, idCol: String, embCol: String, tau: Double,
+      blocks: Int = 16): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol),
+      VecDot(col(embCol), col(embCol)).as("__nn"))
+    graft.ops.AllPairs.selfPairs(e, idCol, blocks)
+      .filter(VecDot(col(embCol + "1"), col(embCol + "2")) /
+        (sqrt(col("__nn1")) * sqrt(col("__nn2"))) >= tau)
+      .select(least(col(idCol + "1"), col(idCol + "2")).as("id1"),
+        greatest(col(idCol + "1"), col(idCol + "2")).as("id2"))
+  }
+
+  /** Brute-force cosine top-k of `corpus` rows for each row of `queries`
+    * (both (id, embedding)-shaped): the queries broadcast, the corpus
+    * streams. Output: (q_id, rank, nbr_id), rank 1..k, self-matches excluded.
+    *
+    * The join key is pmod(id, 1) — always 0 but non-foldable: it keeps the
+    * plan a codegen'd BroadcastHashJoin instead of the interpreted
+    * BroadcastNestedLoopJoin (measured ~10× on 64-dim cosine; plan-asserted
+    * in ScaleSpec so a future Catalyst fold can't silently demote it).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(idCol), col(embCol),
+      VecDot(col(embCol), col(embCol)).as("__nn"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__qe"),
+      VecDot(col(embCol), col(embCol)).as("__qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("nbr_id").asc)
+    e.repartition(col(idCol)).withColumn("__z", pmod(col(idCol).cast("long"), lit(1L)))
+      .join(broadcast(q.withColumn("__z", pmod(col("q_id").cast("long"), lit(1L)))), Seq("__z"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("nbr_id"),
+        (VecDot(col("__qe"), col(embCol)) /
+          (sqrt(col("__qn")) * sqrt(col("__nn")))).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nbr_id")
+  }
+}
