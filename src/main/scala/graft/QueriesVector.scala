@@ -33,39 +33,17 @@ object VectorQueries {
          * sqrt(list_sum(list_transform(generate_series(1, len($b.embedding)),
              i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))"""
 
-  // Brute-force cosine top-k for a small query set: broadcast the queries,
-  // stream the corpus, window-rank per query. Sim values are kept out of the
-  // output (rank + ids only) so last-ulp FP noise cannot break the hash.
+  // Brute-force cosine top-k for a small query set — delegates to the public
+  // API (api.Similarity.cosineTopK: broadcast the queries, stream the corpus,
+  // window-rank per query; dummy-key BroadcastHashJoin so the 64-dim cosine
+  // probe stays in whole-stage codegen — plan-asserted in ScaleSpec). Sim
+  // values are kept out of the output (rank + ids only) so last-ulp FP noise
+  // cannot break the hash.
   private val simTopk = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // Norms are precomputed per row on each side: a join condition or
-      // post-join projection gets no common-subexpression elimination, so an
-      // inline cosine recomputes both norms for every one of the |Q|×|C|
-      // pairs. With norms as columns only the dot product is per-pair work.
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nn").as("q_nn"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("sim").desc, col("nbr_id").asc)
-      // Dummy-key broadcast *hash* join (not nested-loop): BroadcastHashJoin
-      // generates whole-stage code for the probe including the extra
-      // condition, whereas BroadcastNestedLoopJoin evaluates its condition
-      // interpreted — measured ~10× slower with the 64-dim cosine inline.
-      // repartition: embeddings.parquet is one input split locally; spread the
-      // probe side so the codegen'd cosine scan uses every core. The join key
-      // is pmod(id,1) — always 0 but non-foldable, otherwise constant folding
-      // strips the equi key and demotes the join back to nested-loop.
-      e.repartition(col("vec_id")).withColumn("z", pmod(col("vec_id"), lit(1L)))
-        .join(broadcast(q.withColumn("z", pmod(col("q_id"), lit(1L)))), Seq("z"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("nbr_id"),
-          (VecDot(col("q_emb"), col("embedding")) /
-            (sqrt(col("q_nn")) * sqrt(col("nn")))).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("q_id", "rank", "nbr_id")
+      graft.api.Similarity.cosineTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rank")
     },
     Some(s"""SELECT q_id, rank, nbr_id FROM (
@@ -122,18 +100,9 @@ object VectorQueries {
   // recall→1 cost more than n²/2 — measured in VectorRecallSpec), which is
   // why the approximate dedup_lsh_cosine below targets the high-τ regime.
   private val dedupEmbedding = Q(
-    (s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), VecDot(col("embedding"), col("embedding")).as("nn"))
-      // Norms precomputed per row BEFORE replication (no common-subexpression
-      // elimination after the join); per-pair work is just the codegen'd dot.
-      graft.ops.AllPairs.selfPairs(e, "vec_id", blocks = 16)
-        .filter(VecDot(col("embedding1"), col("embedding2")) /
-          (sqrt(col("nn1")) * sqrt(col("nn2"))) >= 0.45)
-        .select(least(col("vec_id1"), col("vec_id2")).as("id1"),
-          greatest(col("vec_id1"), col("vec_id2")).as("id2"))
-        .orderBy("id1", "id2")
-    },
+    (s, d) => graft.api.Similarity.exactNearDupPairs(embeddings(s, d),
+        "vec_id", "embedding", graft.api.Dedup.cosineTau, blocks = 16)
+      .orderBy("id1", "id2"),
     Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE ${sqlCos("a", "b")} >= 0.45
@@ -210,51 +179,25 @@ object VectorQueries {
               WHERE a.vec_id < 10) t
             WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  /** Deterministic ±1 pseudo-random hyperplane component for plane `j`,
-    * 1-based dimension `i` (column): parity of an integer product mod P.
-    * Exact 64-bit integer arithmetic, mirrored term-for-term in the oracle. */
-  private def hpSign(j: Int, i: org.apache.spark.sql.Column) =
-    when(pmod(lit((j + 1).toLong) * (i.cast("long") + 7L) * lit(2654435761L),
-      lit(1000000007L)) % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
-
   private def sqlHpSign(j: Int, i: String): String =
     s"(CASE WHEN (${j + 1} * ($i + 7) * 2654435761) % 1000000007 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
 
-  // Banded random-hyperplane LSH near-dup (OR-amplified, MinHash-LSH style —
-  // the same band construction dedup_minhash uses for Jaccard): 16 signed
-  // projections grouped into 4 bands of 4; a pair is a candidate if ANY band
-  // key matches, then exact cosine verifies. Candidate generation is ONE equi
-  // join on (band_index, band_key) after a posexplode — a single shuffle that
-  // scales out; precision is 1.0 by construction (exact verify), recall is
-  // the LSH tradeoff: ~(1-(1-p⁴)⁴) per pair, ≈54% for borderline τ=0.45
-  // pairs, →1 as similarity rises — measured against the exact operator in
-  // VectorRecallSpec. At 100 TB this (or more bands) is the only affordable
-  // shape; the exact blocked all-pairs above is for corpora where n² pays.
+  // Banded random-hyperplane LSH near-dup — delegates to the public API
+  // (api.Similarity.lshCosineNearDup) with the driver corpus's τ and the
+  // (4 bands × 4 bits) geometry that τ=0.45 forces (see
+  // Similarity.bandGeometry: at borderline τ the per-hyperplane agreement
+  // p≈0.65 collapses wide bands, so recall ≈ 1-(1-p⁴)⁴ ≈ 54% here, →1 as
+  // similarity rises — measured in VectorRecallSpec; real dedup runs at
+  // τ≥0.8 where (16,8) gives recall ≥0.94 at n²/256-per-band candidates).
+  // Candidate generation carries ONLY (band, key, id) through its one equi
+  // join — embedding payloads re-attach per surviving pair, never riding the
+  // candidate shuffle. Precision is 1.0 by construction (exact verify).
   // Hyperplanes are pseudo-random from integer arithmetic so the oracle
   // derives identical signs; projections sum left-to-right to match bit-level.
   private val dedupLshCosine = Q(
-    (s, d) => {
-      val emb = col("embedding")
-      def bandKey(b: Int) = concat((4 * b until 4 * b + 4).map { j =>
-        val proj = aggregate(sequence(lit(1), size(emb)), lit(0.0),
-          (acc, i) => acc + element_at(emb, i) * hpSign(j, i))
-        when(proj > 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-      val e = embeddings(s, d)
-        .repartition(col("vec_id"))
-        .select(col("vec_id"), emb, VecDot(emb, emb).as("nn"),
-          posexplode(array((0 until 4).map(bandKey): _*)).as(Seq("band", "key")))
-      val a = e.select(col("band"), col("key"), col("vec_id").as("id1"),
-        emb.as("emb1"), col("nn").as("n1"))
-      val b = e.select(col("band"), col("key"), col("vec_id").as("id2"),
-        emb.as("emb2"), col("nn").as("n2"))
-      a.join(b, Seq("band", "key"))
-        .filter(col("id1") < col("id2") &&
-          VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
-        .select("id1", "id2")
-        .distinct() // a pair may collide in >1 band
-        .orderBy("id1", "id2")
-    },
+    (s, d) => graft.api.Similarity.lshCosineNearDup(embeddings(s, d),
+        "vec_id", "embedding", graft.api.Dedup.cosineTau, nBands = 4, bitsPerBand = 4)
+      .orderBy("id1", "id2"),
     Some {
       def sqlBandKey(b: Int) = (4 * b until 4 * b + 4).map { j =>
         s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),

@@ -7,10 +7,15 @@ import graft.expressions.VecDot
 
 /** Public similarity-search / embedding-dedup API.
   *
-  * The operator catalog (QueriesVector) delegates here with the thresholds the
-  * driver corpus needs; library users call these directly with their own τ.
-  * All cosine math is double-precision with array-order summation (VecDot) so
-  * results are deterministic and oracle-matchable.
+  * The operator catalog delegates here — `dedup_lsh_cosine` →
+  * [[lshCosineNearDup]], `sim_topk` → [[cosineTopK]], `dedup_embedding` →
+  * [[exactNearDupPairs]] (QueriesVector.scala) — with the thresholds the
+  * driver corpus needs ([[Dedup.cosineTau]]); library users call these
+  * directly with their own τ. All cosine math is double-precision with
+  * array-order summation (VecDot) so results are deterministic and
+  * oracle-matchable. Equivalence to the catalog's original payload-carrying
+  * join shape and the recall/candidate-volume geometry tradeoff are both
+  * spec-covered in VectorRecallSpec.
   */
 object Similarity {
 

@@ -68,6 +68,95 @@ class VectorRecallSpec extends SparkSpec {
     assert(pairs.distinct().count() == n * (n - 1) / 2, "duplicate pairs emitted")
   }
 
+  /** The r3 catalog join shape for dedup_lsh_cosine — (band, key) rows that
+    * CARRY the embedding payload and norm through the candidate join. Kept
+    * here verbatim as the equivalence oracle for api.Similarity's
+    * narrow-candidate-then-reattach shape (which moves only (band, key, id)
+    * through the candidate shuffle — the 100 TB-safe layout the catalog now
+    * delegates to).
+    */
+  private def legacyPayloadLshPairs(d: String): Set[(Long, Long)] = {
+    import graft.api.Similarity.hpSign
+    val emb = col("embedding")
+    def bandKey(b: Int) = concat((4 * b until 4 * b + 4).map { j =>
+      val proj = aggregate(sequence(lit(1), size(emb)), lit(0.0),
+        (acc, i) => acc + element_at(emb, i) * hpSign(j, i))
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), emb, VecDot(emb, emb).as("nn"),
+        posexplode(array((0 until 4).map(bandKey): _*)).as(Seq("band", "key")))
+    val a = e.select(col("band"), col("key"), col("vec_id").as("id1"),
+      emb.as("emb1"), col("nn").as("n1"))
+    val b = e.select(col("band"), col("key"), col("vec_id").as("id2"),
+      emb.as("emb2"), col("nn").as("n2"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id1") < col("id2") &&
+        VecDot(col("emb1"), col("emb2")) / (sqrt(col("n1")) * sqrt(col("n2"))) >= 0.45)
+      .select("id1", "id2")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("Similarity narrow-candidate shape ≡ legacy payload-carrying shape at (4,4)") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val legacy = legacyPayloadLshPairs(d)
+      val api = lshPairs(d) // catalog now delegates to Similarity.lshCosineNearDup
+      assert(api == legacy,
+        s"$d: Similarity diverges from legacy shape: " +
+          s"missing=${(legacy -- api).size} extra=${(api -- legacy).size}")
+    }
+  }
+
+  /** Planted high-τ corpus: `nClusters` seeded random unit-ish vectors, each
+    * with `perCluster` near-copies (small perturbation) — within-cluster
+    * cosine ≈ 0.99, cross-cluster ≈ 0. This is the regime real embedding
+    * dedup runs at (τ ≥ 0.8), where bandGeometry affords wide bands. */
+  private def plantedCorpus(nClusters: Int, perCluster: Int, dim: Int) = {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      c <- 0 until nClusters
+      base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      m <- 0 until perCluster
+    } yield (c.toLong * perCluster + m,
+      base.map(v => v + 0.05f * rnd.nextGaussian().toFloat))
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("band geometry: at τ=0.9, (16,8) keeps recall high with far fewer candidates than (4,4)") {
+    import graft.api.Similarity
+    val corpus = plantedCorpus(nClusters = 12, perCluster = 5, dim = 16).cache()
+    try {
+      val n = corpus.count()
+      val allPairs = n * (n - 1) / 2
+      val exact = Similarity.exactNearDupPairs(corpus, "vec_id", "embedding", 0.9, blocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.size >= 100, s"planted corpus produced only ${exact.size} true pairs")
+      def run(bands: Int, bits: Int) = {
+        val cands = Similarity.lshCandidates(corpus, "vec_id", "embedding", bands, bits).count()
+        val found = Similarity.lshCosineNearDup(corpus, "vec_id", "embedding", 0.9, bands, bits)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert((found -- exact).isEmpty, s"($bands,$bits): false positives")
+        (cands, found.size.toDouble / exact.size)
+      }
+      val (candWide, recallWide) = run(16, 8)
+      val (candNarrow, recallNarrow) = run(4, 4)
+      // wide bands: recall stays high at high τ while candidate volume drops
+      // well below both the narrow geometry and the all-pairs count
+      assert(recallWide >= 0.9, s"(16,8) recall $recallWide")
+      assert(recallNarrow >= 0.9, s"(4,4) recall $recallNarrow")
+      assert(candWide < candNarrow,
+        s"(16,8) candidates $candWide not below (4,4)'s $candNarrow")
+      assert(candWide < allPairs / 2,
+        s"(16,8) candidates $candWide vs all-pairs $allPairs — no pruning")
+      // and bandGeometry picks the wide tier for high τ
+      assert(Similarity.bandGeometry(0.9) == ((16, 12)))
+      assert(Similarity.bandGeometry(0.85) == ((16, 8)))
+    } finally corpus.unpersist()
+  }
+
   test("banded LSH: precision 1.0, recall measured against exact, rises with similarity") {
     val d = sf("sf0.01")
     val exact = exactPairs(d)
