@@ -133,34 +133,22 @@ object DedupQueries {
                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
             FROM hs ORDER BY doc_id"""))
 
-  // N-gram Jaccard via inverted shingle index: join on shingle → intersection
-  // counts → |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere.
+  // N-gram Jaccard with a data-driven join-shape guard: the inverted shingle
+  // index (join on shared shingles → intersection counts → |A∪B| =
+  // |A|+|B|−|A∩B|, no cross join anywhere) when no shingle is hot, the
+  // lossless prefix-filtered join (ops.JaccardPrefix, Bayardo/PPJoin) when
+  // any shingle's document frequency exceeds api.Dedup.hotShingleDf — the
+  // C(df, 2) blowup guard a 100 TB corpus with boilerplate needs. Both
+  // shapes produce identical pairs (JaccardPrefixSpec), so the oracle is
+  // path-independent.
   private val dedupNgramJaccard = Q(
     (s, d) => {
       val shd = documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(array_distinct(graft.expressions.ShingleHashes(tokens(col("text"))))).as("s"))
-      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // A shingle held by a single document cannot produce a pair: dropping
-      // document-frequency-1 shingles BEFORE the self-join is a semantic
-      // no-op (the result set is identical — sizes still count all shingles)
-      // that removes the bulk of the join input. At corpus scale most
-      // shingles are unique, so this is the difference between joining the
-      // whole inverted index and joining only its shared slice.
-      val shared = shd.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1).select("s")
-      val shdShared = shd.join(shared, "s")
-      val inter = shdShared.as("a")
-        .join(shdShared.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
-        .filter(col("c").cast("double") /
-          (col("s1.n") + col("s2.n") - col("c")).cast("double") >= 0.6)
-        .select("id1", "id2")
+      graft.ops.JaccardPrefix.nearDupPairsAuto(shd, "doc_id", "s",
+          graft.api.Dedup.jaccardTau, graft.api.Dedup.hotShingleDf)
         .orderBy("id1", "id2")
     },
     Some(s"""$shingleCtes,
@@ -186,8 +174,12 @@ object DedupQueries {
   private val dedupCluster = Q(
     (s, d) => {
       val pairs = dedupNgramJaccard.fn(s, d).select("id1", "id2")
+      // Pre-partitioned on the join key: every round's edges⋈labels probe
+      // reuses this layout, so the (large, static) edge set shuffles ONCE for
+      // the whole fixpoint instead of once per round.
       val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")
+        .repartition(col("src"))
         .persist() // materialized by first use; every later round reuses it
       // Only edge-touched nodes can change label; singletons (the vast
       // majority of any near-dup graph) skip the iteration entirely and are
@@ -218,8 +210,13 @@ object DedupQueries {
         while (!converged && iter < maxIter) {
           val msgs = edges.join(labels, col("src") === col("id"))
             .select(col("dst").as("id"), col("label"))
+          // LAZY checkpoint: the labelSum action below materializes the round
+          // AND computes the convergence sum in the same job — one Spark job
+          // per round, not one for the checkpoint plus one for the check. At
+          // 100 TB each round's cost is its single keyed shuffle; driver-side
+          // latency per round is one job submission.
           val next = labels.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           val s2 = labelSum(next)
           converged = s2 == prevSum
           prevSum = s2

@@ -30,11 +30,76 @@ import org.apache.spark.sql.functions._
   */
 object JaccardPrefix {
 
+  /** Pick the join shape from the data: one cheap pass computes the max
+    * shingle document frequency; a corpus with a hot shingle (df above
+    * `hotDf`, e.g. shared boilerplate) routes through the prefix-filtered
+    * join — whose candidate volume is bounded by rare-shingle collisions —
+    * while a benign corpus takes the leaner inverted-index join. Both shapes
+    * are lossless (identical output; JaccardPrefixSpec), so the guard is a
+    * pure performance decision made per-corpus, not per-config. The shingle
+    * df table is computed once, shared by the decision and the chosen path,
+    * and released before return (the result materializes eagerly).
+    */
+  def nearDupPairsAuto(shingles: DataFrame, idCol: String, shingleCol: String,
+      tau: Double, hotDf: Long): DataFrame =
+    nearDupPairsAutoChosen(shingles, idCol, shingleCol, tau, hotDf)._1
+
+  /** nearDupPairsAuto plus which path ran (true = prefix-filtered) — the
+    * spec-observable decision. */
+  private[graft] def nearDupPairsAutoChosen(shingles: DataFrame, idCol: String,
+      shingleCol: String, tau: Double, hotDf: Long): (DataFrame, Boolean) = {
+    require(hotDf > 1, s"hotDf must be > 1, got $hotDf")
+    val shd = shingles.select(col(idCol).as("doc_id"), col(shingleCol).as("s"))
+    val dfs = shd.groupBy("s").agg(count(lit(1)).as("df")).persist()
+    try {
+      val row = dfs.agg(max(col("df"))).head
+      val maxDf = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val hot = maxDf > hotDf
+      val pairs = if (hot) pairsWithDfs(shd, dfs, tau)
+                  else invertedIndexPairs(shd, dfs, tau)
+      // materialize while dfs is cached; no cache outlives the call
+      (pairs.localCheckpoint(true), hot)
+    } finally dfs.unpersist()
+  }
+
+  /** The inverted-index join shape (the catalog's historical
+    * dedup_ngram_jaccard): join documents on shared shingles, count
+    * intersections, |A∪B| = |A|+|B|−|A∩B|. Leaner than the prefix join on
+    * benign corpora (fewer passes over the shingle rows) but emits C(df, 2)
+    * rows per shingle — nearDupPairsAuto guards against that. `dfs` is the
+    * (s, df) document-frequency table over `shd`'s (doc_id, s) rows.
+    */
+  private[graft] def invertedIndexPairs(shd: DataFrame, dfs: DataFrame,
+      tau: Double): DataFrame = {
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // df-1 shingles cannot produce a pair: dropping them BEFORE the
+    // self-join is a semantic no-op that removes the bulk of the join input
+    // (sizes still count all shingles).
+    val shared = dfs.filter(col("df") > 1).select("s")
+    val shdShared = shd.join(shared, "s")
+    val inter = shdShared.as("a")
+      .join(shdShared.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .filter(col("c").cast("double") /
+        (col("s1.n") + col("s2.n") - col("c")).cast("double") >= tau)
+      .select("id1", "id2")
+  }
+
   def nearDupPairs(shingles: DataFrame, idCol: String, shingleCol: String,
       tau: Double): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
     val shd = shingles.select(col(idCol).as("doc_id"), col(shingleCol).as("s"))
     val dfs = shd.groupBy("s").agg(count(lit(1)).as("df"))
+    pairsWithDfs(shd, dfs, tau)
+  }
+
+  /** Prefix-filtered join body over precomputed (s, df) frequencies. */
+  private def pairsWithDfs(shd: DataFrame, dfs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
     val ordered = shd.join(dfs, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),

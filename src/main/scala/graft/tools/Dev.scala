@@ -33,10 +33,15 @@ object Dev {
           println(s"===== $id =====")
           graft.SparkEntry.queries(id)(spark, sfDir).explain("formatted")
         }
-      case "time" :: sfDir :: id :: _ =>
-        val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
-        println(f"$id: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      case "time" :: sfDir :: id :: rest =>
+        // optional repeat count: run N times in one JVM to separate cold
+        // (codegen/classload/footer) cost from steady-state operator cost
+        val reps = rest.headOption.map(_.toInt).getOrElse(1)
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
+          println(f"$id[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+        }
       case "mart" :: _ =>
         // game-domain flagship over the bundled fixture subsets
         val res = "src/test/resources/game"
