@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * batched decode/feature-extraction over `mapPartitions`.
   *
-  * The decode itself is a STUB — no image/audio codecs ship in this
-  * container — but everything Spark-side is real and tested: the schema
-  * (binary payload + struct metadata), the partitioning (payload-bearing rows
-  * repartition by id so decode parallelizes), the batch shape (one decoder
-  * instance per partition, amortized over its rows, the same lifecycle a
-  * JNI/codec handle needs), and the typed Dataset boundary.
+  * The IMAGE decode path is real: `javax.imageio` (pure JVM, zero extra
+  * deps) parses PNG/BMP/GIF/JPEG payloads into true width/height
+  * (MultimodalSpec decodes generated PNG/BMP fixtures). Bytes that no
+  * registered reader recognizes — and the audio/video kinds, whose codecs
+  * don't ship in a JVM — fall back to a clearly-marked deterministic stub,
+  * so the pipeline shape is exercised end-to-end on any payload. Everything
+  * Spark-side is real and tested: the schema (binary payload + struct
+  * metadata), the partitioning (payload-bearing rows repartition by id so
+  * decode parallelizes), the batch shape (one decoder instance per
+  * partition, amortized over its rows, the same lifecycle a JNI/codec
+  * handle needs), and the typed Dataset boundary.
   *
   * At 100 TB: payloads live in the table as binary columns (or pointers to
   * object storage); decode is a narrow map stage with no shuffle, so it
@@ -26,9 +31,9 @@ object Multimodal {
       kind: String,
       n_bytes: Int,
       checksum: Long,
-      width: Int,     // STUB: deterministic fake, a real decoder fills these
-      height: Int,    // STUB
-      n_frames: Int)  // STUB
+      width: Int,     // real for ImageIO-decodable images; stub otherwise
+      height: Int,    // real for ImageIO-decodable images; stub otherwise
+      n_frames: Int)  // STUB (no audio/video codecs in a bare JVM)
 
   /** Attach a binary payload column (here: utf8 bytes of `text` stand in for
     * real media bytes) plus a kind tag derived from the source column. */
@@ -100,9 +105,13 @@ object Multimodal {
 
   case class Decoded(checksum: Long, width: Int, height: Int, nFrames: Int)
 
-  /** STUB decoder: deterministic fake features derived from the bytes.
-    * A real implementation would wrap an image/audio/video codec here;
-    * the call signature and per-partition lifecycle are the real contract. */
+  /** Per-partition media decoder. Images decode for real through
+    * `javax.imageio` (PNG/BMP/GIF/JPEG — whatever readers the JVM
+    * registers); payloads no reader recognizes, and the audio/video kinds,
+    * fall back to a deterministic STUB so every row still yields features.
+    * The call signature and per-partition lifecycle (one instance amortized
+    * over a partition's rows) are the contract a real JNI/ffmpeg handle
+    * plugs into. */
   final class StubDecoder {
     def decode(kind: String, payload: Array[Byte]): Decoded = {
       var sum = 0L
@@ -110,7 +119,12 @@ object Multimodal {
       while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
       val w = 64 + (math.abs(sum) % 1856).toInt
       kind match {
-        case "image" => Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1)
+        case "image" =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) Decoded(sum, img.getWidth, img.getHeight, 1) // real decode
+          else Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1) // STUB fallback
         case "audio" => Decoded(sum, 0, 0, payload.length / 128 + 1)
         case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
       }
