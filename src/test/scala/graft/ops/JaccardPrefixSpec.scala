@@ -52,17 +52,57 @@ class JaccardPrefixSpec extends SparkSpec {
 
   test("auto-select: hostile corpus routes through the prefix path, benign through the inverted index") {
     // benign: 50-doc real corpus — no shingle df can reach the hot cutoff
-    val (benignPairs, benignHot) = JaccardPrefix.nearDupPairsAutoChosen(
+    val (benignPairs, benignDec) = JaccardPrefix.nearDupPairsAutoChosen(
       shingleRows(sf("sf0.001")), "doc_id", "s", 0.6, hotDf = 256L)
-    assert(!benignHot, "benign corpus took the prefix path")
+    assert(!benignDec.prefixPath, "benign corpus took the prefix path")
+    assert(benignDec.maxDf > 0 && benignDec.maxDf <= 256L)
+    // the decision is recorded as a diagnostic metric (tools.Dev prints it)
+    assert(JaccardPrefix.lastDecision.contains(benignDec))
     val viaPrefix = JaccardPrefix.nearDupPairs(shingleRows(sf("sf0.001")), "doc_id", "s", 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(benignPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == viaPrefix)
     // hostile: the 424242 boilerplate shingle has df=3000 > 256 → prefix path,
     // same exact answer (the guard is performance-only, lossless either way)
-    val (hotPairs, hotHot) = JaccardPrefix.nearDupPairsAutoChosen(
+    val (hotPairs, hotDec) = JaccardPrefix.nearDupPairsAutoChosen(
       hostileCorpus, "doc_id", "s", 0.6, hotDf = 256L)
-    assert(hotHot, "hostile corpus took the inverted-index path")
+    assert(hotDec.prefixPath, "hostile corpus took the inverted-index path")
+    assert(hotDec.maxDf == 3000L, s"expected the boilerplate shingle's df, got ${hotDec.maxDf}")
+    assert(JaccardPrefix.lastDecision.contains(hotDec))
     assert(hotPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == hostileExpected)
+  }
+
+  /** The cutoff is load-bearing: corpora whose hottest shingle sits AT the
+    * boundary (df = hotDf → inverted index) and one past it (df = hotDf+1 →
+    * prefix) must route as documented and produce identical pairs — the
+    * auto-select is a pure performance decision even one df either side of
+    * the line. 300 trio-structured docs; the boilerplate shingle is injected
+    * into exactly `hotCount` of them.
+    */
+  private def boundaryCorpus(hotCount: Int) = {
+    import spark.implicits._
+    (0 until 300).flatMap { i =>
+      val base = (0 until 30).map(j => (i / 3 * 1000 + j).toLong)
+      val mine =
+        if (i % 3 == 2) (0 until 30).map(j => 10000000L + i * 100 + j)
+        else base.drop(1) :+ (800000L + i)
+      val withHot = if (i < hotCount) mine :+ 424242L else mine
+      withHot.map(s => (i.toLong, s))
+    }.toDF("doc_id", "s").distinct()
+  }
+
+  test("hotShingleDf boundary: df at and one past the cutoff route correctly, answers identical") {
+    val cutoff = graft.api.Dedup.hotShingleDf // the production constant (256)
+    for (df <- Seq(cutoff, cutoff + 1)) {
+      val corpus = boundaryCorpus(df.toInt)
+      val (auto, dec) = JaccardPrefix.nearDupPairsAutoChosen(corpus, "doc_id", "s", 0.6, cutoff)
+      assert(dec.maxDf == df, s"expected maxDf=$df, measured ${dec.maxDf}")
+      assert(dec.prefixPath == (df > cutoff),
+        s"df=$df (cutoff $cutoff) routed to ${dec.pathName}")
+      val autoSet = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefixSet = JaccardPrefix.nearDupPairs(corpus, "doc_id", "s", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(autoSet == prefixSet,
+        s"df=$df: paths disagree, missing=${(prefixSet -- autoSet).size} extra=${(autoSet -- prefixSet).size}")
+    }
   }
 }
