@@ -132,13 +132,18 @@ object VectorQueries {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nn"), col("c_id").as("cell"))
-        // both sides of the cell join read the assignment; cache it so the
-        // centroid-scoring pass runs once (an IVF index is persistent state
-        // in production anyway — this is the in-session equivalent)
-        .persist()
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nn").as("q_nn"), col("cell"))
+      // Lifecycle A/B (r6, sf0.1 + sf1, local[32], warm): persist+eager-
+      // checkpoint of the assignment cost 0.88-0.90 s / 1.09 s; plain
+      // recompute (both cell-join sides re-score against the broadcast
+      // centroids inside ONE job) runs 0.70-0.76 s / 0.75-0.79 s — the cache
+      // write+read exceeds one extra codegen'd scoring pass at any scale
+      // where the assignment doesn't fit in memory anyway. A production IVF
+      // index is persistent state written ONCE (parquet, partitioned by
+      // cell), not a per-query cache; inside a one-shot query, recompute
+      // wins. Recorded in BASELINE.md r6.
       val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
       val result = q.join(assigned, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
@@ -149,12 +154,6 @@ object VectorQueries {
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "nbr_id")
         .orderBy("q_id", "rank")
-        // Materialize the (top-k per query — tiny) answer now, then release
-        // the cached assignment: no cache outlives this call. A production
-        // IVF index would be persistent state with its own lifecycle; inside
-        // a one-shot query the index must not squat on executor memory.
-        .localCheckpoint(true)
-      assigned.unpersist()
       result
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Sink surface (SURVEY.md §2.1 S3/S4/S5).
   *
@@ -20,6 +21,51 @@ object Sinks {
   def csvPartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(keys: _*)
       .option("header", "true").csv(path)
+
+  /** S3 restartability: resume-aware per-key CSV write. The reference's
+    * per-char temp CSVs double as restart checkpoints — a rerun skips every
+    * character whose file already exists (web_scraper.py:1164-1183,
+    * README.md:54-56). Spark-first: the partition DIRECTORY is the
+    * checkpoint marker. One driver-side listing of `path` yields the done
+    * keys (cheap — partition keys are low-cardinality by contract), a
+    * broadcast left-anti join drops their rows, and ONLY the missing
+    * partitions are appended. Completed partitions are never rewritten, so
+    * a rerun after a crash does exactly the remaining work — at 100 TB this
+    * is the difference between re-shuffling the whole output and finishing
+    * the tail.
+    *
+    * Same caveat as the reference: a key is "done" iff its directory exists,
+    * so a run killed mid-partition-commit should clear that partition dir
+    * before resuming (Spark's job commit makes the window small: files land
+    * in `_temporary` until task commit). Keys must be non-null.
+    *
+    * Returns the number of key values written by THIS run (0 = everything
+    * was already checkpointed).
+    */
+  def csvResumePartitioned(df: DataFrame, path: String, key: String): Long = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done: Seq[String] =
+      if (!fs.exists(hPath)) Seq.empty
+      else fs.listStatus(hPath).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(s"$key="))
+        .map(n => java.net.URLDecoder.decode(n.substring(key.length + 1), "UTF-8"))
+    val pending =
+      if (done.isEmpty) df
+      else {
+        import spark.implicits._
+        // anti join beats a giant isin(): the done list stays a broadcast
+        // relation, not a thousand-term expression tree
+        df.join(broadcast(done.toDF("__done_key")),
+          col(key).cast("string") === col("__done_key"), "left_anti")
+      }
+    val pendingKeys = pending.select(key).distinct().count()
+    if (pendingKeys > 0)
+      pending.write.mode("append").partitionBy(key)
+        .option("header", "true").csv(path)
+    pendingKeys
+  }
 
   /** S4: omnibus CSV (parallel multi-part; readers glob the directory). */
   def csvOmnibus(df: DataFrame, path: String): Unit =

@@ -70,19 +70,15 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(api.contains("BroadcastHashJoin"),
       s"Similarity.cosineTopK lost its BroadcastHashJoin:\n$api")
-    // sim_ivf materializes eagerly (its final plan is a checkpoint scan), so
-    // lint the assignment join it repeats — the same dummy-key shape
-    // (mirrors QueriesVector.simIvf's corpus×centroids broadcast join)
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val assign = e.withColumn("z", pmod(col("vec_id"), lit(1L)))
-      .join(broadcast(cents.withColumn("z", pmod(col("c_id"), lit(1L)))), Seq("z"))
+    // sim_ivf (plain-recompute since r6 — no checkpoint hiding the plan):
+    // both centroid-assignment sides must keep the dummy-key
+    // BroadcastHashJoin, and nothing may demote to a nested loop
+    val ivf = graft.SparkEntry.queries("sim_ivf")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(assign.contains("BroadcastHashJoin"),
-      s"IVF assignment join lost its BroadcastHashJoin:\n$assign")
-    assert(!assign.contains("BroadcastNestedLoopJoin"),
-      s"IVF assignment join demoted to BroadcastNestedLoopJoin:\n$assign")
+    assert(ivf.contains("BroadcastHashJoin"),
+      s"sim_ivf assignment join lost its BroadcastHashJoin:\n$ivf")
+    assert(!ivf.contains("BroadcastNestedLoopJoin"),
+      s"sim_ivf assignment join demoted to BroadcastNestedLoopJoin:\n$ivf")
   }
 
   test("repeated dimension broadcast is planned once and reused (ReusedExchange)") {

@@ -98,6 +98,34 @@ class SinksSpec extends SparkSpec {
     assert(back.schema("r_regionkey").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("resume-aware CSV sink: a rerun writes ONLY the missing partitions") {
+    val out = "target/sinks-spec/csv_resume"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val nation = graft.Tables.nation(spark, dir) // 25 rows, 5 regions
+    // "crashed" first run: only regions 0 and 1 got checkpointed
+    val firstRun = Sinks.csvResumePartitioned(
+      nation.filter(col("n_regionkey") < 2), out, "n_regionkey")
+    assert(firstRun == 2)
+    // snapshot the files of the completed partitions (name -> mtime)
+    def partFiles(k: Int) = {
+      val d = new java.io.File(s"$out/n_regionkey=$k")
+      d.listFiles().filter(_.getName.endsWith(".csv")).map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (0 to 1).map(k => k -> partFiles(k)).toMap
+    // resume with the FULL dataset: only the 3 missing regions are written
+    val resumed = Sinks.csvResumePartitioned(nation, out, "n_regionkey")
+    assert(resumed == 3, s"resume should write exactly the 3 missing keys, wrote $resumed")
+    // completed partitions untouched: same files, same mtimes (not rewritten)
+    (0 to 1).foreach(k => assert(partFiles(k) == before(k), s"partition $k was rewritten"))
+    // and the union is complete + duplicate-free
+    val back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(out)
+    assert(back.count() == 25)
+    assert(back.select("n_nationkey").distinct().count() == 25)
+    // idempotent: a third run with everything checkpointed writes nothing
+    assert(Sinks.csvResumePartitioned(nation, out, "n_regionkey") == 0)
+  }
+
   test("omnibus CSV sink writes a readable multi-part directory") {
     val out = "target/sinks-spec/csv_omnibus"
     Sinks.csvOmnibus(graft.Tables.region(spark, dir), out)
