@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 import graft.expressions.VecDot
 
@@ -13,11 +14,27 @@ import graft.expressions.VecDot
   * driver corpus needs ([[Dedup.cosineTau]]); library users call these
   * directly with their own τ. All cosine math is double-precision with
   * array-order summation (VecDot) so results are deterministic and
-  * oracle-matchable. Equivalence to the catalog's original payload-carrying
-  * join shape and the recall/candidate-volume geometry tradeoff are both
-  * spec-covered in VectorRecallSpec.
+  * oracle-matchable. The LSH verify layout is auto-selected per corpus from
+  * measured bucket density (see lshCosineNearDup); both layouts' equivalence
+  * and the recall/candidate-volume geometry tradeoff are spec-covered in
+  * VectorRecallSpec.
   */
 object Similarity {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Which verify shape [[lshCosineNearDup]] chose for a corpus, with the
+    * measured statistics that drove it: estimated candidate-pair count
+    * (Σ_bucket C(c,2) over the banded index), banded index rows (n·nBands),
+    * and embedding dimension. */
+  final case class LshShape(reattach: Boolean, candidates: Long, bandRows: Long, dim: Int) {
+    def shapeName: String = if (reattach) "narrow-reattach" else "payload-inline"
+  }
+
+  /** Last verify-shape decision made in this JVM — diagnostic surface
+    * (tools.Dev prints it; at 100 TB it is the metric an operator reads to
+    * know which join layout a corpus took and how dense its buckets were). */
+  @volatile private[graft] var lastLshShape: Option[LshShape] = None
 
   /** Deterministic ±1 pseudo-random hyperplane component for plane `j`,
     * 1-based dimension column `i`: parity of an integer product mod P. Exact
@@ -57,7 +74,11 @@ object Similarity {
     * moves ids, not embedding payloads. Exposed separately so callers (and
     * specs) can measure candidate volume per geometry.
     */
-  def lshCandidates(emb: DataFrame, idCol: String, embCol: String,
+  /** The banded sign-LSH index: (__id, __dim, band, key), one row per
+    * (vector, band). The expensive part is the nBands·bitsPerBand hyperplane
+    * projections per vector — callers that need the index more than once
+    * should persist it (lshCosineNearDup does). */
+  private[graft] def bandsOf(emb: DataFrame, idCol: String, embCol: String,
       nBands: Int, bitsPerBand: Int): DataFrame = {
     require(nBands > 0 && bitsPerBand > 0)
     val e = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
@@ -69,8 +90,13 @@ object Similarity {
         (acc, i) => acc + element_at(col("__emb"), i) * hpSign(j, i))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }: _*)
-    val bands = e.select(col("__id"),
+    e.select(col("__id"), size(col("__emb")).as("__dim"),
       posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "key")))
+  }
+
+  def lshCandidates(emb: DataFrame, idCol: String, embCol: String,
+      nBands: Int, bitsPerBand: Int): DataFrame = {
+    val bands = bandsOf(emb, idCol, embCol, nBands, bitsPerBand)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -83,24 +109,90 @@ object Similarity {
     * verify: precision 1.0 by construction, recall is the band-geometry
     * tradeoff (see bandGeometry). Output: (id1, id2) with id1 < id2.
     *
-    * Scale shape: one narrow-row equi join for candidates, then two keyed
-    * joins to re-attach embeddings only for surviving pairs — embedding
-    * payloads never ride the candidate shuffle.
+    * The verify SHAPE is auto-selected from measured bucket stats, because
+    * the two layouts win in opposite regimes (both lossless — identical
+    * pairs, VectorRecallSpec):
+    *
+    *  - `narrow-reattach` (sparse candidates — the high-τ/wide-band regime
+    *    real dedup runs in): the candidate join moves only (band, key, id);
+    *    embeddings re-attach per surviving pair through two id-keyed joins.
+    *    Shuffle cost ≈ 3 passes over the candidate set (distinct + 2 join
+    *    probes) ≈ 60 B/candidate, and the corpus payload crosses a shuffle
+    *    only twice (once per re-attach build side).
+    *  - `payload-inline` (dense candidates — borderline τ, narrow bands,
+    *    skewed buckets): embeddings+norms join onto the banded index ONCE
+    *    (linear, n·nBands rows), the bucket self-join computes the cosine
+    *    inline as streamed join output, and only SURVIVORS hit the distinct.
+    *    The quadratic candidate set never crosses a shuffle at all — which
+    *    is exactly what kills narrow-reattach when candidates ≫ corpus
+    *    (measured r6, sf1: 44 s narrow vs ~7 s inline at (4,4), where
+    *    buckets hold thousands of collisions each).
+    *
+    * Decision: re-attach iff 60·candidates ≤ bandRows·(4·dim + 20) — i.e.
+    * the 3 candidate-set shuffle passes cost less than carrying the float
+    * payload (4·dim bytes + row overhead) through the linear bands join.
+    * Both sides are exact byte counts of the shapes' extra shuffles, from
+    * one cheap agg over the cached banded index (the projections are
+    * computed once and shared with the chosen path).
     */
   def lshCosineNearDup(emb: DataFrame, idCol: String, embCol: String, tau: Double,
       nBands: Int, bitsPerBand: Int): DataFrame = {
     require(tau > -1 && tau < 1, s"tau must be in (-1,1), got $tau")
     val withNorm = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"),
       VecDot(col(embCol), col(embCol)).as("__nn"))
-    lshCandidates(emb, idCol, embCol, nBands, bitsPerBand)
-      .join(withNorm.select(col("__id").as("id1"), col("__emb").as("__e1"),
-        col("__nn").as("__n1")), "id1")
-      .join(withNorm.select(col("__id").as("id2"), col("__emb").as("__e2"),
-        col("__nn").as("__n2")), "id2")
-      .filter(VecDot(col("__e1"), col("__e2")) /
-        (sqrt(col("__n1")) * sqrt(col("__n2"))) >= tau)
-      .select("id1", "id2")
+    val bands = bandsOf(emb, idCol, embCol, nBands, bitsPerBand).persist()
+    try {
+      val row = bands.groupBy("band", "key")
+        .agg(count(lit(1)).as("c"), max(col("__dim")).as("d"))
+        .agg(sum(expr("(c * (c - 1)) DIV 2")).as("cands"), sum(col("c")).as("rows"),
+          max(col("d")).as("dim"))
+        .head // job 1: fills the bands cache, measures bucket density
+      val (cands, bandRows, dim) =
+        if (row.isNullAt(1)) (0L, 0L, 0)
+        else (row.getLong(0), row.getLong(1), row.getInt(2))
+      val shape = LshShape(
+        reattach = 60.0 * cands <= bandRows.toDouble * (4.0 * dim + 20.0),
+        candidates = cands, bandRows = bandRows, dim = dim)
+      lastLshShape = Some(shape)
+      log.info(s"lsh near-dup shape: candidates=$cands bandRows=$bandRows dim=$dim " +
+        s"-> ${shape.shapeName}")
+      val pairs = verifiedPairs(bands, withNorm, tau, shape.reattach)
+      // job 2: materialize the (small) survivor set while the index cache is
+      // live; callers read the checkpoint, never the projection pipeline
+      (pairs.localCheckpoint(true))
+    } finally bands.unpersist()
   }
+
+  /** Both verify layouts over a banded index + (id, emb, norm) table;
+    * `reattach` picks the shape (see lshCosineNearDup). Lossless either way. */
+  private[graft] def verifiedPairs(bands: DataFrame, withNorm: DataFrame,
+      tau: Double, reattach: Boolean): DataFrame =
+    if (reattach) {
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+        .distinct()
+      cands
+        .join(withNorm.select(col("__id").as("id1"), col("__emb").as("__e1"),
+          col("__nn").as("__n1")), "id1")
+        .join(withNorm.select(col("__id").as("id2"), col("__emb").as("__e2"),
+          col("__nn").as("__n2")), "id2")
+        .filter(VecDot(col("__e1"), col("__e2")) /
+          (sqrt(col("__n1")) * sqrt(col("__n2"))) >= tau)
+        .select("id1", "id2")
+    } else {
+      val wide = bands.select("__id", "band", "key").join(withNorm, "__id")
+      wide.as("a")
+        .join(wide.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.__id") < col("b.__id"))
+        .filter(VecDot(col("a.__emb"), col("b.__emb")) /
+          (sqrt(col("a.__nn")) * sqrt(col("b.__nn"))) >= tau)
+        .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+        .distinct() // survivors only — the dense candidate set never shuffles
+    }
 
   /** lshCosineNearDup with geometry defaulted from τ. */
   def lshCosineNearDup(emb: DataFrame, idCol: String, embCol: String,

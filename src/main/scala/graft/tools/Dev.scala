@@ -38,15 +38,20 @@ object Dev {
         // (codegen/classload/footer) cost from steady-state operator cost
         val reps = rest.headOption.map(_.toInt).getOrElse(1)
         for (r <- 1 to reps) {
-          graft.ops.JaccardPrefix.lastDecision = None // print only THIS run's decision
+          graft.ops.JaccardPrefix.lastDecision = None // print only THIS run's decisions
+          graft.api.Similarity.lastLshShape = None
           val t0 = System.nanoTime()
           val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
           println(f"$id[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
-          // Jaccard auto-select observability: which join shape ran and the
-          // measured max shingle df that decided it (operator diagnostics —
-          // the line a 100 TB run greps for)
+          // auto-select observability: which join shape ran and the measured
+          // statistic that decided it (operator diagnostics — the lines a
+          // 100 TB run greps for)
           graft.ops.JaccardPrefix.lastDecision.foreach { dec =>
             println(s"$id[$r]: jaccard auto-select path=${dec.pathName} maxDf=${dec.maxDf}")
+          }
+          graft.api.Similarity.lastLshShape.foreach { sh =>
+            println(s"$id[$r]: lsh verify shape=${sh.shapeName} candidates=${sh.candidates} " +
+              s"bandRows=${sh.bandRows} dim=${sh.dim}")
           }
         }
       case "mart" :: _ =>

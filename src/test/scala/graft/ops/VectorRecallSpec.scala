@@ -157,6 +157,39 @@ class VectorRecallSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("LSH verify shapes: narrow-reattach ≡ payload-inline, and the density decision routes sensibly") {
+    import graft.api.Similarity
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val withNorm = emb.select(col("vec_id").as("__id"), col("embedding").as("__emb"),
+      VecDot(col("embedding"), col("embedding")).as("__nn"))
+    val bands = Similarity.bandsOf(emb, "vec_id", "embedding", 4, 4).cache()
+    try {
+      def run(reattach: Boolean) =
+        Similarity.verifiedPairs(bands, withNorm, 0.45, reattach)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val narrow = run(reattach = true)
+      val inline = run(reattach = false)
+      assert(narrow == inline,
+        s"verify shapes disagree: missing=${(inline -- narrow).size} extra=${(narrow -- inline).size}")
+    } finally bands.unpersist()
+    // decision routing: the borderline-τ (4,4) geometry on this corpus packs
+    // buckets densely -> payload-inline; the planted high-τ corpus at (16,8)
+    // has sparse candidates -> narrow-reattach. Also the decision metric is
+    // recorded for diagnostics.
+    Similarity.lshCosineNearDup(emb, "vec_id", "embedding", 0.45, 4, 4).count()
+    val dense = Similarity.lastLshShape.get
+    assert(!dense.reattach,
+      s"dense corpus (cands=${dense.candidates}, bandRows=${dense.bandRows}) took narrow-reattach")
+    // (the 12×5 dim-16 planted corpus routes inline too: with a 64-byte
+    // payload the linear bands join is cheaper than 3 passes over even a
+    // small candidate set — the formula is byte math, not a size heuristic)
+    val planted = plantedCorpus(nClusters = 200, perCluster = 3, dim = 64)
+    Similarity.lshCosineNearDup(planted, "vec_id", "embedding", 0.9, 16, 12).count()
+    val sparse = Similarity.lastLshShape.get
+    assert(sparse.reattach,
+      s"sparse corpus (cands=${sparse.candidates}, bandRows=${sparse.bandRows}) took payload-inline")
+  }
+
   test("banded LSH: precision 1.0, recall measured against exact, rises with similarity") {
     val d = sf("sf0.01")
     val exact = exactPairs(d)
