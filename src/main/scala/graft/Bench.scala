@@ -19,6 +19,10 @@ object Bench {
     // first eats several seconds of one-time Janino cost and the per-query
     // numbers measure JVM bring-up order, not operator cost (the r5
     // dedup_ngram_jaccard "regression" was exactly this amplification).
+    // Dev-only knob (the driver never sets it): comma-separated query ids to
+    // skip, for scale probes where quadratic-by-contract ops are excluded.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     try {
       import org.apache.spark.sql.functions._
       val warm = spark.read.parquet(s"$sfDir/nation.parquet")
@@ -31,14 +35,14 @@ object Bench {
         Option(p.getParent).map(_.resolve("sf0.001"))
           .filter(java.nio.file.Files.exists(_)).map(_.toString).getOrElse(sfDir)
       }
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      // Skip-listed queries are excluded from warmup too: when no sf0.001
+      // sibling exists the warmup falls back to sfDir itself, and running a
+      // quadratic-by-contract op at full probe scale just to warm codegen
+      // would cost more than the timed run it serves.
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!skip(name)) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
       }
     } catch { case _: Throwable => () }
-    // Dev-only knob (the driver never sets it): comma-separated query ids to
-    // skip, for scale probes where quadratic-by-contract ops are excluded.
-    val skip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val results = SparkEntry.queries.filter(q => !skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
