@@ -2,13 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Optional YAML run config (S2): env beats YAML beats default, so the
+    // driver's env-driven contract is unchanged.
+    val yml = graft.sources.YamlConfig.fromEnv()
+    val res = graft.sources.YamlConfig.resolve(sys.env.get, yml) _
+    val sfDir = res("SPARK_GRAFT_SF_DIR", "data.sf_dir", "/root/testdata/sf0.1")
+    val cpus = res("SPARK_GRAFT_CPUS", "spark.cpus", "4")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    yml.foreach(_.applySparkConfs(builder))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup: absorb JVM classloading, Janino codegen compiles,
     // parquet footer reads and shuffle-machinery init so the first timed query

@@ -6,13 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Optional YAML run config (S2): env beats YAML beats default, so the
+    // driver's env-driven contract is unchanged.
+    val yml = graft.sources.YamlConfig.fromEnv()
+    val res = graft.sources.YamlConfig.resolve(sys.env.get, yml) _
+    val cpus = res("SPARK_GRAFT_CPUS", "spark.cpus", "4")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    yml.foreach(_.applySparkConfs(builder))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

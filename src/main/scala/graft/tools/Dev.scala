@@ -11,13 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Dev {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Optional YAML run config (S2): env beats YAML beats default.
+    val yml = graft.sources.YamlConfig.fromEnv()
+    val cpus = graft.sources.YamlConfig.resolve(sys.env.get, yml)(
+      "SPARK_GRAFT_CPUS", "spark.cpus", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // extra confs: SPARK_GRAFT_CONF="k=v,k2=v2"
+    yml.foreach(_.applySparkConfs(builder))
+    // extra confs: SPARK_GRAFT_CONF="k=v,k2=v2" (beats the YAML's spark.conf)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)
     })
