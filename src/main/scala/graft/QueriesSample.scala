@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+import graft.Tables._
+import graft.ops.Sampling
+
+/** Deterministic sampling / splitting / packing — the training-data-
+  * pipeline operations downstream of dedup: reproducible train/val/test
+  * splits, leakage-safe (group-aware) splitting, per-stratum data mixing,
+  * exact k-samples, and concatenate-and-chunk packing offsets.
+  *
+  * All randomness is an exact integer hash (ops.Sampling) so every query
+  * here has a bit-exact DuckDB oracle twin and a 100 TB re-run reproduces
+  * the same assignment. The reference has no analog (its corpus fits in
+  * pandas); these are the driver-mandate "operations a large-scale
+  * training-data pipeline would need".
+  */
+object SampleQueries {
+
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The oracle-side twin of Sampling.bucketOf. */
+  private def sqlBucket(idExpr: String, salt: Long, buckets: Long = 1000L): String =
+    s"(($idExpr * 2654435761 + $salt) % 1000000007) % $buckets"
+
+  private def sqlSplitCase(b: String): String =
+    s"CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END"
+
+  // Reproducible 80/10/10 split: a pure map-side expression — no shuffle,
+  // no rand(), identical assignment on any cluster size or re-run.
+  private val sampleSplit = Q(
+    (s, d) =>
+      Sampling.hashSplit(documents(s, d).select("doc_id"), "doc_id", splitWeights)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, ${sqlSplitCase(sqlBucket("doc_id", 0L))} AS split
+             FROM documents ORDER BY doc_id"""))
+
+  // Data mixing: per-language sampling rates (50% en, 20% zh, 10% rest),
+  // one filter pass — the 100 TB pretraining-mix materialization shape.
+  private val sampleStratified = Q(
+    (s, d) =>
+      Sampling.stratifiedSample(documents(s, d).select("doc_id", "lang"),
+          "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.2), defaultRate = 0.1, salt = 1L)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+             WHERE ${sqlBucket("doc_id", 1L)} <
+               CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200 ELSE 100 END
+             ORDER BY doc_id"""))
+
+  // Leakage-safe split: hash the duplicate-GROUP representative, not the
+  // row id, so near-identical documents can never straddle train/test (the
+  // classic contamination bug). Group = smallest doc_id per normalized
+  // fingerprint (dedup_normalized's equivalence); the same op composes with
+  // dedup_cluster's CC labels for full near-dup safety (SamplingSpec).
+  private val splitLeakageSafe = Q(
+    (s, d) => {
+      val fp = documents(s, d)
+        .select(col("doc_id"), md5(normalized(col("text"))).as("fp"))
+      val rep = fp.groupBy("fp").agg(min(col("doc_id")).as("group_id"))
+      Sampling.groupSafeSplit(fp.join(rep, "fp").select("doc_id", "group_id"),
+          "group_id", splitWeights, salt = 2L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fp AS (SELECT doc_id,
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                  FROM documents),
+             rep AS (SELECT fp, min(doc_id) AS group_id FROM fp GROUP BY fp)
+             SELECT f.doc_id, r.group_id,
+                    ${sqlSplitCase(sqlBucket("r.group_id", 2L))} AS split
+             FROM fp f JOIN rep r USING (fp) ORDER BY f.doc_id"""))
+
+  // Exact deterministic 100-sample without replacement (reproducible
+  // reservoir-sampling analog): smallest (hash, id) — a distributed top-k,
+  // never a global sort.
+  private val sampleK = Q(
+    (s, d) =>
+      Sampling.kSampleByHash(documents(s, d).select("doc_id", "lang"), "doc_id",
+          k = 100, salt = 3L)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM (
+               SELECT doc_id, lang FROM documents
+               ORDER BY ${sqlBucket("doc_id", 3L, 1000000L)}, doc_id LIMIT 100)
+             ORDER BY doc_id"""))
+
+  // Concatenate-and-chunk packing: documents laid end-to-end in doc_id
+  // order, the token stream cut into 512-token chunks (boundaries cross
+  // documents — how pretraining batches are actually packed). Implemented
+  // as a distributed prefix sum (ops.Sampling.chunkOffsets), not a global
+  // single-partition window.
+  private val packChunks = Q(
+    (s, d) =>
+      Sampling.chunkOffsets(
+          documents(s, d).select(col("doc_id"),
+            size(tokens(col("text"))).as("n_tok")),
+          "doc_id", "n_tok", budget = 512L)
+        .select("doc_id", "n_tok", "start_offset", "chunk_first", "chunk_last")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tok, start_offset,
+                   start_offset // 512 AS chunk_first,
+                   (start_offset + greatest(n_tok, 1) - 1) // 512 AS chunk_last
+            FROM (
+              SELECT doc_id, n_tok,
+                     CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+              FROM (SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok
+                    FROM documents) t) o
+            ORDER BY doc_id"""))
+
+  val all: List[(String, Q)] = List(
+    "sample_split" -> sampleSplit,
+    "sample_stratified" -> sampleStratified,
+    "split_leakage_safe" -> splitLeakageSafe,
+    "sample_k_by_hash" -> sampleK,
+    "pack_chunks" -> packChunks)
+}

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private val catalog: List[(String, Q)] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      VectorQueries.all ++ TimeQueries.all ++ SketchQueries.all
+      VectorQueries.all ++ TimeQueries.all ++ SketchQueries.all ++
+      SampleQueries.all
 
   /** Flagship query (SURVEY §7.2): latest-snapshot pick → 5-way join →
     * conditional revenue rollup. Driver smoke-checks rows>0 on sf0.001. */

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting and packing for training-data
+  * pipelines.
+  *
+  * Everything here is driven by an EXACT integer hash of a numeric id —
+  * never `rand()` — so results are reproducible across runs, partitionings,
+  * engines and cluster sizes (an external SQL oracle derives identical
+  * buckets with plain BIGINT arithmetic), and a re-run of a 100 TB split
+  * assigns every document to the same side. `rand()`-based sampling has
+  * none of those properties (it changes under retry/speculative execution).
+  *
+  * Scale posture: [[bucketOf]]/[[hashSplit]]/[[stratifiedSample]]/
+  * [[uniformSample]] are pure map-side expressions — no shuffle, no state,
+  * codegen-friendly — the only way a split of a 100 TB corpus should work.
+  * [[kSampleByHash]] is a global top-k (one reduce of k-row heaps).
+  * [[chunkOffsets]] is a distributed prefix sum: the only single-partition
+  * step is over ONE ROW PER PARTITION, never over the data.
+  */
+object Sampling {
+
+  /** Knuth multiplicative constant and a Mersenne-ish prime: the same pair
+    * the repo's hyperplane signs use (api.Similarity.hpSign) — products stay
+    * well under 2^63 for any realistic id, so the math is exact in any
+    * engine with 64-bit integers. */
+  val HashMult = 2654435761L
+  val HashPrime = 1000000007L
+
+  /** Uniform pseudo-random bucket in [0, buckets) from a numeric id: exact
+    * integer arithmetic, map-side, engine-portable. `salt` decorrelates
+    * independent sampling decisions over the same ids (a split and a sample
+    * at the same salt would nest, not compose). */
+  def bucketOf(id: Column, salt: Long = 0L, buckets: Int = 1000): Column =
+    pmod(id.cast("long") * HashMult + lit(salt), lit(HashPrime)) % buckets
+
+  /** Deterministic train/val/test-style split: appends `splitCol` with the
+    * first label whose cumulative weight bound exceeds the id's bucket.
+    * `weights` are (label, weight) with positive weights summing to ~1; the
+    * last label absorbs rounding. No shuffle — the split of a 100 TB corpus
+    * is a scan. */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      salt: Long = 0L, splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val b = bucketOf(col(idCol), salt)
+    val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(w => (w * 1000).round)
+    val expr = weights.init.zip(bounds).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((label, _), bound)) => acc.when(b < bound, label)
+    }.otherwise(weights.last._1)
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Leakage-safe split: every row of a group gets the SAME split label by
+    * hashing the group's numeric key instead of the row id — with the group
+    * key chosen as "near-duplicate cluster" (dedup_cluster's label) or
+    * "normalized-fingerprint representative", near-identical documents can
+    * never straddle train/test (the classic contamination bug: a test
+    * document whose near-twin was trained on). `groupCol` must be numeric
+    * and present on the rows (one prior shuffle to compute it, typically
+    * min(id) per fingerprint or the CC label — see SampleQueries); the
+    * split itself is then map-side. */
+  def groupSafeSplit(df: DataFrame, groupCol: String,
+      weights: Seq[(String, Double)], salt: Long = 0L): DataFrame =
+    hashSplit(df, groupCol, weights, salt)
+
+  /** Per-stratum deterministic sampling rates (data mixing): keep a row of
+    * stratum s iff bucket < rate(s)·1000. One pass, no shuffle — this is
+    * how a 100 TB pretraining mix ("50% of en, 20% of zh, 10% of the rest")
+    * is materialized. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double, salt: Long = 0L): DataFrame = {
+    val b = bucketOf(col(idCol), salt)
+    val bound = rates.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, rate)) => acc.when(col(strataCol) === stratum, (rate * 1000).round)
+    }.otherwise((defaultRate * 1000).round)
+    df.filter(b < bound)
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def uniformSample(df: DataFrame, idCol: String, rate: Double, salt: Long = 0L): DataFrame =
+    df.filter(bucketOf(col(idCol), salt) < (rate * 1000).round)
+
+  /** Exact deterministic k-sample without replacement (the reproducible
+    * analog of reservoir sampling): the k rows with the smallest
+    * (hash, id). Executes as a distributed top-k — per-partition k-row
+    * heaps, one k-row reduce — never a global sort of the corpus. */
+  def kSampleByHash(df: DataFrame, idCol: String, k: Int, salt: Long = 0L): DataFrame =
+    df.withColumn("__h", bucketOf(col(idCol), salt, 1000000))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .drop("__h")
+
+  /** Concatenate-and-chunk packing offsets (how pretraining data is
+    * actually batched: documents are laid end-to-end in a deterministic
+    * order and the stream is cut into fixed `budget`-token chunks, document
+    * boundaries crossing chunk edges). For each row: its exclusive running
+    * token offset in `orderCol` order, and the first/last chunk it lands
+    * in.
+    *
+    * Implemented as a DISTRIBUTED prefix sum, not a global-ORDER-BY window
+    * (which Catalyst executes as a single partition — the classic 100 TB
+    * bottleneck): range-partition by the order key, per-partition running
+    * sums, then offset each partition by the exclusive prefix of per-
+    * partition totals — the only single-partition window runs over one row
+    * per partition. The result is independent of where the range boundaries
+    * fall, so sampling-based boundary placement cannot change the answer.
+    */
+  def chunkOffsets(df: DataFrame, orderCol: String, tokCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__run", sum(col(tokCol).cast("long")).over(wLocal))
+    val wParts = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row PER PARTITION
+    val prefixes = local.groupBy("__pid").agg(sum(col(tokCol).cast("long")).as("__tot"))
+      .withColumn("__prefix", coalesce(sum(col("__tot")).over(wParts), lit(0L)))
+      .drop("__tot")
+    local.join(prefixes, "__pid")
+      .withColumn("start_offset", col("__prefix") + col("__run") - col(tokCol).cast("long"))
+      // integer division (DIV): offsets can exceed 2^53 at 100 TB, where a
+      // double-division floor would silently lose precision
+      .withColumn("chunk_first", expr(s"start_offset DIV ${budget}L"))
+      .withColumn("chunk_last",
+        expr(s"(start_offset + greatest(cast($tokCol AS bigint), 1L) - 1) DIV ${budget}L"))
+      .drop("__pid", "__run", "__prefix")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sampling/splitting/packing properties the oracle can't express:
+  * partitioning-independence, leakage-safety as an invariant, composition
+  * with near-dup cluster labels, prefix-sum correctness vs a single-
+  * partition reference, and the no-shuffle plan shape of map-side ops. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("hashSplit: deterministic, partitioning-independent, weights respected") {
+    import spark.implicits._
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs.select("doc_id"), "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.select("doc_id").repartition(13), "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on physical partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1 && frac("val") > 0.02 && frac("test") > 0.02,
+      s"split fractions far from weights: $frac")
+    // salts decorrelate: a different salt must move SOME assignments
+    val c = Sampling.hashSplit(docs.select("doc_id"), "doc_id", w, salt = 99L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.exists { case (k, v) => c(k) != v })
+  }
+
+  test("map-side ops shuffle nothing: no Exchange in the split/sample plans") {
+    val w = Seq("train" -> 0.8, "test" -> 0.2)
+    for (df <- Seq(
+        Sampling.hashSplit(docs.select("doc_id"), "doc_id", w),
+        Sampling.stratifiedSample(docs.select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 0.5), 0.1),
+        Sampling.uniformSample(docs.select("doc_id"), "doc_id", 0.25))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected a pure scan+project plan:\n$plan")
+    }
+  }
+
+  test("groupSafeSplit: a group never straddles splits; composes with CC labels") {
+    import spark.implicits._
+    // synthetic clusters: 60 docs in 20 groups of 3
+    val grouped = (0L until 60L).map(i => (i, i % 20)).toDF("doc_id", "cluster")
+    val split = Sampling.groupSafeSplit(grouped, "cluster",
+      Seq("train" -> 0.5, "test" -> 0.5)).collect()
+    val perGroup = split.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).toSet)
+    assert(perGroup.values.forall(_.size == 1), "leakage: a cluster saw two splits")
+    // real composition: dedup_cluster labels from the catalog
+    val labels = graft.SparkEntry.queries("dedup_cluster")(spark, sf("sf0.001"))
+    val safe = Sampling.groupSafeSplit(labels, "cluster", Seq("train" -> 0.8, "test" -> 0.2))
+    val byCluster = safe.groupBy("cluster").agg(countDistinct("split").as("nsplits"))
+    assert(byCluster.filter(col("nsplits") > 1).count() == 0)
+  }
+
+  test("stratifiedSample: per-stratum rates within tolerance, deterministic") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.2)
+    val sampled = Sampling.stratifiedSample(docs.select("doc_id", "lang"),
+      "doc_id", "lang", rates, defaultRate = 0.1, salt = 1L)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((langName, rate) <- rates ++ Map("de" -> 0.1)) {
+      val observed = kept.getOrElse(langName, 0L).toDouble / total(langName)
+      assert(math.abs(observed - rate) < 0.2,
+        s"$langName: observed $observed vs rate $rate")
+    }
+  }
+
+  test("kSampleByHash: exactly k, deterministic, partitioning-independent") {
+    val a = Sampling.kSampleByHash(docs.select("doc_id"), "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.kSampleByHash(docs.select("doc_id").repartition(7), "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 25 && a == b)
+  }
+
+  test("chunkOffsets: distributed prefix sum matches the sequential reference") {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    val got = Sampling.chunkOffsets(rows, "doc_id", "n_tok", budget = 512L)
+      .select("doc_id", "n_tok", "start_offset", "chunk_first", "chunk_last")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // sequential reference on the driver
+    var off = 0L
+    val want = rows.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).map {
+      case (id, tok) =>
+        val start = off; off += tok
+        (id, tok, start, start / 512, (start + math.max(tok, 1) - 1) / 512)
+    }
+    assert(got.toSeq == want.toSeq)
+    // offsets are a contiguous concatenation: each start = previous end
+    val ends = got.scanLeft(0L) { case (acc, (_, tok, _, _, _)) => acc + tok }
+    assert(got.map(_._3).toSeq == ends.init.toSeq)
+    // partitioning-independence (different partition count, same answer)
+    val got13 = Sampling.chunkOffsets(rows.repartition(13), "doc_id", "n_tok", 512L,
+        partitions = 5)
+      .select("doc_id", "start_offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, _, start, _, _) => got13(id) == start })
+  }
+}
