@@ -170,79 +170,17 @@ object DedupQueries {
             ORDER BY id1, id2"""))
 
   // Near-dup CLUSTERING: connected components over the Jaccard candidate
-  // graph via min-label propagation — each doc ends up labeled with the
+  // graph via min-label propagation (ops.ConnectedComponents — the public
+  // operator this query delegates to) — each doc ends up labeled with the
   // smallest doc_id reachable through near-dup edges (the canonical pick).
   // The fixpoint is unique, so any engine/iteration order converges to the
-  // same answer; the oracle computes it with a recursive CTE.
-  //
-  // Scale posture: this is iterative Pregel-style message passing as keyed
-  // joins — each round is one shuffle on the edge key; lineage is cut per
-  // round (localCheckpoint) so plans stay bounded; rounds ≤ graph diameter
-  // (near-dup components are shallow). The edge set is persisted once.
+  // same answer; the oracle computes it with a recursive CTE. Singletons
+  // (the vast majority of any near-dup graph) skip the iteration entirely
+  // and are unioned back at the end.
   private val dedupCluster = Q(
     (s, d) => {
-      val pairs = ngramPairs(s, d).select("id1", "id2")
-      // Pre-partitioned on the join key: every round's edges⋈labels probe
-      // reuses this layout, so the (large, static) edge set shuffles ONCE for
-      // the whole fixpoint instead of once per round.
-      val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-        .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")
-        .repartition(col("src"))
-        .persist() // materialized by first use; every later round reuses it
-      // Only edge-touched nodes can change label; singletons (the vast
-      // majority of any near-dup graph) skip the iteration entirely and are
-      // unioned back at the end.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      // Σlabel strictly decreases every non-converged round (labels only
-      // shrink), so the fixpoint test is one tiny agg on the new checkpoint —
-      // no diff join against the previous round. sum() is null on an empty
-      // frame (no edges at all) — treat as already converged. The sum is
-      // taken as decimal(38,0): a Long sum with ANSI off wraps silently at
-      // billions of large ids, and a wrapped-equal sum could fake
-      // convergence; decimal(38,0) cannot wrap at any realistic row count.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Option[java.math.BigDecimal] = {
-        val row = df.agg(sum(col("label").cast("decimal(38,0)"))).head
-        if (row.isNullAt(0)) None else Some(row.getDecimal(0))
-      }
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = prevSum.isEmpty
-      // Rounds needed = propagation radius of the largest component, bounded
-      // by node count. The cap is a runaway backstop, not a semantic limit —
-      // exceeding it is an ERROR (silent cap-exit would return labels that
-      // diverge from the oracle's true fixpoint).
-      val maxIter = 1000
-      // Convergence is checked every `checkEvery` rounds, not every round:
-      // Σlabel is monotone non-increasing, so "unchanged across k rounds"
-      // still implies a true fixpoint (no change could have occurred in ANY
-      // of the k rounds), and overshooting by up to k−1 no-op rounds is one
-      // extra cheap shuffle — while the blocking driver actions (the at-scale
-      // latency chain: job submit + result fetch per check) are cut by k×.
-      val checkEvery = 2
-      try {
-        while (!converged && iter < maxIter) {
-          val steps = math.min(checkEvery, maxIter - iter)
-          var next = labels
-          for (_ <- 0 until steps) {
-            val msgs = edges.join(next, col("src") === col("id"))
-              .select(col("dst").as("id"), col("label"))
-            // LAZY checkpoint: nothing materializes until the labelSum action
-            // below, which computes ALL pending rounds' checkpoints and the
-            // convergence sum in ONE Spark job — k shuffles, one driver
-            // round-trip.
-            next = next.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
-              .localCheckpoint(false)
-          }
-          val s2 = labelSum(next)
-          converged = s2 == prevSum
-          prevSum = s2
-          labels = next
-          iter += steps
-        }
-        require(converged, s"dedup_cluster: label propagation did not converge in $maxIter rounds")
-      } finally edges.unpersist()
+      val labels = graft.ops.ConnectedComponents.labels(
+        ngramPairs(s, d).select("id1", "id2"))
       val singletons = documents(s, d).select(col("doc_id").as("id"))
         .join(labels.select("id"), Seq("id"), "left_anti")
         .withColumn("label", col("id"))

@@ -1,0 +1,113 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+import graft.ops.{ConnectedComponents, JaccardPrefix, Sampling}
+
+/** End-to-end training-corpus preparation: the library's operators composed
+  * the way a 100 TB pretraining-data run uses them —
+  *
+  *   clean → quality filter → exact dedup → near-dup clustering →
+  *   leakage-safe split → stratified mix → chunk packing
+  *
+  * Each stage is the same public operator the catalog verifies individually
+  * (TextFns cleanup, Sampling splits, JaccardPrefix auto-selected pair
+  * join, ConnectedComponents labels), so a user gets the oracle-tested
+  * semantics without hand-wiring the stages. Determinism carries through:
+  * every stage is hash-driven or a unique fixpoint, so a re-run of the
+  * whole pipeline reproduces the same corpus bit-for-bit
+  * (CorpusPipelineSpec asserts partitioning-independence end-to-end).
+  *
+  * Scale notes per stage: clean/quality/exact-dedup are one scan + one
+  * fingerprint shuffle; near-dup pairs auto-route through the hot-shingle
+  * guard; clustering shuffles the (narrow) edge set once per round; split
+  * and mix are map-side; packing is a distributed prefix sum. Nothing in
+  * the flow collects to the driver or broadcasts the corpus.
+  */
+object CorpusPipeline {
+
+  /** Tuning knobs, defaulted to the catalog's verified constants.
+    *
+    * @param minTokens      quality floor: drop docs with fewer tokens
+    * @param minStopRatio   quality floor: drop docs with a stopword ratio
+    *                       below this (gibberish/non-language filter)
+    * @param jaccardTau     near-dup similarity threshold
+    * @param hotShingleDf   hot-shingle guard cutoff (see Dedup.hotShingleDf)
+    * @param mixRates       per-strata keep rates; strata absent keep
+    *                       `defaultRate`
+    * @param splitWeights   (label, weight) split fractions
+    * @param chunkBudget    tokens per packed chunk
+    */
+  final case class Config(
+      minTokens: Long = 10L,
+      minStopRatio: Double = 0.01,
+      jaccardTau: Double = Dedup.jaccardTau,
+      hotShingleDf: Long = Dedup.hotShingleDf,
+      mixRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      splitWeights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      chunkBudget: Long = 2048L)
+
+  /** The prepared corpus:
+    * @param documents  surviving docs with provenance columns —
+    *                   (id, text, strata, n_tok, cluster, split)
+    * @param trainChunks packing offsets for the `train` split —
+    *                   (id, n_tok, start_offset, chunk_first, chunk_last)
+    */
+  final case class Prepared(documents: DataFrame, trainChunks: DataFrame)
+
+  /** Run the full flow over (idCol: numeric, textCol: string,
+    * strataCol: string) rows. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: Config = Config()): Prepared = {
+    // 1. clean: tag-strip + whitespace-collapse + trim (text_clean twin)
+    val cleaned = docs.select(
+      col(idCol).as("id"), col(strataCol).as("strata"),
+      trim(regexp_replace(regexp_replace(col(textCol), "<[^>]*>", " "),
+        "[ \\t\\n\\f\\r]+", " ")).as("text"))
+    // 2. quality floor (text_quality twin): token count + stopword ratio
+    val toks = tokens(col("text"))
+    val scored = cleaned
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("__stop", stopwordHits(toks).cast("long"))
+      .filter(col("n_tok") >= cfg.minTokens &&
+        col("__stop").cast("double") / col("n_tok").cast("double") >= cfg.minStopRatio)
+      .drop("__stop")
+    // 3. exact dedup on the normalized fingerprint: keep the smallest id
+    val fp = scored.withColumn("__fp", md5(normalized(col("text"))))
+    val keep = fp.groupBy("__fp").agg(min(col("id")).as("id"))
+    val deduped = fp.join(keep, Seq("__fp", "id")).drop("__fp")
+      // one narrow shuffle key for everything downstream
+      .repartition(col("id"))
+      .persist()
+    try {
+      // 4. near-dup clusters: auto-selected Jaccard pair join (hot-shingle
+      // guarded) → min-label propagation; singletons label themselves
+      val sets = deduped.select(col("id"),
+        array_distinct(graft.expressions.ShingleHashes(tokens(col("text")))).as("hs"))
+      val pairs = JaccardPrefix.nearDupPairsAutoSets(sets, "id", "hs",
+        cfg.jaccardTau, cfg.hotShingleDf)
+      val clusters = ConnectedComponents.labels(pairs)
+        .select(col("id"), col("label").as("cluster"))
+      val labeled = deduped.join(clusters, Seq("id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      // 5. leakage-safe split (hash the CLUSTER, not the row id) then
+      // 6. stratified mix — both map-side
+      val split = Sampling.groupSafeSplit(labeled, "cluster", cfg.splitWeights, salt = 2L)
+      val mixed =
+        if (cfg.mixRates.isEmpty && cfg.defaultRate >= 1.0) split
+        else Sampling.stratifiedSample(split, "id", "strata", cfg.mixRates,
+          cfg.defaultRate, salt = 1L)
+      // 7. pack the train split into fixed-budget chunks
+      val train = mixed.filter(col("split") === cfg.splitWeights.head._1)
+        .select("id", "n_tok")
+      val chunks = Sampling.chunkOffsets(train, "id", "n_tok", cfg.chunkBudget)
+        .select("id", "n_tok", "start_offset", "chunk_first", "chunk_last")
+      // materialize while the dedup cache is live; callers get
+      // checkpoint-backed frames that never re-run the upstream stages
+      Prepared(mixed.localCheckpoint(true), chunks.localCheckpoint(true))
+    } finally deduped.unpersist()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation (the classic
+  * Pregel shape as keyed DataFrame joins) — the clustering engine behind
+  * the catalog's `dedup_cluster` and api.CorpusPipeline's near-dup
+  * grouping.
+  *
+  * Scale posture (100 TB): the symmetrized edge set is repartitioned on the
+  * join key ONCE and persisted, so every round's edges⋈labels probe reuses
+  * the layout — one keyed shuffle per round, not two. Lineage is cut per
+  * round with a LAZY localCheckpoint: the convergence action materializes
+  * all pending rounds AND the fixpoint test in a single Spark job.
+  * Convergence (Σlabel, monotone non-increasing, decimal(38,0) so it cannot
+  * wrap) is checked every `checkEvery` rounds — overshoot is at most
+  * checkEvery−1 cheap no-op shuffles while the blocking driver round-trips
+  * (the real at-scale latency chain) are cut by that factor. Rounds needed
+  * ≤ max component diameter; near-dup graphs are shallow.
+  */
+object ConnectedComponents {
+
+  /** (id, label) for every node that appears in `pairs` (two columns,
+    * src/dst ids of an undirected edge); label = the smallest id reachable
+    * from the node. Nodes with no edges are ABSENT — callers union their
+    * identity labels back (they need no propagation). The result is
+    * checkpoint-backed (the fixpoint ran to convergence before return). */
+  def labels(pairs: DataFrame, checkEvery: Int = 2, maxIter: Int = 1000): DataFrame = {
+    require(checkEvery >= 1 && maxIter >= 1)
+    val Array(c1, c2) = pairs.columns
+    val e0 = pairs.select(col(c1).as("src"), col(c2).as("dst"))
+    val edges = e0.union(e0.select(col("dst"), col("src")))
+      .repartition(col("src"))
+      .persist() // materialized by first use; every later round reuses it
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val row = df.agg(sum(col("label").cast("decimal(38,0)"))).head
+      if (row.isNullAt(0)) None else Some(row.getDecimal(0))
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum.isEmpty
+    try {
+      while (!converged && iter < maxIter) {
+        val steps = math.min(checkEvery, maxIter - iter)
+        var next = labels
+        for (_ <- 0 until steps) {
+          val msgs = edges.join(next, col("src") === col("id"))
+            .select(col("dst").as("id"), col("label"))
+          next = next.union(msgs).groupBy("id").agg(min(col("label")).as("label"))
+            .localCheckpoint(false)
+        }
+        val s2 = labelSum(next)
+        converged = s2 == prevSum
+        prevSum = s2
+        labels = next
+        iter += steps
+      }
+      // The cap is a runaway backstop, not a semantic limit — exceeding it is
+      // an ERROR (a silent cap-exit would return labels diverging from the
+      // true fixpoint every caller's contract promises).
+      require(converged, s"ConnectedComponents: no convergence in $maxIter rounds")
+    } finally edges.unpersist()
+    labels
+  }
+}

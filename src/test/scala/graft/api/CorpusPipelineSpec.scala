@@ -1,0 +1,64 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end corpus preparation: every stage's contract holds after
+  * composition, and the whole flow is deterministic under repartitioning. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  private lazy val prepared =
+    CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
+
+  test("stage contracts survive composition") {
+    val out = prepared.documents
+    val rows = out.count()
+    assert(rows > 0 && rows <= docs.count())
+    // quality floor: no surviving doc below the token minimum
+    assert(out.filter(col("n_tok") < 10).count() == 0)
+    // exact dedup: normalized fingerprints are unique among survivors
+    val fps = out.select(md5(graft.functions.TextFns.normalized(col("text"))).as("fp"))
+    assert(fps.distinct().count() == fps.count())
+    // leakage safety: no cluster straddles splits
+    val straddlers = out.groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1)
+    assert(straddlers.count() == 0)
+    // split labels are exactly the configured ones
+    val labels = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("train chunks are a contiguous concatenation in id order") {
+    val chunks = prepared.trainChunks.orderBy("id")
+      .select("id", "n_tok", "start_offset", "chunk_first", "chunk_last")
+      .collect()
+    assert(chunks.nonEmpty)
+    var expected = 0L
+    for (r <- chunks) {
+      assert(r.getLong(2) == expected, s"gap at id ${r.getLong(0)}")
+      expected += r.getLong(1)
+      assert(r.getLong(3) == r.getLong(2) / 2048 &&
+        r.getLong(4) == (r.getLong(2) + math.max(r.getLong(1), 1) - 1) / 2048)
+    }
+    // chunk ids only ever move forward across the train stream
+    val firsts = chunks.map(_.getLong(3))
+    assert(firsts.zip(firsts.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("end-to-end determinism: same corpus from any input partitioning") {
+    val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
+      CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(key(prepared.documents) == key(again.documents))
+    def chunkKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "start_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunkKey(prepared.trainChunks) == chunkKey(again.trainChunks))
+  }
+}
