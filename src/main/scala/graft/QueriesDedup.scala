@@ -19,25 +19,20 @@ import graft.Tables._
   */
 object DedupQueries {
 
-  // X1: exact dedup — keep the smallest doc_id per identical text.
+  // X1: exact dedup — keep the smallest doc_id per identical text
+  // (delegates to the public api.Dedup front door).
   private val dedupExact = Q(
     (s, d) =>
-      documents(s, d)
-        .groupBy("text")
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id", "text")
+      graft.api.Dedup.exactDedup(documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
     Some("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"))
 
   // X2: normalized near-dup — lowercase/whitespace-collapse, md5 fingerprint,
-  // keep smallest doc_id per fingerprint (web_scraper latest-snapshot spirit).
+  // keep smallest doc_id per fingerprint (web_scraper latest-snapshot
+  // spirit); delegates to api.Dedup.
   private val dedupNormalized = Q(
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), md5(normalized(col("text"))).as("fp"))
-        .groupBy("fp")
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id", "fp")
+      graft.api.Dedup.normalizedDedup(documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
     Some("""SELECT min(doc_id) AS doc_id, fp FROM (
               SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

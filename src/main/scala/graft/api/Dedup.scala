@@ -1,12 +1,14 @@
 package graft.api
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
-/** Public dedup-policy API: the thresholds and normalization rules the
-  * operator catalog runs with. Library users tune their corpus here (or pass
-  * explicit values to the operators in [[Similarity]] / graft.ops); the
-  * catalog entries read these defaults so driver-verified behavior and the
-  * public API cannot drift apart.
+/** Public dedup API: the thresholds and normalization rules the operator
+  * catalog runs with, plus the DataFrame front door to the whole dedup
+  * family — exact, normalized, near-dup pairs (auto-selected join shape)
+  * and near-dup clustering — over any (id, text) table. The catalog
+  * entries exercise the same code paths with these defaults, so
+  * driver-verified behavior and the public API cannot drift apart.
   */
 object Dedup {
 
@@ -33,4 +35,46 @@ object Dedup {
   /** Text normalization applied before fingerprinting in normalized dedup:
     * lowercase, collapse whitespace runs, trim. */
   def normalized(text: Column): Column = graft.functions.TextFns.normalized(text)
+
+  /** Exact dedup: one survivor (smallest id) per byte-identical text. One
+    * hash shuffle on the text — the 100 TB shape. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(textCol).agg(min(col(idCol)).as(idCol)).select(idCol, textCol)
+
+  /** Normalized dedup: one survivor (smallest id) per md5 of the
+    * normalized text. Output: (idCol, fp). */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normalized(col(textCol))).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol, "fp")
+
+  /** Per-doc distinct 3-gram shingle-hash sets — the shared upstream of the
+    * Jaccard family (one compiled hashing pass per doc, no exploded
+    * intermediate). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      array_distinct(graft.expressions.ShingleHashes(
+        graft.functions.TextFns.tokens(col(textCol)))).as("hs"))
+
+  /** Near-duplicate (id1, id2) pairs at Jaccard ≥ tau over 3-gram shingles,
+    * with the join shape auto-selected per corpus (inverted index vs the
+    * hot-shingle-safe prefix join — ops.JaccardPrefix). Checkpoint-backed. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double = jaccardTau, hotDf: Long = hotShingleDf): DataFrame =
+    graft.ops.JaccardPrefix.nearDupPairsAutoSets(
+      shingleSets(df, idCol, textCol), idCol, "hs", tau, hotDf)
+
+  /** Near-duplicate clusters: connected components over [[nearDupPairs]],
+    * every doc labeled with the smallest reachable id (singletons label
+    * themselves). Output: (idCol, cluster). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      tau: Double = jaccardTau, hotDf: Long = hotShingleDf): DataFrame = {
+    val labels = graft.ops.ConnectedComponents.labels(
+      nearDupPairs(df, idCol, textCol, tau, hotDf))
+    val singletons = df.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.union(singletons)
+      .select(col("id").as(idCol), col("label").as("cluster"))
+  }
 }
