@@ -212,10 +212,52 @@ object VectorQueries {
          ORDER BY id1, id2"""
     })
 
+  // Embedding-space near-dup CLUSTERING: the semantic twin of
+  // dedup_cluster — LSH-candidate cosine pairs (same geometry and τ as
+  // dedup_lsh_cosine, so the oracle mirrors the bands exactly) fed through
+  // min-label connected components; every vector labeled with the smallest
+  // reachable vec_id, singletons labeling themselves. At 100 TB: candidate
+  // generation is the banded equi join, clustering shuffles the (narrow)
+  // edge set once per fixpoint round.
+  private val dedupEmbeddingCluster = Q(
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val pairs = graft.api.Similarity.lshCosineNearDup(emb, "vec_id", "embedding",
+        graft.api.Dedup.cosineTau, nBands = 4, bitsPerBand = 4)
+      val labels = graft.ops.ConnectedComponents.labels(pairs)
+      val singletons = emb.select(col("vec_id").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("label", col("id"))
+      labels.union(singletons)
+        .select(col("id").as("vec_id"), col("label").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def sqlBandKey(b: Int) = (4 * b until 4 * b + 4).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+            i -> CAST(embedding[i] AS DOUBLE) * ${sqlHpSign(j, "i")})) > 0
+            THEN '1' ELSE '0' END)"""
+      }.mkString(" || ")
+      val bands = (0 until 4).map(b => s"${sqlBandKey(b)} AS k$b").mkString(", ")
+      val anyBand = (0 until 4).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, $bands FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                   FROM e a JOIN e b ON ($anyBand) AND a.vec_id < b.vec_id
+                   WHERE ${sqlCos("a", "b")} >= 0.45),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (SELECT vec_id AS id, vec_id AS label FROM embeddings
+                   UNION
+                   SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id)
+         SELECT id AS vec_id, CAST(min(label) AS BIGINT) AS cluster
+         FROM reach GROUP BY id ORDER BY vec_id"""
+    })
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_lsh_cosine" -> dedupLshCosine)
+    "dedup_lsh_cosine" -> dedupLshCosine,
+    "dedup_embedding_cluster" -> dedupEmbeddingCluster)
 }

@@ -16,11 +16,12 @@ class ScaleSpec extends SparkSpec {
     // Allowlist: fuzzy_levenshtein deliberately cross-joins a 25-row
     // dictionary side (broadcast; bounded by construction).
     val bnljOk = Set("fuzzy_levenshtein")
-    // dedup_cluster is iterative: building its DataFrame eagerly EXECUTES the
-    // whole label-propagation job (per-round localCheckpoint actions), and the
-    // resulting plan only shows the final round. It is linted separately below
-    // on the per-round join shape — the plan that actually repeats at scale.
-    val iterative = Set("dedup_cluster")
+    // The clustering queries are iterative: building their DataFrames eagerly
+    // EXECUTES the whole label-propagation job (per-round localCheckpoint
+    // actions), and the resulting plan only shows the final round. The
+    // per-round join shape — the plan that actually repeats at scale — is
+    // linted separately below.
+    val iterative = Set("dedup_cluster", "dedup_embedding_cluster")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       if (!iterative(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
