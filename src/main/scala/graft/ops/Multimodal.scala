@@ -67,17 +67,53 @@ object Multimodal {
   case class ResizedRow(doc_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
 
-  /** Resize: payload→payload transform at a target resolution. The stub
-    * "resizer" truncates/extends bytes deterministically; a real one wraps
-    * an image library. Narrow map stage — no shuffle, scales with splits. */
+  /** Resize: payload→payload transform at a target resolution. REAL for
+    * ImageIO-decodable images (BufferedImage + bilinear Graphics2D scale,
+    * re-encoded as PNG — pure JVM, headless-safe); payloads no reader
+    * recognizes fall back to the deterministic byte-reshaping stub. Narrow
+    * map stage — no shuffle, scales with splits. */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       val decoder = new StubDecoder
       rows.map { r =>
-        val resized = decoder.resizeBytes(r.payload, targetW * targetH / 256 + 1)
+        val resized = decoder.resizeImage(r.payload, targetW, targetH)
+          .getOrElse(decoder.resizeBytes(r.payload, targetW * targetH / 256 + 1))
         ResizedRow(r.doc_id, r.kind, resized, targetW, targetH)
+      }
+    }
+  }
+
+  case class ImageStats(doc_id: Long, width: Int, height: Int, mean_luma: Double)
+
+  /** REAL image feature extraction: decode, then mean ITU-R 601 luminance
+    * over all pixels — the kind of cheap scalar feature (brightness /
+    * blur / aspect filters) a multimodal training pipeline computes before
+    * shipping pixels to a GPU stage. Rows whose payloads don't decode are
+    * dropped (None → flatMap), so downstream sees only true image stats. */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.flatMap { r =>
+        decoder.decodeImage(r.payload).map { img =>
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.doc_id, img.getWidth, img.getHeight,
+            sum / (img.getWidth.toLong * img.getHeight))
+        }
       }
     }
   }
@@ -120,15 +156,37 @@ object Multimodal {
       val w = 64 + (math.abs(sum) % 1856).toInt
       kind match {
         case "image" =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
-          if (img != null) Decoded(sum, img.getWidth, img.getHeight, 1) // real decode
-          else Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1) // STUB fallback
+          decodeImage(payload) match {
+            case Some(img) => Decoded(sum, img.getWidth, img.getHeight, 1) // real decode
+            case None => Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1) // STUB fallback
+          }
         case "audio" => Decoded(sum, 0, 0, payload.length / 128 + 1)
         case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
       }
     }
+
+    /** REAL image decode to pixels (None when no registered reader
+      * recognizes the bytes). */
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** REAL image resize: bilinear Graphics2D scale to (w, h), re-encoded
+      * as PNG. None when the payload isn't a decodable image. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
 
     /** STUB resize: deterministic byte reshaping to the target size.
       * Empty payloads resize to all-zero bytes. */

@@ -29,6 +29,44 @@ class MultimodalSpec extends SparkSpec {
       media.collect().map(_.doc_id).sorted.toSeq)
   }
 
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image resize: PNG payloads come back at the target pixel size") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(100, 40, 0xff8040)),
+      Multimodal.MediaRow(2L, "image", png(7, 7, 0x123456)),
+      Multimodal.MediaRow(3L, "audio", "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resize(media, 32, 16).collect().sortBy(_.doc_id)
+    // decodable images: true bilinear resize, PNG-re-encoded at 32x16
+    for (r <- out.take(2)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 16,
+        s"doc ${r.doc_id} did not round-trip as a 32x16 image")
+    }
+    // non-image payload: deterministic stub fallback, never a crash
+    assert(out(2).payload.length == 32 * 16 / 256 + 1)
+  }
+
+  test("REAL image feature extraction: mean luminance over decoded pixels") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(16, 16, 0xffffff)), // white
+      Multimodal.MediaRow(2L, "image", png(16, 16, 0x000000)), // black
+      Multimodal.MediaRow(3L, "audio", "opaque bytes".getBytes("UTF-8"))).toDS()
+    val stats = Multimodal.imageStats(media).collect().sortBy(_.doc_id)
+    assert(stats.length == 2, "non-decodable rows must be dropped, not faked")
+    assert(math.abs(stats(0).mean_luma - 255.0) < 1.0 && stats(0).width == 16)
+    assert(stats(1).mean_luma < 1.0)
+  }
+
   test("frame sampling fans out every stride-th frame of video rows only") {
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(60)
     val media = Multimodal.attachPayload(docs)
