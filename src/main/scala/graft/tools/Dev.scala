@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev smoke                 — entry() row count on sf0.001
   *   runMain graft.tools.Dev explain <sfDir> [ids] — explain("formatted") per query
   *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
+  *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -57,6 +58,22 @@ object Dev {
             println(s"$id[$r]: lsh verify shape=${sh.shapeName} candidates=${sh.candidates} " +
               s"bandRows=${sh.bandRows} dim=${sh.dim}")
           }
+        }
+      case "pipeline" :: rest =>
+        // end-to-end CorpusPipeline over a documents table: timing + stage
+        // survivor counts (the number a capacity plan starts from)
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        docs.count() // warm the scan so run 1 measures the pipeline
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val p = graft.api.CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+            graft.api.CorpusPipeline.Config(mixRates = Map("en" -> 0.9), defaultRate = 0.7))
+          val n = p.documents.count()
+          val c = p.trainChunks.count()
+          println(f"pipeline[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+            f"${docs.count()} docs -> $n kept, $c train rows")
         }
       case "mart" :: _ =>
         // game-domain flagship over the bundled fixture subsets
