@@ -379,6 +379,38 @@ object TextQueries {
             regexp_matches(props, '^\{') AS looks_json
             FROM events ORDER BY event_id"""))
 
+  // Repetition/diversity quality signals (the Gopher-style filters a
+  // pretraining pipeline runs after basic length/stopword checks): type-
+  // token ratio and top-token fraction. Exact integer counts with ONE final
+  // double division per column, so both engines agree bitwise. One shuffle
+  // chain: explode → per-(doc, token) counts → per-doc rollup (n_tok
+  // recovered as sum(c), no second scan).
+  private val textRepetition = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_c"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tok").cast("double")).as("ttr"),
+          (col("max_c").cast("double") / col("n_tok").cast("double")).as("top_token_frac"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tok, n_distinct,
+            CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+            CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_token_frac
+            FROM (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                     count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+              FROM (SELECT doc_id, t, count(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+                          FROM documents) u
+                    GROUP BY doc_id, t) g
+              GROUP BY doc_id) r
+            ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -395,5 +427,6 @@ object TextQueries {
     "text_tfidf_topk" -> textTfidfTopk,
     "text_clean" -> textClean,
     "text_pii_mask" -> textPiiMask,
+    "text_repetition" -> textRepetition,
     "multimodal_meta" -> multimodalMeta)
 }
