@@ -33,6 +33,9 @@ object CorpusPipeline {
     * @param minTokens      quality floor: drop docs with fewer tokens
     * @param minStopRatio   quality floor: drop docs with a stopword ratio
     *                       below this (gibberish/non-language filter)
+    * @param maxTopTokenFrac quality ceiling: drop docs whose most frequent
+    *                       token exceeds this fraction of all tokens (the
+    *                       Gopher-style repetition filter; 1.0 disables)
     * @param jaccardTau     near-dup similarity threshold
     * @param hotShingleDf   hot-shingle guard cutoff (see Dedup.hotShingleDf)
     * @param mixRates       per-strata keep rates; strata absent keep
@@ -43,6 +46,7 @@ object CorpusPipeline {
   final case class Config(
       minTokens: Long = 10L,
       minStopRatio: Double = 0.01,
+      maxTopTokenFrac: Double = 1.0,
       jaccardTau: Double = Dedup.jaccardTau,
       hotShingleDf: Long = Dedup.hotShingleDf,
       mixRates: Map[String, Double] = Map.empty,
@@ -67,7 +71,10 @@ object CorpusPipeline {
       col(idCol).as("id"), col(strataCol).as("strata"),
       trim(regexp_replace(regexp_replace(col(textCol), "<[^>]*>", " "),
         "[ \\t\\n\\f\\r]+", " ")).as("text"))
-    // 2. quality floor (text_quality twin): token count + stopword ratio
+    // 2. quality floor (text_quality twin): token count + stopword ratio,
+    // plus the optional Gopher-style repetition ceiling (text_repetition
+    // twin: top-token fraction — map-side via sort(frequencies) over the
+    // per-doc token multiset, no extra shuffle)
     val toks = tokens(col("text"))
     val scored = cleaned
       .withColumn("n_tok", size(toks).cast("long"))
@@ -75,8 +82,22 @@ object CorpusPipeline {
       .filter(col("n_tok") >= cfg.minTokens &&
         col("__stop").cast("double") / col("n_tok").cast("double") >= cfg.minStopRatio)
       .drop("__stop")
+    val qualified =
+      if (cfg.maxTopTokenFrac >= 1.0) scored
+      else scored.filter(
+        // max per-token count via aggregate over the sorted token array:
+        // a run-length fold — stays a per-row expression, no explode/shuffle
+        aggregate(
+          sort_array(toks),
+          struct(lit(0L).as("mx"), lit(0L).as("run"), lit("").as("prev")),
+          (acc, t) => {
+            val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(greatest(acc.getField("mx"), run).as("mx"), run.as("run"), t.as("prev"))
+          },
+          acc => acc.getField("mx")
+        ).cast("double") / col("n_tok").cast("double") <= cfg.maxTopTokenFrac)
     // 3. exact dedup on the normalized fingerprint: keep the smallest id
-    val fp = scored.withColumn("__fp", md5(normalized(col("text"))))
+    val fp = qualified.withColumn("__fp", md5(normalized(col("text"))))
     val keep = fp.groupBy("__fp").agg(min(col("id")).as("id"))
     val deduped = fp.join(keep, Seq("__fp", "id")).drop("__fp")
       // one narrow shuffle key for everything downstream

@@ -49,6 +49,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(firsts.zip(firsts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("repetition ceiling drops degenerate docs, keeps diverse ones") {
+    import spark.implicits._
+    val degenerate = ("the " * 40) + "end"             // top token frac ≈ 0.98
+    val diverse = (1 to 40).map(i => s"the word$i").mkString(" ") // frac ≈ 0.5
+    val corpus = Seq((1L, degenerate, "en"), (2L, diverse, "en"))
+      .toDF("doc_id", "text", "lang")
+    val strict = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang",
+      CorpusPipeline.Config(maxTopTokenFrac = 0.6))
+    assert(strict.documents.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val lax = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang",
+      CorpusPipeline.Config())
+    assert(lax.documents.count() == 2, "default (1.0) must disable the ceiling")
+  }
+
   test("end-to-end determinism: same corpus from any input partitioning") {
     val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
       CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
