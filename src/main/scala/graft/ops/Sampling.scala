@@ -33,7 +33,13 @@ object Sampling {
   /** Uniform pseudo-random bucket in [0, buckets) from a numeric id: exact
     * integer arithmetic, map-side, engine-portable. `salt` decorrelates
     * independent sampling decisions over the same ids (a split and a sample
-    * at the same salt would nest, not compose). */
+    * at the same salt would nest, not compose).
+    *
+    * Ids should be NON-NEGATIVE for cross-engine parity: Spark's pmod is
+    * always non-negative while plain SQL `%` keeps the dividend's sign, so
+    * a negative id buckets differently in an external oracle (the id
+    * columns this library samples — doc_id, vec_id, cluster labels — are
+    * non-negative by construction). */
   def bucketOf(id: Column, salt: Long = 0L, buckets: Int = 1000): Column =
     pmod(id.cast("long") * HashMult + lit(salt), lit(HashPrime)) % buckets
 

@@ -78,6 +78,12 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.kSampleByHash(docs.select("doc_id").repartition(7), "doc_id", 25)
       .collect().map(_.getLong(0)).toSet
     assert(a.size == 25 && a == b)
+    // plan shape: distributed top-k (per-partition heaps + one k-row
+    // reduce), never a global sort of the corpus
+    val plan = Sampling.kSampleByHash(docs.select("doc_id"), "doc_id", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-sample should plan as TakeOrderedAndProject:\n$plan")
   }
 
   test("chunkOffsets: distributed prefix sum matches the sequential reference") {
