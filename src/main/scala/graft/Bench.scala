@@ -48,15 +48,42 @@ object Bench {
         if (!skip(name)) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.filter(q => !skip(q._1)).map { case (name, fn) =>
+    // Contention defense: a single timed pass is at the mercy of whatever
+    // else the box is doing (three rounds of driver-bench artifacts were
+    // distorted exactly this way — e.g. dedup_cluster 17.2 s contended vs
+    // 3.3–3.6 s quiet, same code). Each query therefore runs `runs` times
+    // (default 3; SPARK_GRAFT_RUNS / --runs to override) and reports the
+    // per-query MEDIAN, which is robust to one noisy repetition. Passes are
+    // interleaved over the whole catalog (pass 1 of all queries, then pass 2,
+    // ...) so a transient load spike inflates at most one pass of each query
+    // rather than all repetitions of the unlucky one. System load average is
+    // recorded before and after so a contended run is visible in the artifact
+    // itself instead of needing a judge re-run to detect.
+    val runs = math.max(1, args.collectFirst { case a if a.startsWith("--runs=") => a.stripPrefix("--runs=") }
+      .orElse(sys.env.get("SPARK_GRAFT_RUNS"))
+      .orElse(yml.flatMap(_.get("bench.runs")))
+      .map(_.trim.toInt).getOrElse(3))
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    val names = SparkEntry.queries.keys.filter(!skip(_)).toVector
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val results = names.map(n => n -> median(samples(n)))
+    val loadAfter = osBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":"$cpus""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}""")
     spark.stop()
   }
 }
