@@ -253,11 +253,110 @@ object VectorQueries {
          FROM reach GROUP BY id ORDER BY vec_id"""
     })
 
+  // ---- Wide-band (production-geometry) LSH entries -------------------------
+  // The τ=0.45 entries above are corpus-forced to the (4,4) geometry, which is
+  // near-quadratic in candidates; REAL embedding dedup runs at τ≥0.8 where
+  // bandGeometry gives (16,8) — candidates ~n²/256 per band. The synthetic
+  // embeddings hold no pair above cosine ~0.6 (measured: max 0.513 at sf0.01,
+  // 0.601 at sf0.1), so τ=0.8 against the raw table would return zero rows —
+  // a trivially-green query that proves nothing about the band construction.
+  // The wide geometry is therefore oracle-verified in two complementary ways:
+  //  - `lsh_bands_wide` emits EVERY (16,8) band key of the raw table, so all
+  //    128 hyperplane sign bits per vector are hash-compared cross-engine —
+  //    the band construction itself is the verified output;
+  //  - `dedup_lsh_cosine_wide` / `dedup_embedding_cluster_wide` run the real
+  //    τ=0.8 near-dup call over a deterministically derived corpus: every
+  //    10th vector gains a 2×-scaled copy at vec_id + 10,000,000. Scaling by
+  //    a power of two is exact in binary FP, so the copy keeps every
+  //    hyperplane sign and sits at cosine exactly 1.0 from its original
+  //    (both engines compute bit-identical values), while every incidental
+  //    pair stays below 0.8 — the wide geometry must find precisely the
+  //    planted duplicates, through the same candidate-join + verify path a
+  //    production corpus takes.
+  private def widenedCorpus(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .union(e.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+
+  private val sqlWidenedCorpus =
+    """wc AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+              FROM embeddings WHERE vec_id % 10 = 0)"""
+
+  /** 8-bit band key `b` of the (16,8) geometry — DuckDB twin of
+    * Similarity.bandsOf at bitsPerBand=8 (same hyperplanes via sqlHpSign). */
+  private def sqlBandKeyWide(b: Int): String = (8 * b until 8 * b + 8).map { j =>
+    s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * ${sqlHpSign(j, "i")})) > 0
+        THEN '1' ELSE '0' END)"""
+  }.mkString(" || ")
+
+  private val lshBandsWide = Q(
+    (s, d) => graft.api.Similarity.bandsOf(embeddings(s, d), "vec_id", "embedding",
+        nBands = 16, bitsPerBand = 8)
+      .select(col("__id").as("vec_id"), col("band"), col("key").as("band_key"))
+      .orderBy("vec_id", "band"),
+    Some((0 until 16).map(b =>
+        s"SELECT vec_id, $b AS band, ${sqlBandKeyWide(b)} AS band_key FROM embeddings")
+      .mkString("SELECT vec_id, band, band_key FROM (", " UNION ALL ",
+        ") t ORDER BY vec_id, band")))
+
+  private val dedupLshCosineWide = Q(
+    (s, d) => graft.api.Similarity.lshCosineNearDup(widenedCorpus(embeddings(s, d)),
+        "vec_id", "embedding", tau = 0.8) // bandGeometry(0.8) = (16, 8)
+      .orderBy("id1", "id2"),
+    Some {
+      val bands = (0 until 16).map(b => s"${sqlBandKeyWide(b)} AS k$b").mkString(", ")
+      val anyBand = (0 until 16).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH $sqlWidenedCorpus,
+         e AS (SELECT vec_id, embedding, $bands FROM wc)
+         SELECT a.vec_id AS id1, b.vec_id AS id2
+         FROM e a JOIN e b ON ($anyBand) AND a.vec_id < b.vec_id
+         WHERE ${sqlCos("a", "b")} >= 0.8
+         ORDER BY id1, id2"""
+    })
+
+  private val dedupEmbeddingClusterWide = Q(
+    (s, d) => {
+      val emb = widenedCorpus(embeddings(s, d))
+      val pairs = graft.api.Similarity.lshCosineNearDup(emb, "vec_id", "embedding",
+        tau = 0.8, nBands = 16, bitsPerBand = 8)
+      val labels = graft.ops.ConnectedComponents.labels(pairs)
+      val singletons = emb.select(col("vec_id").as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("label", col("id"))
+      labels.union(singletons)
+        .select(col("id").as("vec_id"), col("label").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val bands = (0 until 16).map(b => s"${sqlBandKeyWide(b)} AS k$b").mkString(", ")
+      val anyBand = (0 until 16).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH RECURSIVE $sqlWidenedCorpus,
+         e AS (SELECT vec_id, embedding, $bands FROM wc),
+         pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                   FROM e a JOIN e b ON ($anyBand) AND a.vec_id < b.vec_id
+                   WHERE ${sqlCos("a", "b")} >= 0.8),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (SELECT vec_id AS id, vec_id AS label FROM wc
+                   UNION
+                   SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id)
+         SELECT id AS vec_id, CAST(min(label) AS BIGINT) AS cluster
+         FROM reach GROUP BY id ORDER BY vec_id"""
+    })
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
-    "dedup_embedding_cluster" -> dedupEmbeddingCluster)
+    "dedup_embedding_cluster" -> dedupEmbeddingCluster,
+    "lsh_bands_wide" -> lshBandsWide,
+    "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
+    "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide)
 }
