@@ -85,13 +85,13 @@ object Similarity {
       // embeddings tables often arrive as few input splits; spreading by id
       // parallelizes the projection pass (row-count-preserving reshuffle)
       .repartition(col("__id"))
-    def bandKey(b: Int) = concat((bitsPerBand * b until bitsPerBand * (b + 1)).map { j =>
-      val proj = aggregate(sequence(lit(1), size(col("__emb"))), lit(0.0),
-        (acc, i) => acc + element_at(col("__emb"), i) * hpSign(j, i))
-      when(proj > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    // One compiled traversal computes every plane's projection (see
+    // expressions.BandKeys) — semantically identical to per-band
+    // aggregate() folds, but codegen'd instead of nBands·bitsPerBand
+    // interpreted HOF passes per row.
     e.select(col("__id"), size(col("__emb")).as("__dim"),
-      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "key")))
+      posexplode(graft.expressions.BandKeys(col("__emb"), nBands, bitsPerBand))
+        .as(Seq("band", "key")))
   }
 
   def lshCandidates(emb: DataFrame, idCol: String, embCol: String,

@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All sign-LSH band keys of one embedding in a single compiled pass.
+  *
+  * Semantically identical to the HOF composition it replaces in
+  * `api.Similarity.bandsOf` — for band `b`, the key is the concatenation over
+  * plane `j ∈ [bits·b, bits·(b+1))` of `'1'` iff
+  * `Σ_i x_i · hpSign(j, i) > 0`, with the projection accumulated in double
+  * left-to-right (index order) exactly as `aggregate(sequence(1, size), …)`
+  * does, so the DuckDB oracle twins (QueriesVector.sqlHpSign /
+  * sqlBandKeyWide) remain bit-identical.
+  *
+  * Why an Expression: the HOF form evaluates nBands·bitsPerBand interpreted
+  * `aggregate` lambdas per row — 128 array traversals through
+  * `HigherOrderFunction.eval` at the (16,8) production geometry. This is one
+  * static call over one traversal of the array, accumulating every plane's
+  * projection in a flat double[], and it keeps the banded-index projection
+  * pass inside whole-stage codegen.
+  */
+case class BandKeys(child: Expression, nBands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(nBands > 0 && bitsPerBand > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_keys requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  override protected def nullSafeEval(v: Any): Any =
+    BandKeys.keys(v.asInstanceOf[ArrayData], nBands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.BandKeys.keys($c, $nBands, $bitsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+object BandKeys {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def keys(a: ArrayData, nBands: Int, bitsPerBand: Int): ArrayData = {
+    val n = a.numElements()
+    val planes = nBands * bitsPerBand
+    val proj = new Array[Double](planes)
+    var idx = 0
+    while (idx < n) {
+      // 1-based dimension index, matching sequence(1, size) in the HOF form
+      // and generate_series(1, len(embedding)) in the oracle.
+      val x = a.getFloat(idx).toDouble
+      val i = idx + 1L
+      var j = 0
+      while (j < planes) {
+        // hpSign(j, i): parity of (j+1)·(i+7)·2654435761 mod 1000000007.
+        // All factors positive, product < 2^63 for any realistic dim count.
+        val sign =
+          if (((j + 1L) * (i + 7L) * 2654435761L % 1000000007L) % 2L == 1L) 1.0 else -1.0
+        proj(j) += x * sign
+        j += 1
+      }
+      idx += 1
+    }
+    val out = new Array[Any](nBands)
+    val buf = new java.lang.StringBuilder(bitsPerBand)
+    var b = 0
+    while (b < nBands) {
+      buf.setLength(0)
+      var k = 0
+      while (k < bitsPerBand) {
+        buf.append(if (proj(b * bitsPerBand + k) > 0) '1' else '0')
+        k += 1
+      }
+      out(b) = UTF8String.fromString(buf.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(emb: Column, nBands: Int, bitsPerBand: Int): Column =
+    GraftBridge.column(BandKeys(GraftBridge.expression(emb), nBands, bitsPerBand))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.expressions.{Bigrams, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{BandKeys, Bigrams, PolyHash, ShingleHashes, VecDot}
 import graft.functions.TextFns
 
 /** The native expressions must agree exactly with their composable
@@ -94,6 +94,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr(0) == (4.0 + 10.0 + 18.0))
   }
 
+  test("BandKeys matches the per-band aggregate() HOF composition") {
+    import spark.implicits._
+    // Mixed signs/magnitudes plus a length-1 vector; same hyperplanes as
+    // api.Similarity.hpSign, accumulated in the same index order.
+    val vs = Seq(
+      Array(0.5f, -1.25f, 3.0f, 0.25f, -0.75f, 2.5f),
+      Array(-0.125f, 0.875f, -2.0f),
+      Array(1.0f))
+    val df = vs.map(Tuple1(_)).toDF("e")
+    def hofKeys(nBands: Int, bits: Int) = {
+      def bandKey(b: Int) = concat((bits * b until bits * (b + 1)).map { j =>
+        val proj = aggregate(sequence(lit(1), size(col("e"))), lit(0.0),
+          (acc, i) => acc + element_at(col("e"), i) * graft.api.Similarity.hpSign(j, i))
+        when(proj > 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+      array((0 until nBands).map(bandKey): _*)
+    }
+    for ((nb, bits) <- Seq((4, 4), (16, 8), (1, 3))) {
+      val viaExpr = df.select(BandKeys(col("e"), nb, bits).as("k")).as[Seq[String]].collect()
+      val viaHof = df.select(hofKeys(nb, bits).as("k")).as[Seq[String]].collect()
+      assert(viaExpr.toSeq == viaHof.toSeq, s"geometry ($nb,$bits)")
+      assert(viaExpr.forall(ks => ks.length == nb && ks.forall(_.length == bits)))
+    }
+  }
+
   test("custom expressions: interpreted eval agrees with codegen") {
     // All four expressions route eval and doGenCode through one static
     // kernel, so divergence is impossible by construction — this guards the
@@ -111,7 +136,8 @@ class ExpressionsSpec extends SparkSpec {
         .as[Seq[String]].collect().toSeq
       val vs = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
       val vd = vs.select(VecDot(col("a"), col("b"))).as[Double].collect().toSeq
-      (p, sh, bg, vd)
+      val bk = vs.select(BandKeys(col("a"), 4, 4)).as[Seq[String]].collect().toSeq
+      (p, sh, bg, vd, bk)
     }
     val underCodegen = run()
     val confs = Seq("spark.sql.codegen.wholeStage" -> "false",
