@@ -21,9 +21,11 @@ object SampleQueries {
 
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
-  /** The oracle-side twin of Sampling.bucketOf. */
+  /** The oracle-side twin of Sampling.bucketOf — including the mod-before-
+    * multiply reduction, so the formula is portable to strict-64-bit
+    * engines (same residue class, identical buckets; see bucketOf doc). */
   private def sqlBucket(idExpr: String, salt: Long, buckets: Long = 1000L): String =
-    s"(($idExpr * 2654435761 + $salt) % 1000000007) % $buckets"
+    s"(((($idExpr % 1000000007) * 2654435761 + $salt) % 1000000007) % $buckets)"
 
   private def sqlSplitCase(b: String): String =
     s"CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END"

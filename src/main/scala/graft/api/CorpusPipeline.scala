@@ -42,6 +42,10 @@ object CorpusPipeline {
     *                       `defaultRate`
     * @param splitWeights   (label, weight) split fractions
     * @param chunkBudget    tokens per packed chunk
+    * @param trainLabel     which split label gets packed into chunks — must
+    *                       name an entry of `splitWeights` (NOT positional:
+    *                       reordering the weights must never silently pack a
+    *                       different split)
     */
   final case class Config(
       minTokens: Long = 10L,
@@ -52,7 +56,11 @@ object CorpusPipeline {
       mixRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       splitWeights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      chunkBudget: Long = 2048L)
+      chunkBudget: Long = 2048L,
+      trainLabel: String = "train") {
+    require(splitWeights.exists(_._1 == trainLabel),
+      s"trainLabel '$trainLabel' is not one of splitWeights ${splitWeights.map(_._1)}")
+  }
 
   /** The prepared corpus:
     * @param documents  surviving docs with provenance columns —
@@ -121,8 +129,8 @@ object CorpusPipeline {
         if (cfg.mixRates.isEmpty && cfg.defaultRate >= 1.0) split
         else Sampling.stratifiedSample(split, "id", "strata", cfg.mixRates,
           cfg.defaultRate, salt = 1L)
-      // 7. pack the train split into fixed-budget chunks
-      val train = mixed.filter(col("split") === cfg.splitWeights.head._1)
+      // 7. pack the configured train split into fixed-budget chunks
+      val train = mixed.filter(col("split") === cfg.trainLabel)
         .select("id", "n_tok")
       val chunks = Sampling.chunkOffsets(train, "id", "n_tok", cfg.chunkBudget)
         .select("id", "n_tok", "start_offset", "chunk_first", "chunk_last")

@@ -35,13 +35,29 @@ object Sampling {
     * independent sampling decisions over the same ids (a split and a sample
     * at the same salt would nest, not compose).
     *
-    * Ids should be NON-NEGATIVE for cross-engine parity: Spark's pmod is
+    * Ids must be NON-NEGATIVE for cross-engine parity: Spark's pmod is
     * always non-negative while plain SQL `%` keeps the dividend's sign, so
-    * a negative id buckets differently in an external oracle (the id
-    * columns this library samples — doc_id, vec_id, cluster labels — are
-    * non-negative by construction). */
-  def bucketOf(id: Column, salt: Long = 0L, buckets: Int = 1000): Column =
-    pmod(id.cast("long") * HashMult + lit(salt), lit(HashPrime)) % buckets
+    * a negative id would bucket differently in an external oracle — a
+    * wrong-answer-not-error class of bug. The expression therefore fails
+    * LOUDLY (raise_error) on a negative id instead of silently diverging;
+    * null ids stay null (dropped by filter consumers), matching SQL.
+    *
+    * Overflow safety: the id is reduced mod HashPrime BEFORE the multiply —
+    * same residue class (a·M ≡ (a mod P)·M mod P), so bucket values are
+    * unchanged, but the intermediate stays ≤ (P−1)·M ≈ 2.65e18 < 2^63 for
+    * ANY bigint id. Without the reduction, ids ≥ ~3.47e9 overflow 64-bit:
+    * an ANSI-mode runtime error here, silent divergence from a 128-bit-
+    * promoting oracle elsewhere — at 10^10-document scale those ids are
+    * real. */
+  def bucketOf(id: Column, salt: Long = 0L, buckets: Int = 1000): Column = {
+    require(salt >= 0 && salt < HashPrime,
+      s"salt must be in [0, $HashPrime) for cross-engine parity, got $salt")
+    val idL = id.cast("long")
+    val guarded = when(idL.isNull, idL).when(idL >= 0, idL)
+      .otherwise(raise_error(concat(
+        lit("graft Sampling.bucketOf: id must be non-negative, got "), idL.cast("string"))))
+    pmod(pmod(guarded, lit(HashPrime)) * HashMult + lit(salt), lit(HashPrime)) % buckets
+  }
 
   /** Deterministic train/val/test-style split: appends `splitCol` with the
     * first label whose cumulative weight bound exceeds the id's bucket.
@@ -123,7 +139,16 @@ object Sampling {
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Persisted because BOTH join sides below derive from it: without the
+    // persist, correctness of the __pid join would ride on Spark reusing
+    // the range exchange across two subplan evaluations — if exchange reuse
+    // is disabled or canonicalization misses, each side could sample
+    // DIFFERENT range boundaries and __pid would disagree between `local`
+    // and `prefixes`. One materialization makes the partitioning a fact,
+    // not a plan-optimization hope (eviction recompute replays the same
+    // lineage + partitioner, so it stays consistent).
     val local = ranged.withColumn("__run", sum(col(tokCol).cast("long")).over(wLocal))
+      .persist()
     val wParts = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row PER PARTITION
     val prefixes = local.groupBy("__pid").agg(sum(col(tokCol).cast("long")).as("__tot"))

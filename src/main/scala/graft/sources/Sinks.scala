@@ -46,11 +46,18 @@ object Sinks {
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Directory names are decoded with Spark's OWN partition-path unescape
+    // (only %XX sequences), the exact inverse of the escapePathName the
+    // writer used. java.net.URLDecoder is NOT that inverse: it also maps
+    // '+' to space, while the writer leaves '+' unescaped — under it a key
+    // containing '+' never matched its own directory and its completed
+    // partition was re-appended (duplicated) on every resume.
     val done: Seq[String] =
       if (!fs.exists(hPath)) Seq.empty
       else fs.listStatus(hPath).toSeq.filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith(s"$key="))
-        .map(n => java.net.URLDecoder.decode(n.substring(key.length + 1), "UTF-8"))
+        .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.substring(key.length + 1)))
     val pending =
       if (done.isEmpty) df
       else {

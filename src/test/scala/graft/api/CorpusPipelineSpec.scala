@@ -49,6 +49,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(firsts.zip(firsts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("trainLabel names the packed split regardless of weight order") {
+    // weights reordered so 'train' is NOT first: the packed chunks must
+    // still be the train split (the old positional head-of-weights rule
+    // would silently pack 'val' here)
+    val reordered = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(
+        splitWeights = Seq("val" -> 0.1, "train" -> 0.8, "test" -> 0.1)))
+    val trainIds = reordered.documents.filter(col("split") === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val chunkIds = reordered.trainChunks.select("id").collect().map(_.getLong(0)).toSet
+    assert(chunkIds.nonEmpty && chunkIds == trainIds)
+    // a trainLabel that names no split weight is rejected at config time
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.Config(trainLabel = "nope")
+    }
+  }
+
   test("repetition ceiling drops degenerate docs, keeps diverse ones") {
     import spark.implicits._
     val degenerate = ("the " * 40) + "end"             // top token frac ≈ 0.98

@@ -86,6 +86,32 @@ class SamplingSpec extends SparkSpec {
       s"k-sample should plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("bucketOf: negative ids fail loudly; huge ids don't overflow; nulls stay null") {
+    import spark.implicits._
+    // negative id → raise_error, not a silently-divergent bucket
+    val neg = intercept[Exception] {
+      Seq(-1L, 5L).toDF("id")
+        .select(Sampling.bucketOf(col("id")).as("b")).collect()
+    }
+    assert(neg.getMessage != null)
+    // ids past the old 64-bit overflow point (~3.47e9 before the mod-first
+    // reduction) compute fine under ANSI and match the portable formula
+    val big = Seq(5000000000L, Long.MaxValue - 1).toDF("id")
+      .select(col("id"), Sampling.bucketOf(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(id: Long): Long =
+      ((BigInt(id) % 1000000007L) * 2654435761L % 1000000007L % 1000L).toLong
+    assert(big.forall { case (id, b) => b == ref(id) })
+    // null ids pass through as null (SQL semantics: dropped by filters)
+    val withNull = Seq[java.lang.Long](3L, null).toDF("id")
+      .select(Sampling.bucketOf(col("id")).as("b")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+    // salts outside [0, P) are rejected at build time
+    intercept[IllegalArgumentException] {
+      Sampling.bucketOf(col("id"), salt = -1L)
+    }
+  }
+
   test("chunkOffsets: distributed prefix sum matches the sequential reference") {
     import spark.implicits._
     val rows = docs.select(col("doc_id"),

@@ -126,6 +126,21 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.csvResumePartitioned(nation, out, "n_regionkey") == 0)
   }
 
+  test("resume-aware CSV sink: keys with '+' and escaped chars are not re-appended") {
+    val out = "target/sinks-spec/csv_resume_escape"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    import spark.implicits._
+    // '+' is written unescaped by the partition writer (URLDecoder would
+    // decode it to a space and break the done-match); ':' is %XX-escaped.
+    val df = Seq(("a+b", 1), ("c:d", 2), ("plain", 3)).toDF("k", "v")
+    assert(Sinks.csvResumePartitioned(df, out, "k") == 3)
+    // a full rerun must see every key as done — nothing appended
+    assert(Sinks.csvResumePartitioned(df, out, "k") == 0)
+    val back = spark.read.schema("v INT, k STRING").option("header", "true").csv(out)
+    assert(back.count() == 3, "a re-appended partition would duplicate rows")
+    assert(back.select("k").as[String].collect().toSet == Set("a+b", "c:d", "plain"))
+  }
+
   test("omnibus CSV sink writes a readable multi-part directory") {
     val out = "target/sinks-spec/csv_omnibus"
     Sinks.csvOmnibus(graft.Tables.region(spark, dir), out)
