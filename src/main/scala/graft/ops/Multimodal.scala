@@ -33,7 +33,9 @@ object Multimodal {
       checksum: Long,
       width: Int,     // real for ImageIO-decodable images; stub otherwise
       height: Int,    // real for ImageIO-decodable images; stub otherwise
-      n_frames: Int)  // STUB (no audio/video codecs in a bare JVM)
+      n_frames: Int)  // real audio frames for PCM WAV/AIFF; STUB for video
+                      // and undecodable payloads (no compressed codecs in a
+                      // bare JVM)
 
   /** Attach a binary payload column (here: utf8 bytes of `text` stand in for
     * real media bytes) plus a kind tag derived from the source column. */
@@ -118,6 +120,32 @@ object Multimodal {
     }
   }
 
+  case class AudioStats(doc_id: Long, sample_rate: Double, channels: Int,
+      n_frames: Long, duration_sec: Double, mean_amplitude: Double)
+
+  /** REAL audio feature extraction for WAV/AIFF via `javax.sound.sampled`
+    * (pure JVM, zero extra deps — the audio twin of the imageStats upgrade):
+    * sample rate, channel count, frame count, duration, and mean absolute
+    * amplitude normalized to [0, 1] over all channel samples — the cheap
+    * scalar features (silence / clipping / loudness filters) an audio
+    * training pipeline computes before shipping samples to a codec stage.
+    * Rows whose payloads aren't a decodable PCM WAV/AIFF are dropped
+    * (None → flatMap); compressed codecs (mp3/ogg/aac) don't ship in a bare
+    * JVM and remain out of scope, as the class doc states. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.flatMap { r =>
+        decoder.decodeAudio(r.payload).map { a =>
+          AudioStats(r.doc_id, a.sampleRate, a.channels, a.frames,
+            a.durationSec, a.meanAmplitude)
+        }
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** Frame sampling: one video row fans out to every `stride`-th frame —
@@ -140,6 +168,8 @@ object Multimodal {
   }
 
   case class Decoded(checksum: Long, width: Int, height: Int, nFrames: Int)
+  case class AudioDecoded(sampleRate: Double, channels: Int, frames: Long,
+      durationSec: Double, meanAmplitude: Double)
 
   /** Per-partition media decoder. Images decode for real through
     * `javax.imageio` (PNG/BMP/GIF/JPEG — whatever readers the JVM
@@ -160,7 +190,12 @@ object Multimodal {
             case Some(img) => Decoded(sum, img.getWidth, img.getHeight, 1) // real decode
             case None => Decoded(sum, w, 64 + (math.abs(sum / 7) % 1016).toInt, 1) // STUB fallback
           }
-        case "audio" => Decoded(sum, 0, 0, payload.length / 128 + 1)
+        case "audio" =>
+          decodeAudio(payload) match {
+            case Some(a) => // real WAV/AIFF decode: frames are audio frames
+              Decoded(sum, 0, 0, math.min(a.frames, Int.MaxValue.toLong).toInt)
+            case None => Decoded(sum, 0, 0, payload.length / 128 + 1) // STUB fallback
+          }
         case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
       }
     }
@@ -186,6 +221,62 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
+      }
+
+    /** REAL audio decode for PCM WAV/AIFF via `javax.sound.sampled`:
+      * format metadata plus mean |sample| normalized to [0, 1] across all
+      * channel samples. None when no registered reader recognizes the bytes
+      * or the encoding isn't 8/16-bit PCM (a bare JVM has no compressed-
+      * codec readers anyway). */
+    def decodeAudio(payload: Array[Byte]): Option[AudioDecoded] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val bytes = in.readAllBytes()
+            var sum = 0.0
+            var n = 0L
+            if (bits == 8) {
+              var i = 0
+              while (i < bytes.length) {
+                val v = if (signed) bytes(i).toInt else (bytes(i) & 0xff) - 128
+                sum += math.abs(v) / 128.0
+                n += 1; i += 1
+              }
+            } else {
+              val big = fmt.isBigEndian // WAV is little-endian, AIFF big
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val raw =
+                  if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                  else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+                val v = if (signed) raw else (raw & 0xffff) - 32768
+                sum += math.abs(v) / 32768.0
+                n += 2; i += 2
+              }
+              n = n / 2
+            }
+            val frames =
+              if (in.getFrameLength >= 0) in.getFrameLength
+              else n / math.max(fmt.getChannels, 1)
+            Some(AudioDecoded(
+              sampleRate = fmt.getSampleRate.toDouble,
+              channels = fmt.getChannels,
+              frames = frames,
+              durationSec = frames / fmt.getFrameRate.toDouble,
+              meanAmplitude = if (n == 0) 0.0 else sum / n))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
       }
 
     /** STUB resize: deterministic byte reshaping to the target size.

@@ -67,6 +67,50 @@ class MultimodalSpec extends SparkSpec {
     assert(stats(1).mean_luma < 1.0)
   }
 
+  /** 16-bit PCM mono sine wave at `amp` (fraction of full scale), encoded
+    * as WAV (little-endian) or AIFF (big-endian). */
+  private def sine(tpe: javax.sound.sampled.AudioFileFormat.Type, sr: Float,
+      freq: Double, amp: Double, nFrames: Int): Array[Byte] = {
+    val big = tpe == javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, big)
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = math.round(math.sin(2 * math.Pi * freq * i / sr) * amp * 32767).toInt
+      val (hi, lo) = (((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      if (big) { data(2 * i) = hi; data(2 * i + 1) = lo }
+      else { data(2 * i) = lo; data(2 * i + 1) = hi }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio features: WAV and AIFF round-trip rate/frames/amplitude") {
+    import spark.implicits._
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", sine(WAVE, 8000f, 440.0, 0.5, 16000)),
+      Multimodal.MediaRow(2L, "audio", sine(AIFF, 44100f, 1000.0, 0.25, 4410)),
+      Multimodal.MediaRow(3L, "audio", "not audio at all".getBytes("UTF-8"))).toDS()
+    val stats = Multimodal.audioStats(media).collect().sortBy(_.doc_id)
+    assert(stats.length == 2, "non-decodable rows must be dropped, not faked")
+    val wav = stats(0)
+    assert(wav.sample_rate == 8000.0 && wav.channels == 1 && wav.n_frames == 16000)
+    assert(math.abs(wav.duration_sec - 2.0) < 1e-9)
+    // mean |sin| at amplitude A is 2A/pi: 0.3183 for A=0.5
+    assert(math.abs(wav.mean_amplitude - 2 * 0.5 / math.Pi) < 0.01, s"wav: $wav")
+    val aiff = stats(1)
+    assert(aiff.sample_rate == 44100.0 && aiff.n_frames == 4410)
+    assert(math.abs(aiff.duration_sec - 0.1) < 1e-9)
+    assert(math.abs(aiff.mean_amplitude - 2 * 0.25 / math.Pi) < 0.01, s"aiff: $aiff")
+    // decodeFeatures routes real WAV payloads through the same decode:
+    // n_frames becomes true audio frames, not the byte-length stub
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).n_frames == 16000 && feats(1).n_frames == 4410)
+  }
+
   test("frame sampling fans out every stride-th frame of video rows only") {
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(60)
     val media = Multimodal.attachPayload(docs)
