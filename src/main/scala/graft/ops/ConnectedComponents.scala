@@ -33,9 +33,12 @@ object ConnectedComponents {
     val edges = e0.union(e0.select(col("dst"), col("src")))
       .repartition(col("src"))
       .persist() // materialized by first use; every later round reuses it
+    // LAZY checkpoint: the first labelSum action materializes the initial
+    // label set anyway, so an eager checkpoint here would just add one
+    // blocking job per call (measured ~0.2-0.4 s × every clustering query).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
       val row = df.agg(sum(col("label").cast("decimal(38,0)"))).head
       if (row.isNullAt(0)) None else Some(row.getDecimal(0))
