@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE decode path is real: `javax.imageio` (pure JVM, zero extra
   * deps) parses PNG/BMP/GIF/JPEG payloads into true width/height
-  * (MultimodalSpec decodes generated PNG/BMP fixtures). Bytes that no
-  * registered reader recognizes — and the audio/video kinds, whose codecs
-  * don't ship in a JVM — fall back to a clearly-marked deterministic stub,
+  * (MultimodalSpec decodes generated PNG/BMP fixtures); the AUDIO path
+  * decodes PCM WAV/AIFF via `javax.sound.sampled`; the VIDEO path parses
+  * MP4/MOV container metadata (duration/resolution/sample count) via the
+  * pure-JVM `Mp4Meta` box walker. Bytes that no parser recognizes — and
+  * compressed pixel/sample decode, whose codecs don't ship in a JVM —
+  * fall back to a clearly-marked deterministic stub,
   * so the pipeline shape is exercised end-to-end on any payload. Everything
   * Spark-side is real and tested: the schema (binary payload + struct
   * metadata), the partitioning (payload-bearing rows repartition by id so
@@ -33,9 +36,9 @@ object Multimodal {
       checksum: Long,
       width: Int,     // real for ImageIO-decodable images; stub otherwise
       height: Int,    // real for ImageIO-decodable images; stub otherwise
-      n_frames: Int)  // real audio frames for PCM WAV/AIFF; STUB for video
-                      // and undecodable payloads (no compressed codecs in a
-                      // bare JVM)
+      n_frames: Int)  // real audio frames for PCM WAV/AIFF and real sample
+                      // counts for MP4/MOV containers; STUB for payloads no
+                      // parser recognizes (no compressed codecs in a bare JVM)
 
   /** Attach a binary payload column (here: utf8 bytes of `text` stand in for
     * real media bytes) plus a kind tag derived from the source column. */
@@ -146,6 +149,30 @@ object Multimodal {
     }
   }
 
+  case class VideoStats(doc_id: Long, brand: String, duration_sec: Double,
+      width: Int, height: Int, n_samples: Long)
+
+  /** REAL video container metadata for MP4/MOV via the pure-JVM ISO-BMFF
+    * box parser (`Mp4Meta`): brand, movie duration, video-track resolution
+    * and sample (frame) count — the filters (too-short / too-low-res /
+    * wrong-container) a video training pipeline applies before paying for
+    * a codec stage. Rows whose payloads aren't a parseable container are
+    * dropped (None → flatMap); pixel decode remains out of scope in a bare
+    * JVM, as the class doc states. */
+  def videoStats(media: Dataset[MediaRow]): Dataset[VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.flatMap { r =>
+        decoder.decodeVideoMeta(r.payload).map { m =>
+          VideoStats(r.doc_id, m.brand, m.durationSec, m.width, m.height,
+            m.videoSamples)
+        }
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** Frame sampling: one video row fans out to every `stride`-th frame —
@@ -196,7 +223,13 @@ object Multimodal {
               Decoded(sum, 0, 0, math.min(a.frames, Int.MaxValue.toLong).toInt)
             case None => Decoded(sum, 0, 0, payload.length / 128 + 1) // STUB fallback
           }
-        case _       => Decoded(sum, w, w / 2, payload.length / 64 + 1)
+        case _ =>
+          decodeVideoMeta(payload) match {
+            case Some(m) => // real container parse: true resolution + sample count
+              Decoded(sum, m.width, m.height,
+                math.min(m.videoSamples, Int.MaxValue.toLong).toInt)
+            case None => Decoded(sum, w, w / 2, payload.length / 64 + 1) // STUB fallback
+          }
       }
     }
 
@@ -278,6 +311,14 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
+
+    /** REAL video container metadata for MP4/MOV (ISO-BMFF) via
+      * `graft.ops.Mp4Meta` — duration, resolution, sample count, brand
+      * from the structure boxes; None when the bytes aren't a parseable
+      * container. Pixel/frame DECODE stays out of scope (no H.264/VP9/AV1
+      * codecs in a bare JVM), as the class doc states. */
+    def decodeVideoMeta(payload: Array[Byte]): Option[Mp4Meta.Meta] =
+      Mp4Meta.parse(payload)
 
     /** STUB resize: deterministic byte reshaping to the target size.
       * Empty payloads resize to all-zero bytes. */

@@ -111,6 +111,70 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).n_frames == 16000 && feats(1).n_frames == 4410)
   }
 
+  // ---- minimal ISO-BMFF writer: size-prefixed big-endian boxes ------------
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(kind: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ kind.getBytes("US-ASCII") ++ body
+  }
+  /** ftyp + moov{mvhd, trak{tkhd, mdia{hdlr, minf{stbl{stsz}}}}} — the
+    * box path Mp4Meta reads, with realistic field layouts. */
+  private def mp4(timescale: Long, duration: Long, w: Int, h: Int,
+      samples: Long, handler: String = "vide"): Array[Byte] = {
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // version 0 + flags
+      be32(0), be32(0), be32(timescale), be32(duration), // times + scale
+      new Array[Byte](80)) // rate/volume/matrix/predefined/next_track_ID
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 0),
+      new Array[Byte](72), // v0 ids/times/reserved/layer/volume/matrix
+      be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed point
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+      handler.getBytes("US-ASCII"), new Array[Byte](12))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(0), be32(samples))
+    val trak = box("trak", tkhd,
+      box("mdia", hdlr, box("minf", box("stbl", stsz))))
+    box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", mvhd, trak) ++
+      box("mdat", Array.fill[Byte](64)(0x5a)) // payload bytes, never parsed
+  }
+
+  test("REAL video container metadata: MP4 boxes round-trip through Mp4Meta") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mp4(1000, 5000, 640, 360, 150)),
+      Multimodal.MediaRow(2L, "video", mp4(90000, 90000 * 3600L, 1920, 1080, 86400)),
+      Multimodal.MediaRow(3L, "video", "not a container".getBytes("UTF-8"))).toDS()
+    val stats = Multimodal.videoStats(media).collect().sortBy(_.doc_id)
+    assert(stats.length == 2, "non-parseable rows must be dropped, not faked")
+    val clip = stats(0)
+    assert(clip.brand == "isom" && clip.width == 640 && clip.height == 360)
+    assert(math.abs(clip.duration_sec - 5.0) < 1e-9 && clip.n_samples == 150L)
+    val hour = stats(1)
+    assert(hour.width == 1920 && hour.height == 1080 && hour.n_samples == 86400L)
+    assert(math.abs(hour.duration_sec - 3600.0) < 1e-9)
+    // a non-video handler track is not reported as video geometry unless
+    // it is the only track (fallback), and decodeFeatures routes parseable
+    // containers through the real sample count, not the byte-length stub
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).n_frames == 150 && feats(0).width == 640)
+    assert(feats(2).n_frames == "not a container".length / 64 + 1) // stub path
+  }
+
+  test("Mp4Meta ignores truncated/hostile boxes instead of throwing") {
+    val good = mp4(1000, 2000, 320, 240, 10)
+    assert(Mp4Meta.parse(good).isDefined)
+    // truncate mid-moov: the moov box now claims bytes past the buffer end,
+    // so the walk drops it — None, not an exception
+    assert(Mp4Meta.parse(good.take(good.length / 2)).isEmpty)
+    assert(Mp4Meta.parse(good.take(40)).isEmpty)
+    assert(Mp4Meta.parse(Array[Byte]()).isEmpty)
+    assert(Mp4Meta.parse("short".getBytes("UTF-8")).isEmpty)
+    // a box claiming a size larger than the buffer stops the walk cleanly
+    val lying = be32(1L << 30) ++ "moov".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(Mp4Meta.parse(lying).isEmpty)
+  }
+
   test("frame sampling fans out every stride-th frame of video rows only") {
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(60)
     val media = Multimodal.attachPayload(docs)
