@@ -201,6 +201,69 @@ object Similarity {
     lshCosineNearDup(emb, idCol, embCol, tau, b, w)
   }
 
+  /** SCALE-ADAPTIVE band geometry: (nBands, bitsPerBand) for a cosine
+    * threshold τ, corpus size n, and target recall at τ.
+    *
+    * The fixed [[bandGeometry]] tiers hold 2^bits constant, so on a corpus
+    * whose random pairs are decorrelated, expected candidate volume is
+    * ~nBands·C(n,2)/2^bits — QUADRATIC in n once n outgrows 2^bits. (At the
+    * (16,8) tier that knee is a few thousand vectors: 256 buckets per band
+    * cannot spread a million-row corpus no matter how good the hash.) The
+    * principled fix is Indyk–Motwani: bits must track log₂(n), so bucket
+    * count tracks corpus size and expected random collisions per band stay
+    * ~n/2 — LINEAR — while recall is restored by adding bands:
+    *
+    *   p     = 1 − arccos(τ)/π      (per-plane agreement at exactly τ)
+    *   bits  = max(tier bits, ⌈log₂ n⌉)
+    *   bands = ⌈ln(1 − recall)/ln(1 − p^bits)⌉
+    *
+    * Total cost is then ~n·bands hashing + ~n·bands/2 random candidates —
+    * the classic n^(1+ρ) LSH exponent (ρ = −log₂ p · … < 1) instead of n².
+    * The band count grows like n^(−log₂ p) (≈ n^0.33 at τ=0.8), which is
+    * why this only makes sense in the high-τ dedup regime: below τ≈0.6,
+    * p^bits collapses and the band count explodes — [[exactNearDupPairs]]
+    * or narrower τ tiers are the right tool there (`bands` is capped at
+    * `maxBands`, trading recall below the target, and the cap is surfaced
+    * in the log line).
+    *
+    * Worked example, τ=0.8 / recall 0.9: n=2 000 → (28, 11);
+    * n=200 000 → (142, 18); n=10⁹ → (512-capped, 30). Candidates at
+    * n=200 000: ~142·C(n,2)/2^18 ≈ 1.1·10⁷ — vs ~1.25·10⁹ at (16,8).
+    */
+  def adaptiveBandGeometry(tau: Double, n: Long, targetRecall: Double = 0.9,
+      maxBands: Int = 512): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val (tierBands, tierBits) = bandGeometry(tau)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val bits = math.min(30, math.max(tierBits,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+    val pb = math.pow(p, bits)
+    val bands =
+      if (pb >= 1.0) 1 // τ→1: every plane agrees, one band suffices
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toLong
+    val capped = math.max(tierBands.toLong, math.min(bands, maxBands.toLong)).toInt
+    if (bands > maxBands)
+      log.warn(s"adaptiveBandGeometry: band count $bands capped at $maxBands " +
+        s"(tau=$tau n=$n bits=$bits) — recall at tau will be below $targetRecall")
+    (capped, bits)
+  }
+
+  /** [[lshCosineNearDup]] with the geometry chosen from the corpus size by
+    * [[adaptiveBandGeometry]] — the shape a 100 TB dedup run should use.
+    * Costs one `count()` of the input (a column-pruned scan) before the
+    * projection pass; callers that already know n should call
+    * [[adaptiveBandGeometry]] + the explicit-geometry overload directly.
+    */
+  def lshCosineNearDupAdaptive(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double, targetRecall: Double = 0.9): DataFrame = {
+    val n = emb.select(idCol).count()
+    val (bands, bits) = adaptiveBandGeometry(tau, math.max(n, 1L), targetRecall)
+    log.info(s"adaptive lsh geometry: n=$n tau=$tau -> ($bands bands, $bits bits)")
+    lshCosineNearDup(emb, idCol, embCol, tau, bands, bits)
+  }
+
   /** EXACT near-duplicate pairs (recall 1.0) via the triangle block self-join
     * (ops.AllPairs): O(n/P) memory per task, n²/2 dot products spread over
     * P(P+1)/2 reducers, no corpus-sized broadcast. Quadratic compute by

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev explain <sfDir> [ids] — explain("formatted") per query
   *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
   *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
+  *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -59,6 +60,42 @@ object Dev {
               s"bandRows=${sh.bandRows} dim=${sh.dim}")
           }
         }
+      case "adaptlsh" :: sfDir :: rest =>
+        // A/B the fixed wide tier vs the scale-adaptive geometry on the
+        // derived planted-duplicate corpus the _wide catalog entries use:
+        // same τ, same verify path, different candidate geometry. Prints
+        // geometry, candidate count, wall time, and the planted-dup check.
+        import org.apache.spark.sql.functions._
+        val tau = rest.headOption.map(_.toDouble).getOrElse(0.8)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val corpus = emb.union(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .cache()
+        val n = corpus.count()
+        // one planted pair per duplicated original (id ranges overlap
+        // GenScale's copy offsets, so count the originals, not an id range)
+        val planted = emb.filter(pmod(col("vec_id"), lit(10L)) === 0).count()
+        println(s"corpus: $n vectors, $planted planted exact-dup pairs, tau=$tau")
+        def run(label: String, bands: Int, bits: Int): Unit = {
+          val t0 = System.nanoTime()
+          val cands = graft.api.Similarity.lshCandidates(
+            corpus, "vec_id", "embedding", bands, bits).count()
+          val tCand = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val found = graft.api.Similarity.lshCosineNearDup(
+            corpus, "vec_id", "embedding", tau, bands, bits).count()
+          val tAll = (System.nanoTime() - t1) / 1e9
+          println(f"$label ($bands bands x $bits bits): candidates=$cands " +
+            f"(${tCand}%.2f s), pairs=$found (${tAll}%.2f s end-to-end)")
+        }
+        val (fb, fw) = graft.api.Similarity.bandGeometry(tau)
+        run("fixed-tier", fb, fw)
+        val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
+        run("adaptive  ", ab, aw)
+        corpus.unpersist()
       case "pipeline" :: rest =>
         // end-to-end CorpusPipeline over a documents table: timing + stage
         // survivor counts (the number a capacity plan starts from)

@@ -190,6 +190,61 @@ class VectorRecallSpec extends SparkSpec {
       s"sparse corpus (cands=${sparse.candidates}, bandRows=${sparse.bandRows}) took payload-inline")
   }
 
+  test("adaptive band geometry: bits track log2(n), bands from the recall formula") {
+    import graft.api.Similarity
+    // hand-computed against the formula (τ=0.8: p ≈ 0.79517)
+    assert(Similarity.adaptiveBandGeometry(0.8, 2000) == ((28, 11)))
+    assert(Similarity.adaptiveBandGeometry(0.8, 200000) == ((142, 18)))
+    // small corpora keep the fixed tier's bits (bits never shrink below it)
+    assert(Similarity.adaptiveBandGeometry(0.8, 100)._2 == 8)
+    // extreme n: bits stop at 30 and the band count cap binds (logged)
+    assert(Similarity.adaptiveBandGeometry(0.8, 1000000000L) == ((512, 30)))
+    // τ→1 degenerates to one band of wide bits
+    val (b1, _) = Similarity.adaptiveBandGeometry(0.999, 2000)
+    assert(b1 >= 16) // tier floor still applies
+  }
+
+  /** Decorrelated corpus with planted EXACT duplicates: the regime where the
+    * fixed (16,8) tier is quadratic (256 buckets per band cannot spread a
+    * growing corpus) and the adaptive geometry is the designed fix. */
+  private def randomCorpus(n: Int, dim: Int, dupEvery: Int) = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = base.filter(_._1 % dupEvery == 0)
+      .map { case (id, v) => (id + 10000000L, v.clone()) }
+    val spark0 = spark
+    import spark0.implicits._
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("adaptive geometry: candidate volume grows sub-quadratically, exact dups never lost") {
+    import graft.api.Similarity
+    def measure(n: Int): (Long, Boolean) = {
+      val corpus = randomCorpus(n, dim = 64, dupEvery = 50).cache()
+      try {
+        val total = corpus.count()
+        val (bands, bits) = Similarity.adaptiveBandGeometry(0.8, total)
+        val cands = Similarity.lshCandidates(corpus, "vec_id", "embedding", bands, bits).count()
+        val found = Similarity.lshCosineNearDup(corpus, "vec_id", "embedding", 0.8, bands, bits)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // an exact copy shares every hyperplane sign: recall 1.0 on planted
+        // duplicates at ANY geometry — losing one is a construction bug
+        val planted = (0 until n by 50).map(i => (i.toLong, i + 10000000L)).toSet
+        ((cands, (planted -- found).isEmpty))
+      } finally corpus.unpersist()
+    }
+    val (candSmall, okSmall) = measure(1000)
+    val (candBig, okBig) = measure(4000)
+    assert(okSmall && okBig, "planted exact duplicates lost")
+    // 4× the data = 16× the pairs: a fixed-bits geometry grows candidates
+    // ~16×; adaptive bits (10 → 12 here) must hold the growth well below
+    // that. (Expected ~6.4× from the formula; 10× leaves margin for bucket
+    // skew while still refuting quadratic growth.)
+    assert(candBig.toDouble / candSmall < 10.0,
+      s"adaptive candidates grew ${candBig.toDouble / candSmall}× for 4× data " +
+        s"($candSmall -> $candBig) — quadratic, not sub-quadratic")
+  }
+
   test("banded LSH: precision 1.0, recall measured against exact, rises with similarity") {
     val d = sf("sf0.01")
     val exact = exactPairs(d)
