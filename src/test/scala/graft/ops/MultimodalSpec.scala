@@ -175,6 +175,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4Meta.parse(lying).isEmpty)
   }
 
+  test("Mp4Meta never throws on fuzzed bytes (random, box-shaped, and bit-flipped)") {
+    import org.scalacheck.Gen
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)))
+    // pure random bytes
+    samples(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)), 60)
+      .foreach(bytes => Mp4Meta.parse(bytes)) // must not throw
+    // random bytes behind a plausible box header (forces the walker deeper)
+    samples(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)), 40)
+      .foreach { tail =>
+        val framed = be32(8L + tail.length) ++ "moov".getBytes("US-ASCII") ++ tail
+        Mp4Meta.parse(framed) // must not throw
+      }
+    // single-bit corruptions of a VALID file: every flip position, parse must
+    // return (Some or None), never throw — size fields, fixed-point fields,
+    // version bytes and box types all get hit
+    val good = mp4(1000, 2000, 320, 240, 10)
+    for (pos <- good.indices; bit <- Seq(0, 3, 7)) {
+      val mutated = good.clone()
+      mutated(pos) = (mutated(pos) ^ (1 << bit)).toByte
+      Mp4Meta.parse(mutated) // must not throw
+    }
+  }
+
   test("frame sampling fans out every stride-th frame of video rows only") {
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(60)
     val media = Multimodal.attachPayload(docs)
