@@ -12,6 +12,11 @@ import graft.ops.{ConnectedComponents, JaccardPrefix, Sampling}
   *   clean → quality filter → exact dedup → near-dup clustering →
   *   leakage-safe split → stratified mix → chunk packing
   *
+  * with an optional SEMANTIC dedup stage (the multimodal `prepare`
+  * overload): embedding near-dup pairs from the scale-adaptive LSH
+  * geometry union with the lexical Jaccard pairs before one shared
+  * connected-components fixpoint.
+  *
   * Each stage is the same public operator the catalog verifies individually
   * (TextFns cleanup, Sampling splits, JaccardPrefix auto-selected pair
   * join, ConnectedComponents labels), so a user gets the oracle-tested
@@ -38,6 +43,13 @@ object CorpusPipeline {
     *                       Gopher-style repetition filter; 1.0 disables)
     * @param jaccardTau     near-dup similarity threshold
     * @param hotShingleDf   hot-shingle guard cutoff (see Dedup.hotShingleDf)
+    * @param cosineTau      semantic near-dup threshold for the optional
+    *                       embedding stage (the multimodal `prepare`
+    *                       overload); high-τ by design — the adaptive LSH
+    *                       geometry targets that regime
+    * @param cosineRecall   the adaptive geometry's recall target at
+    *                       `cosineTau` (exact-duplicate embeddings are
+    *                       always found regardless)
     * @param mixRates       per-strata keep rates; strata absent keep
     *                       `defaultRate`
     * @param splitWeights   (label, weight) split fractions
@@ -53,6 +65,8 @@ object CorpusPipeline {
       maxTopTokenFrac: Double = 1.0,
       jaccardTau: Double = Dedup.jaccardTau,
       hotShingleDf: Long = Dedup.hotShingleDf,
+      cosineTau: Double = 0.85,
+      cosineRecall: Double = 0.9,
       mixRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       splitWeights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
@@ -73,7 +87,30 @@ object CorpusPipeline {
   /** Run the full flow over (idCol: numeric, textCol: string,
     * strataCol: string) rows. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
-      strataCol: String, cfg: Config = Config()): Prepared = {
+      strataCol: String, cfg: Config = Config()): Prepared =
+    prepareImpl(docs, idCol, textCol, strataCol, cfg, None)
+
+  /** [[prepare]] with a SEMANTIC near-dup stage (SemDeDup-style): docs whose
+    * embeddings sit within `cfg.cosineTau` cosine merge into one cluster
+    * alongside the lexical Jaccard pairs, so paraphrases/translations that
+    * share no shingles still dedup together and never straddle the
+    * leakage-safe split. Embedding pairs come from the scale-adaptive LSH
+    * geometry ([[Similarity.lshCosineNearDupAdaptive]]) over only the
+    * quality-surviving docs (a pair through a filtered-out doc must not
+    * resurrect edges), and union with the lexical pairs before the single
+    * connected-components fixpoint — one clustering pass, two similarity
+    * modalities. `embeddings` rows are (embIdCol, embCol: array<float>) in
+    * the same id space as `idCol`; docs without an embedding row simply
+    * contribute no semantic edges. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, embeddings: DataFrame, embIdCol: String,
+      embCol: String, cfg: Config): Prepared =
+    prepareImpl(docs, idCol, textCol, strataCol, cfg,
+      Some((embeddings, embIdCol, embCol)))
+
+  private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: Config,
+      embOpt: Option[(DataFrame, String, String)]): Prepared = {
     // 1. clean: tag-strip + whitespace-collapse + trim (text_clean twin)
     val cleaned = docs.select(
       col(idCol).as("id"), col(strataCol).as("strata"),
@@ -116,8 +153,22 @@ object CorpusPipeline {
       // guarded) → min-label propagation; singletons label themselves
       val sets = deduped.select(col("id"),
         array_distinct(graft.expressions.ShingleHashes(tokens(col("text")))).as("hs"))
-      val pairs = JaccardPrefix.nearDupPairsAutoSets(sets, "id", "hs",
+      val lexPairs = JaccardPrefix.nearDupPairsAutoSets(sets, "id", "hs",
         cfg.jaccardTau, cfg.hotShingleDf)
+      // 4b. optional semantic pairs: adaptive-geometry cosine LSH over the
+      // SURVIVING docs' embeddings, unioned into the same edge set — one CC
+      // fixpoint covers both modalities. distinct() only in this branch: a
+      // pair can be both a lexical and a semantic near-dup, and duplicate
+      // edges would pay in every propagation round.
+      val pairs = embOpt match {
+        case None => lexPairs
+        case Some((emb, eid, ecol)) =>
+          val alive = emb.select(col(eid).as("id"), col(ecol).as("__emb"))
+            .join(deduped.select("id"), Seq("id"), "left_semi")
+          val semPairs = Similarity.lshCosineNearDupAdaptive(
+            alive, "id", "__emb", cfg.cosineTau, cfg.cosineRecall)
+          lexPairs.union(semPairs).distinct()
+      }
       val clusters = ConnectedComponents.labels(pairs)
         .select(col("id"), col("label").as("cluster"))
       val labeled = deduped.join(clusters, Seq("id"), "left")

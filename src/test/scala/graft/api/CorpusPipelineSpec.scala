@@ -80,6 +80,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(lax.documents.count() == 2, "default (1.0) must disable the ceiling")
   }
 
+  test("semantic dedup stage: identical embeddings cluster lexically-unrelated docs") {
+    import spark.implicits._
+    // 20 quality-passing docs, pairwise lexically dissimilar (distinct word
+    // stems, no shared shingles beyond stopwords)
+    val corpus = (1 to 20).map { i =>
+      (i.toLong,
+        s"the quick brown topic$i fox jumps over a lazy dog near river$i " +
+          s"and the story about subject$i continues with more detail here",
+        "en")
+    }.toDF("doc_id", "text", "lang")
+    // docs 3 and 17: same embedding (a paraphrase pair in semantic space);
+    // everyone else orthogonal-ish deterministic vectors
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 20).map { i =>
+      val v = if (i == 17) null else Array.fill(32)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val v3 = vecs(2)._2
+    val emb = vecs.map { case (id, v) => (id, if (v == null) v3.clone() else v) }
+      .toDF("vec_id", "embedding")
+    val cfg = CorpusPipeline.Config()
+    val without = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang", cfg)
+    val withEmb = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang",
+      emb, "vec_id", "embedding", cfg)
+    def clusterOf(p: CorpusPipeline.Prepared, id: Long): Long =
+      p.documents.filter(col("id") === id).select("cluster").head().getLong(0)
+    // lexical-only: unrelated texts -> different clusters
+    assert(clusterOf(without, 3L) != clusterOf(without, 17L))
+    // with embeddings: identical vectors (cosine 1.0, found at any
+    // geometry) merge the pair -> same cluster, same split side
+    assert(clusterOf(withEmb, 3L) == clusterOf(withEmb, 17L))
+    val splits = withEmb.documents.filter(col("id").isin(3L, 17L))
+      .select("split").distinct().count()
+    assert(splits == 1, "semantic near-dups straddle the leakage-safe split")
+    // everyone else is untouched by the semantic stage (orthogonal vectors
+    // produce no tau=0.85 pairs): cluster sets agree off the planted pair
+    val offPair = withEmb.documents.filter(!col("id").isin(3L, 17L))
+      .select("id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val offPairBase = without.documents.filter(!col("id").isin(3L, 17L))
+      .select("id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(offPair == offPairBase)
+  }
+
   test("end-to-end determinism: same corpus from any input partitioning") {
     val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
       CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
