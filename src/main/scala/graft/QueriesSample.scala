@@ -112,10 +112,34 @@ object SampleQueries {
                     FROM documents) t) o
             ORDER BY doc_id"""))
 
+  // Token-budget sample: the greedy hash-ordered document prefix whose
+  // inclusive running token total fits a 60k-token budget — "a reproducible
+  // N-token subset of the corpus" as one operator. Same distributed prefix
+  // sum as pack_chunks (no global sort); the hash order makes budgets at
+  // the same salt nest (a smaller budget is a prefix of a larger one).
+  private val sampleTokenBudget = Q(
+    (s, d) =>
+      Sampling.takeTokenBudget(
+          documents(s, d).select(col("doc_id"),
+            size(tokens(col("text"))).as("n_tok")),
+          "doc_id", "n_tok", budget = 60000L, salt = 5L)
+        .select("doc_id", "n_tok")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, n_tok FROM (
+               SELECT doc_id, n_tok,
+                      sum(CAST(n_tok AS BIGINT)) OVER (
+                        ORDER BY ${sqlBucket("doc_id", 5L, 1000000L)}, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok
+                     FROM documents) t) o
+             WHERE cum <= 60000 ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
     "split_leakage_safe" -> splitLeakageSafe,
     "sample_k_by_hash" -> sampleK,
+    "sample_token_budget" -> sampleTokenBudget,
     "pack_chunks" -> packChunks)
 }

@@ -411,6 +411,35 @@ object TextQueries {
               GROUP BY doc_id) r
             ORDER BY doc_id"""))
 
+  // Benchmark decontamination (ops.Decontaminate): flag corpus docs whose
+  // 3-token shingle inventory overlaps a benchmark set (here: every 97th
+  // doc stands in for an eval suite) by >= 8 distinct shingles. The
+  // benchmark reduces to a distinct broadcast hash set; the corpus side is
+  // one scan + broadcast join + per-doc count — nothing corpus-sized
+  // shuffles, the 100 TB decontamination sweep shape. The oracle reuses the
+  // Jaccard family's shingle CTEs, so "overlap" means exactly what the
+  // dedup thresholds mean.
+  private val textDecontam = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Decontaminate.flags(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", minOverlap = 8L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""${DedupQueries.shingleCtes},
+             ds AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hs),
+             bs AS (SELECT DISTINCT unnest(list_distinct(hs)) AS h FROM hs
+                    WHERE doc_id % 97 = 0),
+             hits AS (SELECT doc_id, count(*) AS n_hits
+                      FROM ds JOIN bs USING (h) GROUP BY doc_id)
+             SELECT d.doc_id,
+                    coalesce(hits.n_hits, 0) AS n_hits,
+                    coalesce(hits.n_hits, 0) >= 8 AS contaminated
+             FROM documents d LEFT JOIN hits USING (doc_id)
+             ORDER BY d.doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -428,5 +457,6 @@ object TextQueries {
     "text_clean" -> textClean,
     "text_pii_mask" -> textPiiMask,
     "text_repetition" -> textRepetition,
+    "text_decontam" -> textDecontam,
     "multimodal_meta" -> multimodalMeta)
 }

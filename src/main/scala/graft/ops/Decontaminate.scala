@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns.tokens
+
+/** Benchmark decontamination: flag training documents that overlap an
+  * evaluation/benchmark corpus at the n-gram level, so eval data can be
+  * excluded from a training set before it leaks into the model.
+  *
+  * Overlap is counted over the repo's canonical 3-token shingle hashes
+  * (expressions.ShingleHashes — the same inventory the Jaccard dedup
+  * family uses, so "contaminated" composes with the dedup thresholds and
+  * the DuckDB oracle twin reuses the existing shingle CTEs verbatim).
+  *
+  * Scale posture: the benchmark side (an eval suite — thousands of docs,
+  * not billions) reduces to a DISTINCT shingle-hash set and broadcasts;
+  * the corpus side is one scan → explode → broadcast-hash semi-join →
+  * per-doc count. Nothing corpus-sized shuffles, so a 100 TB sweep costs
+  * one pass over the text exactly like the other text metrics.
+  */
+object Decontaminate {
+
+  /** Per-document overlap flags: (id, n_hits, contaminated) for EVERY row
+    * of `docs` — `n_hits` = how many of the doc's distinct shingles appear
+    * anywhere in the benchmark corpus, `contaminated` = n_hits ≥
+    * `minOverlap`. Docs too short to form a shingle (< 3 tokens) count 0.
+    * A benchmark doc present in the corpus flags itself (n_hits = its
+    * whole inventory) — exactly the leak the op exists to catch. */
+  def flags(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, minOverlap: Long): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(
+        graft.expressions.ShingleHashes(tokens(col(textCol))))).as("__h"))
+    val benchSh = bench.select(explode(array_distinct(
+        graft.expressions.ShingleHashes(tokens(col(benchTextCol))))).as("__h"))
+      .distinct()
+    val hits = docSh.join(broadcast(benchSh), "__h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+}

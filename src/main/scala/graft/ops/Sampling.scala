@@ -133,11 +133,50 @@ object Sampling {
   def chunkOffsets(df: DataFrame, orderCol: String, tokCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    inclusiveRunningSum(df, Seq(orderCol), tokCol, partitions)
+      .withColumn("start_offset", col("__cum") - col(tokCol).cast("long"))
+      // integer division (DIV): offsets can exceed 2^53 at 100 TB, where a
+      // double-division floor would silently lose precision
+      .withColumn("chunk_first", expr(s"start_offset DIV ${budget}L"))
+      .withColumn("chunk_last",
+        expr(s"(start_offset + greatest(cast($tokCol AS bigint), 1L) - 1) DIV ${budget}L"))
+      .drop("__cum")
+  }
+
+  /** Deterministic token-budget sample: the greedy hash-ordered prefix of
+    * documents whose INCLUSIVE running token total fits `budget` — "give me
+    * a reproducible ~50 B-token subset of this corpus" as one operator.
+    * Order is (hash(id, salt), id) — the same portable integer hash as
+    * every other op here, so the selected set is independent of
+    * partitioning, cluster size and engine, and nested budgets at the same
+    * salt compose (a 1 B-token sample is a prefix of the 10 B-token one).
+    * Same distributed-prefix-sum shape as [[chunkOffsets]]: no global sort,
+    * the only single-partition step is one row per partition. */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long, salt: Long = 0L, partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    inclusiveRunningSum(
+        df.withColumn("__h", bucketOf(col(idCol), salt, 1000000)),
+        Seq("__h", idCol), tokCol, partitions)
+      .filter(col("__cum") <= budget)
+      .drop("__h", "__cum")
+  }
+
+  /** Shared distributed prefix sum: appends `__cum`, the INCLUSIVE running
+    * total of `tokCol` in `orderCols` order. Range-partition by the order
+    * key, per-partition running sums, then offset each partition by the
+    * exclusive prefix of per-partition totals — never a global-ORDER-BY
+    * window (which Catalyst executes as a single partition, the classic
+    * 100 TB bottleneck); the only single-partition window runs over ONE ROW
+    * PER PARTITION. The result is independent of where the range boundaries
+    * fall, so sampling-based boundary placement cannot change the answer. */
+  private def inclusiveRunningSum(df: DataFrame, orderCols: Seq[String],
+      tokCol: String, partitions: Int): DataFrame = {
     val p = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, col(orderCol))
+    val ranged = df.repartitionByRange(p, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(orderCol)
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Persisted because BOTH join sides below derive from it: without the
     // persist, correctness of the __pid join would ride on Spark reusing
@@ -155,12 +194,7 @@ object Sampling {
       .withColumn("__prefix", coalesce(sum(col("__tot")).over(wParts), lit(0L)))
       .drop("__tot")
     local.join(prefixes, "__pid")
-      .withColumn("start_offset", col("__prefix") + col("__run") - col(tokCol).cast("long"))
-      // integer division (DIV): offsets can exceed 2^53 at 100 TB, where a
-      // double-division floor would silently lose precision
-      .withColumn("chunk_first", expr(s"start_offset DIV ${budget}L"))
-      .withColumn("chunk_last",
-        expr(s"(start_offset + greatest(cast($tokCol AS bigint), 1L) - 1) DIV ${budget}L"))
+      .withColumn("__cum", col("__prefix") + col("__run"))
       .drop("__pid", "__run", "__prefix")
   }
 }

@@ -138,4 +138,34 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.forall { case (id, _, start, _, _) => got13(id) == start })
   }
+
+  test("takeTokenBudget: greedy hash-order prefix, budgets nest, partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1L to 300L).map(i => (i, (i % 37 + 3).toInt)).toDF("id", "n_tok")
+    // sequential reference: greedy prefix in (bucket, id) order on the driver
+    val order = rows
+      .withColumn("__h", Sampling.bucketOf(col("id"), salt = 5L, buckets = 1000000))
+      .select("id", "n_tok", "__h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    def greedy(budget: Long): Set[Long] = {
+      var cum = 0L
+      order.iterator.takeWhile { case (_, tok, _) => cum += tok; cum <= budget }
+        .map(_._1).toSet
+    }
+    def run(budget: Long, parts: Int = 0) =
+      Sampling.takeTokenBudget(rows, "id", "n_tok", budget, salt = 5L,
+          partitions = parts)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val small = run(500L)
+    val big = run(4000L)
+    assert(small == greedy(500L) && big == greedy(4000L),
+      "distributed selection diverges from the sequential greedy reference")
+    // nesting: a smaller budget at the same salt is a prefix of a larger one
+    assert(small.subsetOf(big))
+    // partitioning-independence
+    assert(run(4000L, parts = 7) == big)
+  }
 }
