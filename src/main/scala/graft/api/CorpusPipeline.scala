@@ -12,10 +12,11 @@ import graft.ops.{ConnectedComponents, JaccardPrefix, Sampling}
   *   clean → quality filter → exact dedup → near-dup clustering →
   *   leakage-safe split → stratified mix → chunk packing
   *
-  * with an optional SEMANTIC dedup stage (the multimodal `prepare`
-  * overload): embedding near-dup pairs from the scale-adaptive LSH
-  * geometry union with the lexical Jaccard pairs before one shared
-  * connected-components fixpoint.
+  * with two optional stages (`prepareFull`): SEMANTIC dedup — embedding
+  * near-dup pairs from the scale-adaptive LSH geometry union with the
+  * lexical Jaccard pairs before one shared connected-components fixpoint —
+  * and DECONTAMINATION — docs overlapping a benchmark/eval corpus at the
+  * shingle level are dropped after the quality filter, before dedup.
   *
   * Each stage is the same public operator the catalog verifies individually
   * (TextFns cleanup, Sampling splits, JaccardPrefix auto-selected pair
@@ -50,6 +51,9 @@ object CorpusPipeline {
     * @param cosineRecall   the adaptive geometry's recall target at
     *                       `cosineTau` (exact-duplicate embeddings are
     *                       always found regardless)
+    * @param decontamMinOverlap distinct-shingle overlap with the benchmark
+    *                       set at which a doc is dropped by the optional
+    *                       decontamination stage (see `withBenchmark`)
     * @param mixRates       per-strata keep rates; strata absent keep
     *                       `defaultRate`
     * @param splitWeights   (label, weight) split fractions
@@ -67,6 +71,7 @@ object CorpusPipeline {
       hotShingleDf: Long = Dedup.hotShingleDf,
       cosineTau: Double = 0.85,
       cosineRecall: Double = 0.9,
+      decontamMinOverlap: Long = 8L,
       mixRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       splitWeights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
@@ -88,7 +93,7 @@ object CorpusPipeline {
     * strataCol: string) rows. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, cfg: Config = Config()): Prepared =
-    prepareImpl(docs, idCol, textCol, strataCol, cfg, None)
+    prepareImpl(docs, idCol, textCol, strataCol, cfg, None, None)
 
   /** [[prepare]] with a SEMANTIC near-dup stage (SemDeDup-style): docs whose
     * embeddings sit within `cfg.cosineTau` cosine merge into one cluster
@@ -106,11 +111,25 @@ object CorpusPipeline {
       strataCol: String, embeddings: DataFrame, embIdCol: String,
       embCol: String, cfg: Config): Prepared =
     prepareImpl(docs, idCol, textCol, strataCol, cfg,
-      Some((embeddings, embIdCol, embCol)))
+      Some((embeddings, embIdCol, embCol)), None)
+
+  /** The full flow with every optional stage explicit: `embeddings`
+    * (semantic dedup — see the overload above) and `benchmark`
+    * (decontamination: docs overlapping the benchmark corpus by
+    * `cfg.decontamMinOverlap` distinct shingles are DROPPED after the
+    * quality filter, before dedup — eval data must never reach training
+    * splits; see [[graft.ops.Decontaminate]]). Pass None to skip a stage. */
+  def prepareFull(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String,
+      embeddings: Option[(DataFrame, String, String)],
+      benchmark: Option[(DataFrame, String)],
+      cfg: Config = Config()): Prepared =
+    prepareImpl(docs, idCol, textCol, strataCol, cfg, embeddings, benchmark)
 
   private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, cfg: Config,
-      embOpt: Option[(DataFrame, String, String)]): Prepared = {
+      embOpt: Option[(DataFrame, String, String)],
+      benchOpt: Option[(DataFrame, String)]): Prepared = {
     // 1. clean: tag-strip + whitespace-collapse + trim (text_clean twin)
     val cleaned = docs.select(
       col(idCol).as("id"), col(strataCol).as("strata"),
@@ -142,7 +161,18 @@ object CorpusPipeline {
           acc => acc.getField("mx")
         ).cast("double") / col("n_tok").cast("double") <= cfg.maxTopTokenFrac)
     // 3. exact dedup on the normalized fingerprint: keep the smallest id
-    val fp = qualified.withColumn("__fp", md5(normalized(col("text"))))
+    // 2b. optional decontamination: drop docs overlapping the benchmark
+    // corpus (distinct-shingle count >= decontamMinOverlap) BEFORE dedup —
+    // a contaminated doc must not survive as its cluster's representative
+    val decontaminated = benchOpt match {
+      case None => qualified
+      case Some((bench, btCol)) =>
+        val contaminated = graft.ops.Decontaminate
+          .flags(qualified, "id", "text", bench, btCol, cfg.decontamMinOverlap)
+          .filter(col("contaminated")).select("id")
+        qualified.join(contaminated, Seq("id"), "left_anti")
+    }
+    val fp = decontaminated.withColumn("__fp", md5(normalized(col("text"))))
     val keep = fp.groupBy("__fp").agg(min(col("id")).as("id"))
     val deduped = fp.join(keep, Seq("__fp", "id")).drop("__fp")
       // one narrow shuffle key for everything downstream

@@ -123,6 +123,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(offPair == offPairBase)
   }
 
+  test("decontamination stage: benchmark-overlapping docs are dropped before dedup") {
+    import spark.implicits._
+    // no generic-word run of 3: every 3-token shingle contains an i-specific
+    // word, so docs share ZERO shingles with each other — the only overlap
+    // possible is a genuine leak of a whole text
+    def story(i: Int) =
+      s"the story$i begins when hero$i walks toward castle$i and the " +
+        s"dragon$i waits beside gate$i while wizard$i watches"
+    val corpus = (1 to 12).map(i => (i.toLong, story(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    // benchmark = doc 5's exact text (an eval item that leaked into the
+    // corpus) plus an unrelated prompt that overlaps nobody
+    val bench = Seq(story(5),
+      "completely unrelated benchmark prompt mentioning nothing shared")
+      .toDF("text")
+    val out = CorpusPipeline.prepareFull(corpus, "doc_id", "text", "lang",
+      embeddings = None, benchmark = Some((bench, "text")))
+    val ids = out.documents.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L), "the leaked eval doc survived decontamination")
+    // zero cross-doc shingle overlap by construction: only the true leak
+    // is dropped, every clean doc survives
+    assert(ids == (1L to 12L).toSet - 5L,
+      s"decontamination dropped the wrong docs: kept $ids")
+  }
+
   test("end-to-end determinism: same corpus from any input partitioning") {
     val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
       CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))

@@ -82,6 +82,16 @@ class ScaleSpec extends SparkSpec {
       s"sim_ivf assignment join demoted to BroadcastNestedLoopJoin:\n$ivf")
   }
 
+  test("plan lint: decontamination joins the benchmark shingle set by broadcast") {
+    // the corpus-side scan must meet the benchmark inventory through a
+    // BroadcastHashJoin (the explicit broadcast() in Decontaminate.flags);
+    // the id-keyed n_hits re-attach may legitimately shuffle at scale
+    val plan = graft.SparkEntry.queries("text_decontam")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"text_decontam lost its broadcast benchmark join:\n$plan")
+  }
+
   test("repeated dimension broadcast is planned once and reused (ReusedExchange)") {
     // The snowflake pattern a 100 TB mart hits constantly: the same
     // dimension broadcast on two different fact sides. Catalyst must plan ONE
