@@ -85,6 +85,59 @@ object StatefulOps {
       }
   }
 
+  case class BandedDoc(doc_id: Long, band: Int, key: String, embedding: Array[Float])
+  case class NearDupMatch(doc_id: Long, matched_id: Long)
+
+  /** Streaming SEMANTIC near-dup detection: the online twin of
+    * `api.Similarity.lshCosineNearDup`. Input rows are (doc, band, key,
+    * embedding) — one row per band from the SAME BandKeys projection the
+    * batch path uses (see StreamingSampleSpec for the wiring) — grouped by
+    * (band, key), so state shards across exactly the candidate buckets the
+    * batch join would build. Per bucket the state holds the (id, embedding)
+    * list seen so far; a new arrival emits a match per stored neighbor
+    * within `tau` cosine, then appends itself.
+    *
+    * A pair colliding in several bands emits once per collision — dedupe
+    * downstream if exact-once pairs matter (the batch path's distinct()).
+    * `maxPerBucket` bounds state in hot buckets (oldest kept — the ids that
+    * can still match the most future arrivals are the ones already seen by
+    * every earlier arrival, and FIFO keeps emission deterministic); with the
+    * adaptive band geometry bits track log2(n), so bucket occupancy stays
+    * ~constant and the cap is a backstop, not the mechanism. Production
+    * deployments should additionally swap NoTimeout for an event-time
+    * timeout per the class doc. */
+  def streamingNearDupLsh(docs: Dataset[BandedDoc], tau: Double,
+      maxPerBucket: Int = 1024): Dataset[NearDupMatch] = {
+    require(tau > -1 && tau < 1, s"tau must be in (-1,1), got $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandedDoc],
+            state: GroupState[List[(Long, Array[Float])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupMatch]
+          // batch arrival order is nondeterministic, so process in id order:
+          // emissions depend only on the SET of rows per batch, not a race
+          for (d <- rows.toSeq.sortBy(_.doc_id)) {
+            val nn = math.sqrt(d.embedding.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+            for ((oid, oemb) <- seen if oid != d.doc_id) {
+              var dot = 0.0
+              var i = 0
+              val n = math.min(d.embedding.length, oemb.length)
+              while (i < n) { dot += d.embedding(i).toDouble * oemb(i); i += 1 }
+              val on = math.sqrt(oemb.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+              if (nn > 0 && on > 0 && dot / (nn * on) >= tau)
+                out += NearDupMatch(d.doc_id, oid)
+            }
+            if (seen.size < maxPerBucket && !seen.exists(_._1 == d.doc_id))
+              seen = seen :+ ((d.doc_id, d.embedding))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Running per-user event counter with capped emission: emits an updated
     * total per user per batch — a minimal custom-accumulator shape. */
   case class UserEvent(user_id: Long, value: Double)

@@ -114,6 +114,44 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup matches the batch operator across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (nBands, bits) = (8, 5)
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val docs = Seq(1L -> v1, 2L -> vec(), 4L -> vec(), 3L -> v1.clone())
+    // the same BandKeys projection the batch index uses, one row per band
+    def banded(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])]) =
+      ds.toDF("doc_id", "embedding")
+        .select(col("doc_id"), col("embedding"),
+          posexplode(graft.expressions.BandKeys(col("embedding"), nBands, bits))
+            .as(Seq("band", "key")))
+        .select("doc_id", "band", "key", "embedding").as[BandedDoc]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = streamingNearDupLsh(banded(mem.toDS()), tau = 0.9)
+      .writeStream.format("memory").queryName("lsh_out").outputMode("append").start()
+    try {
+      mem.addData(docs(0), docs(1)) // batch 1: docs 1, 2 — no pair yet
+      q.processAllAvailable()
+      assert(spark.table("lsh_out").count() == 0)
+      mem.addData(docs(2), docs(3)) // batch 2: doc 3 is doc 1's exact copy
+      q.processAllAvailable()
+      val got = spark.table("lsh_out").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      // batch reference over the full corpus: exactly the planted pair
+      val want = graft.api.Similarity.lshCosineNearDup(
+          docs.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.9, nBands, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want == Set((1L, 3L)), s"batch reference surprised us: $want")
+      assert(got == want,
+        s"streaming pairs $got diverge from the batch operator's $want")
+    } finally q.stop()
+  }
+
   test("running totals accumulate state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
