@@ -380,6 +380,24 @@ object RelationalQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  // JSONL source/sink round-trip — the format LLM corpora actually ship in.
+  // Spark's json writer emits one JSON object per line; the read-back uses
+  // an explicit schema (never inference — a schema-inference pass over
+  // 100 TB is a full extra scan). JSON string escaping is lossless for any
+  // unicode text, so the oracle is simply the parquet originals.
+  private val jsonlRoundtrip = Q(
+    (s, d) => {
+      val tmp = s"/root/repo/target/tmp/jsonl_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
   // Pivot (long→wide): Spark's relational pivot; oracle as conditional
   // aggregation — the portable formulation — with identical column names.
   private val pivotWide = Q(
@@ -707,6 +725,7 @@ object RelationalQueries {
     "join_multiway" -> joinMultiway,
     "row_fanout" -> rowFanout,
     "csv_roundtrip" -> csvRoundtrip,
+    "jsonl_roundtrip" -> jsonlRoundtrip,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
     "agg_var_stats" -> aggVarStats,

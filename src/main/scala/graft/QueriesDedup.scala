@@ -199,11 +199,47 @@ object DedupQueries {
             SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
             FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  // Incremental ingestion dedup: a deterministic 20% hash slice of the
+  // corpus plays the "new crawl batch", the other 80% the standing corpus;
+  // a batch doc is admitted iff it has no near-dup (Jaccard ≥ 0.6) already
+  // in the corpus. The index join is batch×corpus only — the corpus is
+  // never re-paired against itself, which is the whole point of the
+  // incremental shape at 100 TB (api.Dedup.incrementalNearDup).
+  private val dedupIncremental = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val b = graft.ops.Sampling.bucketOf(col("doc_id"), salt = 7L)
+      graft.api.Dedup.incrementalNearDup(
+          corpus = docs.filter(b < 800), batch = docs.filter(b >= 800),
+          idCol = "doc_id", textCol = "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""$shingleCtes,
+            shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(hs) AS s FROM hs) u),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            buck AS (SELECT doc_id,
+                       ((((doc_id % 1000000007) * 2654435761 + 7) % 1000000007) % 1000) AS b
+                     FROM documents),
+            inter AS (SELECT bs.doc_id AS bid, cs.doc_id AS cid, count(*) AS c
+                      FROM shd bs JOIN buck bb ON bs.doc_id = bb.doc_id AND bb.b >= 800
+                           JOIN shd cs ON bs.s = cs.s
+                           JOIN buck cb ON cs.doc_id = cb.doc_id AND cb.b < 800
+                      GROUP BY 1, 2),
+            dropped AS (SELECT DISTINCT bid FROM inter
+                        JOIN sizes s1 ON bid = s1.doc_id JOIN sizes s2 ON cid = s2.doc_id
+                        WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.6)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN buck ON d.doc_id = buck.doc_id
+            WHERE buck.b >= 800 AND d.doc_id NOT IN (SELECT bid FROM dropped)
+            ORDER BY d.doc_id"""))
+
   val all: List[(String, Q)] = List(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster)
 }

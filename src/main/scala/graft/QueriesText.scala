@@ -440,6 +440,33 @@ object TextQueries {
              FROM documents d LEFT JOIN hits USING (doc_id)
              ORDER BY d.doc_id"""))
 
+  // Percentile-calibrated quality filter: instead of a fixed token-count
+  // cutoff, the threshold ADAPTS per language — keep docs at or above their
+  // language's own 25th percentile. Two passes: a tiny per-language exact
+  // percentile aggregate (one row per language), broadcast back over a
+  // single filter scan — the only shuffle moves |languages| rows. Token
+  // counts are integer-valued doubles, so `percentile`/`quantile_cont`
+  // interpolation is bit-identical cross-engine (same argument as
+  // agg_percentile). At 100 TB the calibration pass would use the
+  // approx-quantile sketch (sketch_quantiles) — the exact twin here is
+  // what the oracle can hash-verify.
+  private val textQualityCalibrated = Q(
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("double").as("n_tok"))
+      val thr = toks.groupBy("lang").agg(expr("percentile(n_tok, 0.25)").as("q25"))
+      toks.join(broadcast(thr), "lang")
+        .filter(col("n_tok") >= col("q25"))
+        .select("doc_id", "lang", "n_tok", "q25")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok
+                 FROM documents),
+            thr AS (SELECT lang, quantile_cont(n_tok, 0.25) AS q25 FROM toks GROUP BY lang)
+            SELECT doc_id, t.lang, n_tok, q25 FROM toks t JOIN thr USING (lang)
+            WHERE n_tok >= q25 ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -448,6 +475,7 @@ object TextQueries {
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
+    "text_quality_calibrated" -> textQualityCalibrated,
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,

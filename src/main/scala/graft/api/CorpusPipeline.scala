@@ -126,10 +126,17 @@ object CorpusPipeline {
       cfg: Config = Config()): Prepared =
     prepareImpl(docs, idCol, textCol, strataCol, cfg, embeddings, benchmark)
 
-  private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
-      strataCol: String, cfg: Config,
-      embOpt: Option[(DataFrame, String, String)],
-      benchOpt: Option[(DataFrame, String)]): Prepared = {
+  /** Stages 1–2 standalone: clean (tag-strip + whitespace collapse + trim,
+    * the text_clean twin) then the quality floor/ceiling (token count,
+    * stopword ratio, optional Gopher-style top-token repetition ceiling).
+    * Every predicate is a stateless per-row expression — no shuffle, no
+    * state — so the SAME transform runs unchanged on a Structured
+    * Streaming ingest (StreamingPipelineSpec proves batch parity): a
+    * 100 TB pipeline filters at the crawl frontier instead of
+    * materializing junk it will immediately drop.
+    * Output columns: (id, strata, text, n_tok). */
+  def cleanQuality(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: Config = Config()): DataFrame = {
     // 1. clean: tag-strip + whitespace-collapse + trim (text_clean twin)
     val cleaned = docs.select(
       col(idCol).as("id"), col(strataCol).as("strata"),
@@ -146,20 +153,26 @@ object CorpusPipeline {
       .filter(col("n_tok") >= cfg.minTokens &&
         col("__stop").cast("double") / col("n_tok").cast("double") >= cfg.minStopRatio)
       .drop("__stop")
-    val qualified =
-      if (cfg.maxTopTokenFrac >= 1.0) scored
-      else scored.filter(
-        // max per-token count via aggregate over the sorted token array:
-        // a run-length fold — stays a per-row expression, no explode/shuffle
-        aggregate(
-          sort_array(toks),
-          struct(lit(0L).as("mx"), lit(0L).as("run"), lit("").as("prev")),
-          (acc, t) => {
-            val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-            struct(greatest(acc.getField("mx"), run).as("mx"), run.as("run"), t.as("prev"))
-          },
-          acc => acc.getField("mx")
-        ).cast("double") / col("n_tok").cast("double") <= cfg.maxTopTokenFrac)
+    if (cfg.maxTopTokenFrac >= 1.0) scored
+    else scored.filter(
+      // max per-token count via aggregate over the sorted token array:
+      // a run-length fold — stays a per-row expression, no explode/shuffle
+      aggregate(
+        sort_array(toks),
+        struct(lit(0L).as("mx"), lit(0L).as("run"), lit("").as("prev")),
+        (acc, t) => {
+          val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(greatest(acc.getField("mx"), run).as("mx"), run.as("run"), t.as("prev"))
+        },
+        acc => acc.getField("mx")
+      ).cast("double") / col("n_tok").cast("double") <= cfg.maxTopTokenFrac)
+  }
+
+  private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: Config,
+      embOpt: Option[(DataFrame, String, String)],
+      benchOpt: Option[(DataFrame, String)]): Prepared = {
+    val qualified = cleanQuality(docs, idCol, textCol, strataCol, cfg)
     // 3. exact dedup on the normalized fingerprint: keep the smallest id
     // 2b. optional decontamination: drop docs overlapping the benchmark
     // corpus (distinct-shingle count >= decontamMinOverlap) BEFORE dedup —

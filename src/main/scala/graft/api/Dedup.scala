@@ -64,6 +64,37 @@ object Dedup {
     graft.ops.JaccardPrefix.nearDupPairsAutoSets(
       shingleSets(df, idCol, textCol), idCol, "hs", tau, hotDf)
 
+  /** Incremental (batch-vs-corpus) near-dup admission — the ingestion shape
+    * a 100 TB pipeline actually runs: a new crawl slice is admitted doc by
+    * doc iff it has NO near-duplicate (n-gram Jaccard ≥ tau) already in the
+    * corpus. The inverted shingle index is joined batch×corpus ONLY — the
+    * corpus is never re-paired against itself, so cost is linear in the
+    * batch's shingle volume times matched index rows, independent of
+    * corpus-internal duplication. Returns the admitted batch rows
+    * unchanged.
+    *
+    * At deployment scale the corpus side is a persisted index bucketed by
+    * shingle hash, so the join reads only the buckets the batch's shingles
+    * touch; here it is derived from the corpus frame on the fly. Batch
+    * docs with fewer than 3 tokens have no shingles and are always
+    * admitted (nothing to compare — same contract as [[nearDupPairs]]).
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, tau: Double = jaccardTau): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    def exploded(df: DataFrame, id: String) =
+      shingleSets(df, idCol, textCol)
+        .select(col(idCol).as(id), size(col("hs")).as(s"${id}_n"),
+          explode(col("hs")).as("h"))
+    val inter = exploded(batch, "bid").join(exploded(corpus, "cid"), "h")
+      .groupBy("bid", "bid_n", "cid", "cid_n").agg(count(lit(1)).as("c"))
+    val dropped = inter
+      .filter(col("c").cast("double") /
+        (col("bid_n") + col("cid_n") - col("c")).cast("double") >= tau)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],
     * every doc labeled with the smallest reachable id (singletons label
     * themselves). Output: (idCol, cluster). */
