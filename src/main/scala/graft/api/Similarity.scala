@@ -308,4 +308,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "nbr_id")
   }
+
+  /** IVF cosine top-k with TRAINED centroids: partition the corpus into
+    * `nCells` Voronoi cells learned by [[graft.ops.KMeans]] (deterministic
+    * Lloyd — exact-decimal means, so the index is reproducible
+    * bit-for-bit), then search each query only against its `nProbe`
+    * nearest cells. The catalog's `sim_ivf` seeds cells from fixed ids so
+    * its DuckDB oracle can mirror them; this is the production variant —
+    * learned cells give balanced lists and higher recall at equal probe
+    * cost. Output: (q_id, rank, nbr_id), rank 1..k.
+    *
+    * Scale: the model is k·dim doubles (broadcast-sized); assignment is
+    * map-side codegen; the probe join keys on the cell id — one shuffle of
+    * (query × nProbe) rows against a cell-partitioned corpus, the standard
+    * IVF posture at 10⁹+ vectors (persist the assigned corpus partitioned
+    * by cell to skip re-assignment per query batch). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int, nProbe: Int = 2,
+      maxIters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe > 0 && nProbe <= nCells, s"nProbe must be in [1, $nCells]")
+    val model = graft.ops.KMeans.fit(corpus, idCol, embCol, nCells, maxIters)
+    val assigned = graft.ops.KMeans.assign(corpus, embCol, model)
+      .select(col(idCol).as("nbr_id"), col(embCol).as("__ne"), col("cell"),
+        VecDot(col(embCol), col(embCol)).as("__nn"))
+    // each query probes its nProbe nearest cells: small fan-out, exact ranks
+    val wProbe = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("cell").asc)
+    val probes = graft.ops.KMeans.assignAll(queries, embCol, model)
+      .select(col(idCol).as("q_id"), col(embCol).as("__qe"), col("cell"), col("dist2"),
+        VecDot(col(embCol), col(embCol)).as("__qn"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .drop("__pr", "dist2")
+    val wTop = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("nbr_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .select(col("q_id"), col("nbr_id"),
+        (VecDot(col("__qe"), col("__ne")) /
+          (sqrt(col("__qn")) * sqrt(col("__nn")))).as("__sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nbr_id")
+  }
 }

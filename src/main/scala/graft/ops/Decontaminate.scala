@@ -45,4 +45,34 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minOverlap)
   }
+
+  /** [[flags]] as a STATELESS per-row transform: the benchmark shingle set
+    * is materialized once (eval suites are bounded — thousands of docs —
+    * which is the same premise that lets [[flags]] broadcast it) and the
+    * per-doc overlap becomes `size(array_intersect(...))` against that
+    * constant, so there is no explode, no join and no aggregation. That
+    * makes it legal in a Structured Streaming ingest in append mode —
+    * decontamination at the crawl frontier — where [[flags]]' groupBy
+    * would demand an aggregation output mode. StreamingPipelineSpec
+    * proves row-for-row parity with [[flags]]. */
+  def flagsInline(docs: DataFrame, idCol: String, textCol: String,
+      benchShingles: Array[Long], minOverlap: Long): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    docs.select(col(idCol).as("id"),
+        size(array_intersect(
+          array_distinct(graft.expressions.ShingleHashes(tokens(col(textCol)))),
+          typedLit(benchShingles.toSeq))).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  /** The distinct benchmark shingle inventory [[flagsInline]] consumes —
+    * collected to the driver, so call it on the (bounded) benchmark side
+    * only. Sorted for deterministic ordering. */
+  def benchmarkShingles(bench: DataFrame, benchTextCol: String): Array[Long] = {
+    val spark = bench.sparkSession
+    import spark.implicits._
+    bench.select(explode(array_distinct(
+        graft.expressions.ShingleHashes(tokens(col(benchTextCol))))).as("h"))
+      .distinct().as[Long].collect().sorted
+  }
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.expressions.VecDot
+
+/** Deterministic distributed k-means (Lloyd's algorithm) over an
+  * `array<float>` embedding column — the centroid trainer for a REAL IVF
+  * index (`sim_ivf`'s catalog entry seeds its cells from fixed ids so the
+  * DuckDB oracle can mirror them; this is the production path that learns
+  * them from the data).
+  *
+  * Every step is deterministic on any cluster size / partitioning / re-run:
+  *  - INIT: the k rows with the smallest (hash, id) — the same exact-integer
+  *    reservoir shape as `Sampling.kSampleByHash`, a distributed top-k,
+  *    never a global sort;
+  *  - ASSIGN: per-row argmin over the broadcast centroids with the tie
+  *    broken by cell index — a pure map-side expression (k fused VecDot
+  *    terms inside whole-stage codegen, no UDF);
+  *  - UPDATE: per-cell per-dimension MEANS via exact DECIMAL(30,10) sums —
+  *    float addition is order-dependent, decimal addition is not, so
+  *    centroids are bit-identical however Spark schedules the partial
+  *    aggregates.
+  *
+  * Only the model (k × dim doubles) ever reaches the driver — the same
+  * bounded-state contract as the LSH hyperplanes; the data never collects.
+  * Scale: each iteration is one scan + one (cell, dim)-keyed partial
+  * aggregate of k·dim rows; at 10⁹ vectors the shuffle moves k·dim·P
+  * partial sums, not data.
+  */
+object KMeans {
+
+  /** Trained centroids, indexed by cell id 0..k-1. */
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Train on `df(idCol: numeric non-negative, vecCol: array<float>)`.
+    * Stops at `maxIters` or when an iteration leaves every centroid
+    * bit-identical (exact, thanks to the decimal means). Cells that lose
+    * all members keep their previous centroid. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIters: Int = 8): Model = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      // hash-seeded init: k smallest (bucket, id) — distributed top-k
+      val init = base
+        .withColumn("b", Sampling.bucketOf(col("id"), salt = 11L, buckets = 1 << 30))
+        .orderBy("b", "id").limit(k)
+        .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      require(init.nonEmpty, "cannot fit k-means on an empty frame")
+      var cents = init
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val byCell = assignTo(base, "v", cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("x").cast(DecimalType(30, 10))) /
+            count(lit(1))).cast("double").as("m"))
+          .groupBy("cell")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+          .toMap
+        val next = cents.indices.map(j => byCell.getOrElse(j, cents(j))).toArray
+        converged = next.zip(cents).forall { case (a, b) => a.sameElements(b) }
+        cents = next
+        it += 1
+      }
+      Model(cents)
+    } finally { base.unpersist(); () }
+  }
+
+  /** Assign every row to its nearest centroid (squared L2, ties to the
+    * lowest cell): adds `cell` (int) and `dist2` (double) columns. Pure
+    * map-side — the centroids ride along as literals inside codegen. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    assignTo(df, vecCol, model.centroids)
+
+  /** One row per (input row, cell): squared L2 to EVERY centroid — the
+    * probe-selection input for multi-cell IVF search. A map-side fan-out
+    * of k rows per input row (k is model-sized, not data-sized). Adds
+    * `cell` and `dist2` columns. */
+  def assignAll(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val v = col(vecCol)
+    val entries = model.centroids.zipWithIndex.map { case (c, j) =>
+      val cf = c.map(_.toFloat)
+      val cNorm = c.map(x => x * x).sum
+      struct(lit(j).as("cell"),
+        greatest(lit(cNorm) - lit(2.0) * VecDot(v, typedLit(cf.toSeq)) +
+          VecDot(v, v), lit(0.0)).as("dist2"))
+    }
+    df.withColumn("__c", explode(array(entries.toIndexedSeq: _*)))
+      .withColumn("cell", col("__c").getField("cell"))
+      .withColumn("dist2", col("__c").getField("dist2"))
+      .drop("__c")
+  }
+
+  private def assignTo(df: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    // ||x-c||² = x·x − 2·x·c + c·c; x·x is shared across cells, and adding
+    // it to every term preserves the argmin, so drop it: score = c·c − 2x·c
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val cf = c.map(_.toFloat)
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * VecDot(v, typedLit(cf.toSeq))).as("s"),
+        lit(j).as("cell"))
+    }
+    val best = array_min(array(scored.toIndexedSeq: _*))
+    df.withColumn("cell", best.getField("cell"))
+      .withColumn("dist2",
+        greatest(best.getField("s") + VecDot(v, v), lit(0.0)))
+  }
+}

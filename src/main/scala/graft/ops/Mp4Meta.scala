@@ -57,6 +57,131 @@ object Mp4Meta {
       }
     } catch { case _: ArrayIndexOutOfBoundsException => None }
 
+  /** One addressable media sample (frame, for a video track): its absolute
+    * byte range inside the container and whether it is a sync sample
+    * (keyframe — decodable without reference frames). */
+  final case class SampleRange(sampleNo: Long, offset: Long, size: Long, sync: Boolean)
+
+  /** Hostile-input guard: never walk more than this many samples/chunks,
+    * whatever the tables claim. */
+  private final val MaxSamples = 1 << 20
+
+  /** Byte ranges of the first `k` samples (frames) of the video track —
+    * `syncOnly = true` restricts to keyframes, the frame-sampling shape a
+    * training pipeline actually wants (a non-sync sample is undecodable
+    * alone). This is the full sample-table resolution chain — `stsz`
+    * (sizes) × `stsc` (sample→chunk runs) × `stco`/`co64` (chunk offsets)
+    * × `stss` (sync numbers; absent ⇒ every sample is sync per the spec) —
+    * so a reader can pluck exactly k compressed frames out of a remote
+    * object with k ranged reads, never touching the rest of `mdat`.
+    * Malformed or truncated tables yield what could be resolved safely
+    * (possibly Nil), never an exception. */
+  def sampleRanges(bytes: Array[Byte], k: Int, syncOnly: Boolean = false): Seq[SampleRange] =
+    try {
+      if (k <= 0) return Nil
+      val stblOpt = for {
+        moov <- children(bytes, 0L, bytes.length.toLong).find(_.kind == "moov")
+        traks = children(bytes, moov.payloadOff, moov.payloadLen).filter(_.kind == "trak")
+        trak <- traks.find(isVideoTrak(bytes, _)).orElse(traks.headOption)
+        mdia <- children(bytes, trak.payloadOff, trak.payloadLen).find(_.kind == "mdia")
+        minf <- children(bytes, mdia.payloadOff, mdia.payloadLen).find(_.kind == "minf")
+        stbl <- children(bytes, minf.payloadOff, minf.payloadLen).find(_.kind == "stbl")
+      } yield children(bytes, stbl.payloadOff, stbl.payloadLen)
+      stblOpt match {
+        case None => Nil
+        case Some(boxes) =>
+          val stsz = boxes.find(_.kind == "stsz")
+          val stsc = boxes.find(_.kind == "stsc")
+          val stco = boxes.find(_.kind == "stco")
+          val co64 = boxes.find(_.kind == "co64")
+          if (stsz.isEmpty || stsc.isEmpty || (stco.isEmpty && co64.isEmpty)) return Nil
+          val sz = stsz.get
+          if (sz.payloadLen < 12) return Nil
+          val fixedSize = u32(bytes, sz.payloadOff + 4)
+          val nSamples = math.min(u32(bytes, sz.payloadOff + 8), MaxSamples.toLong)
+          def sampleSize(n: Long): Option[Long] = // n is 1-based
+            if (n < 1 || n > nSamples) None
+            else if (fixedSize != 0L) Some(fixedSize)
+            else {
+              val p = sz.payloadOff + 12 + 4 * (n - 1)
+              if (p + 4 <= sz.payloadOff + sz.payloadLen) Some(u32(bytes, p)) else None
+            }
+          // chunk offsets (stco: u32 each; co64: u64 each)
+          val (coBox, coWidth) = stco.map((_, 4L)).getOrElse((co64.get, 8L))
+          if (coBox.payloadLen < 8) return Nil
+          val nChunks = math.min(u32(bytes, coBox.payloadOff + 4), MaxSamples.toLong)
+          def chunkOffset(c: Long): Option[Long] = { // c is 1-based
+            if (c < 1 || c > nChunks) return None
+            val p = coBox.payloadOff + 8 + coWidth * (c - 1)
+            if (p + coWidth > coBox.payloadOff + coBox.payloadLen) None
+            else Some(if (coWidth == 4L) u32(bytes, p) else u64(bytes, p))
+          }
+          // stsc runs: (first_chunk, samples_per_chunk); a run covers chunks
+          // up to the next entry's first_chunk (exclusive), the last to nChunks
+          val sc = stsc.get
+          if (sc.payloadLen < 8) return Nil
+          val nRuns = math.min(u32(bytes, sc.payloadOff + 4), MaxSamples.toLong).toInt
+          val runs = (0 until nRuns).flatMap { i =>
+            val p = sc.payloadOff + 8 + 12L * i
+            if (p + 12 <= sc.payloadOff + sc.payloadLen)
+              Some((u32(bytes, p), u32(bytes, p + 4))) else None
+          }
+          // sync sample numbers; stss absent ⇒ all samples are sync
+          val syncSet = boxes.find(_.kind == "stss").map { ss =>
+            if (ss.payloadLen < 8) Set.empty[Long]
+            else {
+              val n = math.min(u32(bytes, ss.payloadOff + 4), MaxSamples.toLong).toInt
+              (0 until n).flatMap { i =>
+                val p = ss.payloadOff + 8 + 4L * i
+                if (p + 4 <= ss.payloadOff + ss.payloadLen) Some(u32(bytes, p)) else None
+              }.toSet
+            }
+          }
+          def isSync(n: Long) = syncSet.forall(_.contains(n))
+          // walk chunks in order, resolving each sample's (offset, size)
+          val out = Seq.newBuilder[SampleRange]
+          var taken = 0
+          var sampleNo = 1L
+          var run = 0
+          var chunk = 1L
+          var guard = 0
+          while (taken < k && sampleNo <= nSamples && chunk <= nChunks &&
+              runs.nonEmpty && guard < MaxSamples) {
+            while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+            val perChunk = runs(run)._2
+            chunkOffset(chunk) match {
+              case None => guard = MaxSamples // unreadable table: stop cleanly
+              case Some(base) =>
+                var within = 0L
+                var cursor = base
+                while (taken < k && within < perChunk && sampleNo <= nSamples &&
+                    guard < MaxSamples) {
+                  sampleSize(sampleNo) match {
+                    case None => guard = MaxSamples
+                    case Some(s) =>
+                      if (!syncOnly || isSync(sampleNo)) {
+                        out += SampleRange(sampleNo, cursor, s, isSync(sampleNo))
+                        taken += 1
+                      }
+                      cursor += s
+                      within += 1
+                      sampleNo += 1
+                      guard += 1
+                  }
+                }
+            }
+            chunk += 1
+          }
+          out.result()
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => Nil }
+
+  private def isVideoTrak(bytes: Array[Byte], trak: Box): Boolean =
+    children(bytes, trak.payloadOff, trak.payloadLen).find(_.kind == "mdia").exists { m =>
+      children(bytes, m.payloadOff, m.payloadLen).exists(b =>
+        b.kind == "hdlr" && b.payloadLen >= 12 && str4(bytes, b.payloadOff + 8) == "vide")
+    }
+
   // ---- box walking ---------------------------------------------------------
 
   private final case class Box(kind: String, payloadOff: Long, payloadLen: Long)

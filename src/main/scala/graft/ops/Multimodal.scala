@@ -173,6 +173,28 @@ object Multimodal {
     }
   }
 
+  case class FrameRangeRow(doc_id: Long, sample_no: Long, byte_offset: Long,
+      byte_size: Long, sync: Boolean)
+
+  /** REAL frame addressing for MP4/MOV: the first `k` video samples'
+    * absolute byte ranges (keyframes only with `syncOnly`), resolved from
+    * the container's own sample tables (`Mp4Meta.sampleRanges`:
+    * stsz × stsc × stco/co64 × stss). This is the half of frame sampling
+    * that doesn't need a codec — and the half that matters at 100 TB: a
+    * downstream decode stage issues k ranged reads per object instead of
+    * streaming `mdat`. Unparseable containers yield no rows. */
+  def videoFrameIndex(media: Dataset[MediaRow], k: Int,
+      syncOnly: Boolean = false): Dataset[FrameRangeRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp4Meta.sampleRanges(r.payload, k, syncOnly).map(s =>
+          FrameRangeRow(r.doc_id, s.sampleNo, s.offset, s.size, s.sync))
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** Frame sampling: one video row fans out to every `stride`-th frame —

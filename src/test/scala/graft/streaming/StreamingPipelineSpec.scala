@@ -60,4 +60,34 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(streamed == Set(1L, 3L, 5L), s"unexpected survivor set $streamed")
     } finally q.stop()
   }
+
+  test("inline decontamination streams in append mode, matching the batch flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val shingles = graft.ops.Decontaminate.benchmarkShingles(bench, "text")
+    assert(shingles.nonEmpty)
+
+    val mem = MemoryStream[RawDoc]
+    val q = graft.ops.Decontaminate
+      .flagsInline(mem.toDF(), "doc_id", "text", shingles, minOverlap = 3L)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val batch = graft.ops.Decontaminate
+        .flags(docs.toDF(), "doc_id", "text", bench, "text", minOverlap = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(streamed == batch,
+        s"streaming decontamination $streamed diverged from batch $batch")
+      // docs 1 and 6 carry the benchmark text (doc 6 differs only by case —
+      // shingles are case-sensitive, so only the lowercase tokens collide)
+      assert(streamed.exists { case (id, _, c) => id == 1L && c })
+    } finally q.stop()
+  }
 }
