@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hash aggregations grow cache-hostile and stretches GC, while early spill
   // lands in the warm page cache. Override with SPARK_DRIVER_MEM if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 + native parquet/compression I/O: humongous allocations can
+  // die with a SPURIOUS "java.lang.OutOfMemoryError: Java heap space"
+  // ("Retried waiting for GCLocker too often") when JNI critical sections
+  // keep deferring the needed GC — the JDK default retry budget is 2.
+  // Observed killing sf10 bench runs at 8g with >100g actually free; the
+  // standard production mitigation is a larger retry budget.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
   *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
   *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
+  *   runMain graft.tools.Dev ivfab <sfDir> [k] [nCells] [nProbe] — trained-IVF recall/time A/B
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -112,6 +113,36 @@ object Dev {
           println(f"pipeline[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
             f"${docs.count()} docs -> $n kept, $c train rows")
         }
+      case "ivfab" :: rest =>
+        // trained (k-means) vs fixed-id IVF A/B on the embeddings table:
+        // recall against brute-force cosine top-k, plus end-to-end time.
+        // Both sides run in this one JVM so conditions are equal.
+        import org.apache.spark.sql.functions.col
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val k = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+        val nCells = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
+        val nProbe = rest.drop(3).headOption.map(_.toInt).getOrElse(2)
+        val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        emb.count() // warm the scan
+        val queries = emb.filter(col("vec_id") < 100)
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"ivfab: $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        def asSets(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> r.getLong(2))
+            .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+        val brute = timed("brute-force topk")(
+          asSets(graft.api.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k)))
+        val trained = timed(s"trained IVF ($nCells cells, probe $nProbe, incl. fit)")(
+          asSets(graft.api.Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+            k, nCells, nProbe)))
+        def recall(got: Map[Long, Set[Long]]) = {
+          val hits = brute.map { case (q, s) => (s intersect got.getOrElse(q, Set.empty)).size }.sum
+          hits.toDouble / brute.values.map(_.size).sum
+        }
+        println(f"ivfab: trained recall@$k = ${recall(trained)}%.3f " +
+          f"(${brute.size} queries, $nCells cells, probe $nProbe)")
       case "mart" :: _ =>
         // game-domain flagship over the bundled fixture subsets
         val res = "src/test/resources/game"
