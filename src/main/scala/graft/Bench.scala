@@ -67,10 +67,20 @@ object Bench {
     val loadBefore = osBean.getSystemLoadAverage
     val names = SparkEntry.queries.keys.filter(!skip(_)).toVector
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    // A failed pass must be VISIBLE in the artifact, not recorded as a
+    // fast run: one r7 sf10 artifact recorded an executor-pool death as
+    // 0.02–0.07 s "medians" for every query downstream of the crash. Track
+    // failures per query and surface them in the JSON + on stderr.
+    val failures = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(160)
+          System.err.println(s"[bench] $name FAILED: ${failures(name)}")
+      }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Vector[Double]): Double = {
@@ -82,7 +92,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":"$cpus""""
+    val failed = failures.keys.toSeq.sorted
+      .map(k => "\"" + k + "\":\"" + failures(k).replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"")
+      .mkString("{", ",", "}")
+    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":"$cpus","failed":$failed"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}""")
     spark.stop()
   }
