@@ -398,6 +398,22 @@ object RelationalQueries {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  // Hive-style partitioned layout + partition PRUNING — the 100 TB scan
+  // lever: a filter on the partition column prunes whole directories at
+  // planning time (PartitionFilters in the scan node, asserted in
+  // QueriesSpec), so the en-only read below never opens the other
+  // languages' files no matter how large the table grows.
+  private val partitionPrunedScan = Q(
+    (s, d) => {
+      val tmp = s"/root/repo/target/tmp/part_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id"))
+
   // Pivot (long→wide): Spark's relational pivot; oracle as conditional
   // aggregation — the portable formulation — with identical column names.
   private val pivotWide = Q(
@@ -726,6 +742,7 @@ object RelationalQueries {
     "row_fanout" -> rowFanout,
     "csv_roundtrip" -> csvRoundtrip,
     "jsonl_roundtrip" -> jsonlRoundtrip,
+    "partition_pruned_scan" -> partitionPrunedScan,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
     "agg_var_stats" -> aggVarStats,

@@ -61,6 +61,22 @@ class QueriesSpec extends SparkSpec {
       "projection not pruned")
   }
 
+  test("partition_pruned_scan prunes whole lang= directories at plan time") {
+    val df = SparkEntry.queries("partition_pruned_scan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang filter must be a PARTITION filter (directory pruning), not a
+    // row-level pushed filter over all files
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter not applied to partitions:\n$plan")
+    assert(plan.contains("(lang") && plan.contains("= en)"),
+      s"en pruning predicate missing:\n$plan")
+    // and the scan must actually select fewer partitions than exist
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters")).get
+    assert(!scan.contains("PushedFilters: [IsNotNull(lang"),
+      "lang should be pruned via partitions, not row filters")
+  }
+
   test("small-dimension joins broadcast (join_multiway plan)") {
     val plan = RelationalQueries.joinMultiway.fn(spark, dir)
       .queryExecution.executedPlan.toString
