@@ -78,21 +78,24 @@ object Dedup {
     * touch; here it is derived from the corpus frame on the fly. Batch
     * docs with fewer than 3 tokens have no shingles and are always
     * admitted (nothing to compare — same contract as [[nearDupPairs]]).
+    *
+    * Hot-shingle guard (same auto-decision as [[nearDupPairs]], driven by
+    * the CORPUS-side max shingle df — the 100 TB side): past `hotDf` the
+    * candidate join routes through the lossless prefix filter
+    * (ops.JaccardPrefix.crossPairsAutoSets), so one boilerplate shingle
+    * ("all rights reserved…") present in 10⁶ corpus docs cannot emit 10⁶
+    * join rows per batch doc; below it the leaner inverted cross join runs,
+    * with cost ≤ hotDf index rows per batch shingle occurrence — the linear
+    * contract above, now enforced rather than assumed.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, tau: Double = jaccardTau): DataFrame = {
+      textCol: String, tau: Double = jaccardTau,
+      hotDf: Long = hotShingleDf): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    def exploded(df: DataFrame, id: String) =
-      shingleSets(df, idCol, textCol)
-        .select(col(idCol).as(id), size(col("hs")).as(s"${id}_n"),
-          explode(col("hs")).as("h"))
-    val inter = exploded(batch, "bid").join(exploded(corpus, "cid"), "h")
-      .groupBy("bid", "bid_n", "cid", "cid_n").agg(count(lit(1)).as("c"))
-    val dropped = inter
-      .filter(col("c").cast("double") /
-        (col("bid_n") + col("cid_n") - col("c")).cast("double") >= tau)
-      .select(col("bid").as(idCol)).distinct()
-    batch.join(dropped, Seq(idCol), "left_anti")
+    val pairs = graft.ops.JaccardPrefix.crossPairsAutoSets(
+      shingleSets(batch, idCol, textCol), shingleSets(corpus, idCol, textCol),
+      idCol, "hs", tau, hotDf)
+    batch.join(pairs.select(col("bid").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],

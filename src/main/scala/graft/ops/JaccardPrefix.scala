@@ -100,6 +100,106 @@ object JaccardPrefix {
     } finally { dfs.unpersist(); docs.unpersist() }
   }
 
+  /** Batch×corpus near-dup (bid, cid) pairs at Jaccard ≥ tau over per-doc
+    * shingle-set arrays — the candidate join of the incremental ingestion
+    * shape (api.Dedup.incrementalNearDup). Auto-selected like
+    * [[nearDupPairsAutoSets]], with the decision driven by the CORPUS-side
+    * max shingle df: the corpus is the 100 TB side, and one boilerplate
+    * shingle present in 10⁶ corpus docs would emit 10⁶ inverted-index join
+    * rows for EVERY batch doc containing it. Past `hotDf` the join routes
+    * through the prefix filter under the global (corpus-df, shingle) order,
+    * bounding candidates by rare-shingle collisions; below it the leaner
+    * inverted cross join wins, with per-shingle cost ≤ hotDf rows per batch
+    * occurrence — linear in batch shingle volume, the documented contract.
+    * Both shapes are lossless (JaccardPrefixSpec cross cases). Eager like
+    * the self-join: result is checkpoint-backed, caches released.
+    */
+  def crossPairsAutoSets(batchSets: DataFrame, corpusSets: DataFrame,
+      idCol: String, setCol: String, tau: Double, hotDf: Long): DataFrame =
+    crossPairsAutoSetsChosen(batchSets, corpusSets, idCol, setCol, tau, hotDf)._1
+
+  private[graft] def crossPairsAutoSetsChosen(batchSets: DataFrame,
+      corpusSets: DataFrame, idCol: String, setCol: String, tau: Double,
+      hotDf: Long): (DataFrame, AutoDecision) = {
+    require(hotDf > 1, s"hotDf must be > 1, got $hotDf")
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val bdocs = batchSets.select(col(idCol).as("doc_id"), col(setCol).as("hs")).persist()
+    val cdocs = corpusSets.select(col(idCol).as("doc_id"), col(setCol).as("hs")).persist()
+    val dfs = shingleDfs(cdocs).persist()
+    try {
+      val row = dfs.agg(max(col("df"))).head // fills cdocs + dfs caches
+      val maxDf = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val decision = AutoDecision(prefixPath = maxDf > hotDf, maxDf = maxDf)
+      lastDecision = Some(decision)
+      log.info(s"jaccard cross auto-select: corpus maxDf=$maxDf hotDf=$hotDf -> ${decision.pathName}")
+      val pairs = if (decision.prefixPath) crossPrefixPairs(bdocs, cdocs, dfs, tau)
+                  else crossInvertedPairs(bdocs, cdocs, tau)
+      (pairs.localCheckpoint(true), decision)
+    } finally { dfs.unpersist(); cdocs.unpersist(); bdocs.unpersist() }
+  }
+
+  /** The inverted-index cross join: exploded batch × exploded corpus on
+    * shared shingle, count intersections per (bid, cid). Join rows per
+    * shingle = df_batch × df_corpus — safe only while corpus-side df is
+    * bounded, which the auto-select guarantees on this path (≤ hotDf). */
+  private[graft] def crossInvertedPairs(bdocs: DataFrame, cdocs: DataFrame,
+      tau: Double): DataFrame = {
+    def exploded(docs: DataFrame, id: String) =
+      docs.select(col("doc_id").as(id), size(col("hs")).cast("long").as(s"${id}_n"),
+        explode(col("hs")).as("s"))
+    exploded(bdocs, "bid").join(exploded(cdocs, "cid"), "s")
+      .groupBy("bid", "bid_n", "cid", "cid_n").agg(count(lit(1)).as("c"))
+      .filter(col("c").cast("double") /
+        (col("bid_n") + col("cid_n") - col("c")).cast("double") >= tau)
+      .select("bid", "cid")
+  }
+
+  /** Prefix-filtered cross-join body. Both sides' prefixes are computed
+    * under the SAME global (corpus-df, shingle) total order — the prefix
+    * theorem needs one shared order, not a per-side one. Batch shingles
+    * absent from the corpus take df 0: they sort first and may occupy
+    * prefix slots, then are dropped after the slice — lossless, because a
+    * witness shingle of any qualifying (A, B) pair is by definition in B ⊆
+    * corpus, so its df ≥ 1. Unlike the self-join, a corpus-df = 1 shingle
+    * CAN produce a cross pair, so the corpus side keeps them. The
+    * boilerplate shingle (max df) sorts last on both sides and essentially
+    * never enters a prefix — candidate volume stays bounded by rare-shingle
+    * collisions exactly as in [[prefixPairs]].
+    */
+  private def crossPrefixPairs(bdocs: DataFrame, cdocs: DataFrame,
+      dfs: DataFrame, tau: Double): DataFrame = {
+    def prefixes(docs: DataFrame, corpusSide: Boolean) = {
+      val shd = docs.select(col("doc_id"), explode(col("hs")).as("s"))
+      val withDf =
+        if (corpusSide) shd.join(dfs, "s")
+        else shd.join(dfs, Seq("s"), "left")
+          .select(col("doc_id"), col("s"), coalesce(col("df"), lit(0L)).as("df"))
+      withDf.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(expr(s"slice(ord, 1, cast(n - ceil($tau * n) + 1 as int))")).as("p"))
+        .filter(col("p.df") > 0)
+        .select(col("doc_id"), col("n"), col("p.s").as("s"))
+    }
+    val a = prefixes(bdocs, corpusSide = false)
+      .select(col("s"), col("doc_id").as("bid"), col("n").as("n1"))
+    val b = prefixes(cdocs, corpusSide = true)
+      .select(col("s"), col("doc_id").as("cid"), col("n").as("n2"))
+    val cands = a.join(b, Seq("s"))
+      .filter(greatest(col("n1"), col("n2")) * tau <= least(col("n1"), col("n2")))
+      .select("bid", "cid").distinct()
+    cands
+      .join(bdocs.select(col("doc_id").as("bid"), col("hs").as("hs1")), Seq("bid"))
+      .join(cdocs.select(col("doc_id").as("cid"), col("hs").as("hs2")), Seq("cid"))
+      .select(col("bid"), col("cid"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("c"),
+        size(col("hs1")).cast("long").as("n1"), size(col("hs2")).cast("long").as("n2"))
+      .filter(col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")).cast("double") >= tau)
+      .select("bid", "cid")
+  }
+
   /** Row-shaped (id, shingle) variant of [[nearDupPairsAutoSets]]: groups to
     * per-doc sets first (one extra shuffle) and delegates. */
   def nearDupPairsAuto(shingles: DataFrame, idCol: String, shingleCol: String,

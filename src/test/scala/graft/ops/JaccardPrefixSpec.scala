@@ -90,6 +90,81 @@ class JaccardPrefixSpec extends SparkSpec {
     }.toDF("doc_id", "s").distinct()
   }
 
+  /** Cross (batch×corpus) hostile case: 1200 corpus docs, EVERY one carrying
+    * the universal boilerplate shingle 424242; 300 batch docs, each also
+    * carrying it. The inverted cross join would emit 1200 rows for that
+    * shingle per batch doc (360k rows, growing as |batch|×|corpus|); under
+    * the (corpus-df, shingle) prefix order it sorts last and never enters a
+    * prefix. Even batch docs are near-dups of their target corpus trio
+    * (share 29 of 30 base shingles + the hot one, J = 30/32 ≈ 0.94); odd
+    * batch docs are disjoint except the hot shingle (J ≈ 1/61). Expected
+    * pairs come from an exact driver-side brute force over the small sets —
+    * ground truth, not a second Spark shape.
+    */
+  private def crossCorpusAndBatch = {
+    val corpus = (0 until 1200).map { i =>
+      val base = (0 until 30).map(j => (i / 3 * 1000 + j).toLong)
+      val mine =
+        if (i % 3 == 2) (0 until 30).map(j => 10000000L + i * 100 + j)
+        else base.drop(1) :+ (800000L + i)
+      (i.toLong, (mine :+ 424242L).toSet)
+    }
+    val batch = (0 until 300).map { k =>
+      val mine =
+        if (k % 2 == 0) (0 until 30).map(j => (k / 3 * 1000 + j).toLong).drop(1) :+ (900000L + k)
+        else (0 until 30).map(j => 20000000L + k * 100 + j.toLong)
+      (100000L + k, (mine :+ 424242L).toSet)
+    }
+    (corpus, batch)
+  }
+
+  private def bruteForceCross(batch: Seq[(Long, Set[Long])],
+      corpus: Seq[(Long, Set[Long])], tau: Double): Set[(Long, Long)] =
+    (for {
+      (bid, bs) <- batch; (cid, cs) <- corpus
+      c = (bs & cs).size
+      if c.toDouble / (bs.size + cs.size - c).toDouble >= tau
+    } yield (bid, cid)).toSet
+
+  private def toSetsDf(rows: Seq[(Long, Set[Long])]) = {
+    import spark.implicits._
+    rows.map { case (id, s) => (id, s.toSeq) }.toDF("doc_id", "hs")
+  }
+
+  test("cross join: universal corpus shingle routes to the prefix path, answer exactly matches brute force") {
+    val (corpus, batch) = crossCorpusAndBatch
+    val expected = bruteForceCross(batch, corpus, 0.6)
+    // 150 even batch docs × their 2 corpus trio twins
+    assert(expected.size == 300, s"test corpus degenerate: ${expected.size} expected pairs")
+    val (pairs, dec) = JaccardPrefix.crossPairsAutoSetsChosen(
+      toSetsDf(batch), toSetsDf(corpus), "doc_id", "hs", 0.6, hotDf = 256L)
+    assert(dec.prefixPath, "universal-shingle corpus took the inverted path")
+    assert(dec.maxDf == 1200L, s"expected the boilerplate shingle's corpus df, got ${dec.maxDf}")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).size} extra=${(got -- expected).size}")
+  }
+
+  test("cross join: both shapes are lossless vs brute force; benign corpus takes the inverted index") {
+    val (corpus, batch) = crossCorpusAndBatch
+    // benign: strip the universal shingle (max corpus df = 2, the trio twins)
+    val corpusB = corpus.map { case (id, s) => (id, s - 424242L) }
+    val batchB = batch.map { case (id, s) => (id, s - 424242L) }
+    val expectedB = bruteForceCross(batchB, corpusB, 0.6)
+    val (invPairs, invDec) = JaccardPrefix.crossPairsAutoSetsChosen(
+      toSetsDf(batchB), toSetsDf(corpusB), "doc_id", "hs", 0.6, hotDf = 256L)
+    assert(!invDec.prefixPath, s"benign corpus (maxDf=${invDec.maxDf}) took the prefix path")
+    assert(invPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expectedB)
+    // force the INVERTED path on the hostile (universal-shingle) corpus: same
+    // brute-force answer as the prefix path took in the previous test — the
+    // two shapes agree on identical input, so the guard is purely performance
+    val (hotInv, hotInvDec) = JaccardPrefix.crossPairsAutoSetsChosen(
+      toSetsDf(batch), toSetsDf(corpus), "doc_id", "hs", 0.6, hotDf = 100000L)
+    assert(!hotInvDec.prefixPath && hotInvDec.maxDf == 1200L)
+    assert(hotInv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      bruteForceCross(batch, corpus, 0.6))
+  }
+
   test("hotShingleDf boundary: df at and one past the cutoff route correctly, answers identical") {
     val cutoff = graft.api.Dedup.hotShingleDf // the production constant (256)
     for (df <- Seq(cutoff, cutoff + 1)) {
