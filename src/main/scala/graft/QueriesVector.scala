@@ -349,14 +349,107 @@ object VectorQueries {
          FROM reach GROUP BY id ORDER BY vec_id"""
     })
 
+  // Trained-IVF ANN — the PRODUCTION index path (ops.KMeans: bit-deterministic
+  // distributed Lloyd's) under the oracle gate. Centroids are LEARNED from the
+  // data, the corpus is assigned to its nearest cell (map-side argmin over the
+  // broadcast model), and each query probes ALL k cells via assignAll — so the
+  // union of per-cell searches is exhaustive and the output provably equals
+  // brute-force top-3 independent of what the training converged to. The
+  // oracle is therefore the brute-force SQL — intentionally model-free:
+  // DuckDB cannot mirror k-means, and with full probes it doesn't need to.
+  // What the hash-compare pins cross-engine: fit + assign + assignAll + cell
+  // equi join + global re-rank must together lose, duplicate, or misrank
+  // nothing. Production recall at probe < k is the measured curve in
+  // BASELINE.md (r7: recall@3 holds 0.58→0.59 at probe 4 across 10× data).
+  private val simIvfTrained = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", k = 16)
+      val corpus = graft.ops.KMeans.assign(e, "embedding", model)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          VecDot(col("embedding"), col("embedding")).as("nn"))
+      val queries = graft.ops.KMeans
+        .assignAll(e.filter(col("vec_id") < 10), "embedding", model)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell"), VecDot(col("embedding"), col("embedding")).as("q_nn"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+      queries.join(corpus, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          (VecDot(col("q_emb"), col("embedding")) /
+            (sqrt(col("q_nn")) * sqrt(col("nn")))).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "nbr_id")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""SELECT q_id, rank, nbr_id FROM (
+              SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id ASC) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10) t
+            WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // Scale-ADAPTIVE band geometry under the oracle gate: the declared 100 TB
+  // LSH shape (Similarity.adaptiveBandGeometry — bits track ⌈log₂ n⌉ so
+  // bucket count tracks corpus size, bands restore recall) running the real
+  // τ=0.8 near-dup over the planted-duplicate corpus. The oracle derives the
+  // SAME geometry from the SAME inputs dynamically in SQL — count(wc), then
+  // bits/bands via the identical formula (structurally matched so both
+  // engines' IEEE-double libm calls agree; the ceil()s land far from integer
+  // boundaries for any plausible n) — then mirrors every hyperplane sign at
+  // the computed width. Planted 2×-scaled copies keep all sign bits, so they
+  // collide in every band and recall on them is 1.0 at any geometry; the
+  // hash-compare thus pins the adaptive band construction itself, not a
+  // lucky recall draw. Plane superset 15360 = maxBands 512 × bits cap 30.
+  private val dedupLshCosineAdaptive = Q(
+    (s, d) => graft.api.Similarity.lshCosineNearDupAdaptive(
+        widenedCorpus(embeddings(s, d)), "vec_id", "embedding", tau = 0.8)
+      .orderBy("id1", "id2"),
+    Some(s"""WITH $sqlWidenedCorpus,
+            g AS (SELECT LEAST(30, GREATEST(8,
+                    CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT))) AS bits,
+                    (1.0 - acos(0.8) / pi()) AS p
+                  FROM wc),
+            g2 AS (SELECT bits,
+                    CAST(GREATEST(16, LEAST(CAST(ceil(ln(0.1) /
+                      ln(1.0 - pow(p, bits))) AS BIGINT), 512)) AS INT) AS bands
+                   FROM g),
+            planes AS (SELECT t.j, CAST(t.j // g2.bits AS INT) AS band
+                       FROM generate_series(0, 15359) AS t(j), g2
+                       WHERE t.j < g2.bands * g2.bits),
+            keys AS (
+              SELECT wc.vec_id, p.band,
+                     string_agg(CASE WHEN list_sum(list_transform(
+                         generate_series(1, len(wc.embedding)),
+                         i -> CAST(wc.embedding[i] AS DOUBLE) *
+                              (CASE WHEN ((p.j + 1) * (i + 7) * 2654435761)
+                                    % 1000000007 % 2 = 1
+                               THEN 1.0 ELSE -1.0 END))) > 0
+                       THEN '1' ELSE '0' END, '' ORDER BY p.j) AS key
+              FROM wc, planes p
+              GROUP BY wc.vec_id, p.band),
+            cand AS (SELECT DISTINCT k1.vec_id AS v1, k2.vec_id AS v2
+                     FROM keys k1 JOIN keys k2 ON k1.band = k2.band
+                       AND k1.key = k2.key AND k1.vec_id < k2.vec_id)
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM cand JOIN wc a ON a.vec_id = cand.v1
+                      JOIN wc b ON b.vec_id = cand.v2
+            WHERE ${sqlCos("a", "b")} >= 0.8
+            ORDER BY id1, id2"""))
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
+    "sim_ivf_trained" -> simIvfTrained,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
     "dedup_embedding_cluster" -> dedupEmbeddingCluster,
     "lsh_bands_wide" -> lshBandsWide,
     "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
+    "dedup_lsh_cosine_adaptive" -> dedupLshCosineAdaptive,
     "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide)
 }
