@@ -75,13 +75,20 @@ object Bench {
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // A failed pass contributes NO sample: a fail-fast throw (often
+      // near-zero elapsed) recorded as a timing would silently deflate the
+      // median and the summed total for any reader of queries/total alone.
+      // Medians aggregate successful passes only; a query whose every pass
+      // failed reports 0.0 with its entry in the `failed` map as the signal.
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(160)
           System.err.println(s"[bench] $name FAILED: ${failures(name)}")
       }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -89,14 +96,31 @@ object Bench {
     }
     val results = names.map(n => n -> median(samples(n)))
     val loadAfter = osBean.getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) per-query values: full-precision doubles made the
+    // 92-query line long enough that log-tail truncation clipped it mid-line
+    // in two driver artifacts ("parsed": null) — compactness is robustness.
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"" + failures(k).replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"")
       .mkString("{", ",", "}")
     val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":"$cpus","failed":$failed"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
+    println(json)
+    // The artifact also lands in a file (SPARK_GRAFT_BENCH_OUT, default
+    // target/bench_out.json) so the per-query map stays machine-readable
+    // even when the stdout the caller kept is a truncated scrape.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse("target/bench_out.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
