@@ -366,10 +366,11 @@ object RelationalQueries {
             ORDER BY p_partkey, variant"""))
 
   // S3/S4/S7: partitioned CSV sink + schema'd CSV source round-trip
-  // (per-key checkpoint files, web_scraper.py:1165-1183).
+  // (per-key checkpoint files, web_scraper.py:1165-1183). Times write+read,
+  // like the other round-trip entries (see scratchDir below).
   private val csvRoundtrip = Q(
     (s, d) => {
-      val tmp = s"/root/repo/target/tmp/csv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = scratchDir("csv_roundtrip", d)
       nation(s, d).write.mode("overwrite")
         .partitionBy("n_regionkey").option("header", "true").csv(tmp)
       s.read
@@ -380,14 +381,26 @@ object RelationalQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  // Scratch root for the two write+read entries below: env override
+  // (SPARK_GRAFT_TMP_DIR), else the JVM temp dir — no absolute repo path
+  // baked into the catalog. Keyed by sf dir so concurrent scales never
+  // collide.
+  private def scratchDir(name: String, d: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_TMP_DIR",
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    s"$root/graft_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
+
   // JSONL source/sink round-trip — the format LLM corpora actually ship in.
   // Spark's json writer emits one JSON object per line; the read-back uses
   // an explicit schema (never inference — a schema-inference pass over
   // 100 TB is a full extra scan). JSON string escaping is lossless for any
   // unicode text, so the oracle is simply the parquet originals.
+  // NOTE: this entry TIMES WRITE + READ (the round-trip IS the operator),
+  // not a bare scan — its bench number includes the sink.
   private val jsonlRoundtrip = Q(
     (s, d) => {
-      val tmp = s"/root/repo/target/tmp/jsonl_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = scratchDir("jsonl_roundtrip", d)
       documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").json(tmp)
       s.read
@@ -403,9 +416,11 @@ object RelationalQueries {
   // planning time (PartitionFilters in the scan node, asserted in
   // QueriesSpec), so the en-only read below never opens the other
   // languages' files no matter how large the table grows.
+  // NOTE: like jsonl_roundtrip, this entry TIMES WRITE + READ — the
+  // partitioned layout is (re)written per invocation, then pruned-scanned.
   private val partitionPrunedScan = Q(
     (s, d) => {
-      val tmp = s"/root/repo/target/tmp/part_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = scratchDir("part_docs", d)
       documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp)
         .filter(col("lang") === "en")
