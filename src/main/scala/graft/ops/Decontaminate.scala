@@ -22,6 +22,16 @@ import graft.functions.TextFns.tokens
   */
 object Decontaminate {
 
+  /** Ceiling on the benchmark shingle inventory the inline/driver-side path
+    * will materialize: 10⁷ longs ≈ 80 MB on the driver and as a broadcast
+    * literal — generous for any real eval suite (thousands of docs), and a
+    * LOUD `require` failure for a caller who feeds a training corpus as the
+    * "benchmark" (which would otherwise OOM the driver far less legibly).
+    * The bounded-benchmark premise is the contract; this makes it enforced
+    * rather than assumed — same posture as Sampling.bucketOf's negative-id
+    * check. */
+  val MaxInlineShingles: Long = 10L * 1000 * 1000
+
   /** Per-document overlap flags: (id, n_hits, contaminated) for EVERY row
     * of `docs` — `n_hits` = how many of the doc's distinct shingles appear
     * anywhere in the benchmark corpus, `contaminated` = n_hits ≥
@@ -58,6 +68,10 @@ object Decontaminate {
   def flagsInline(docs: DataFrame, idCol: String, textCol: String,
       benchShingles: Array[Long], minOverlap: Long): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    require(benchShingles.length <= MaxInlineShingles,
+      s"benchmark shingle set (${benchShingles.length}) exceeds MaxInlineShingles " +
+        s"($MaxInlineShingles): this looks like a corpus, not an eval suite — " +
+        "use Decontaminate.flags (broadcast semi-join) instead")
     docs.select(col(idCol).as("id"),
         size(array_intersect(
           array_distinct(graft.expressions.ShingleHashes(tokens(col(textCol)))),
@@ -67,12 +81,20 @@ object Decontaminate {
 
   /** The distinct benchmark shingle inventory [[flagsInline]] consumes —
     * collected to the driver, so call it on the (bounded) benchmark side
-    * only. Sorted for deterministic ordering. */
+    * only; fails loudly past [[MaxInlineShingles]] BEFORE the collect (the
+    * count is a cheap distinct-agg job, the guard that makes the bounded
+    * premise enforceable). Sorted for deterministic ordering. */
   def benchmarkShingles(bench: DataFrame, benchTextCol: String): Array[Long] = {
     val spark = bench.sparkSession
     import spark.implicits._
-    bench.select(explode(array_distinct(
+    val sh = bench.select(explode(array_distinct(
         graft.expressions.ShingleHashes(tokens(col(benchTextCol))))).as("h"))
-      .distinct().as[Long].collect().sorted
+      .distinct()
+    val n = sh.count()
+    require(n <= MaxInlineShingles,
+      s"benchmark shingle set ($n) exceeds MaxInlineShingles ($MaxInlineShingles): " +
+        "this looks like a corpus, not an eval suite — use Decontaminate.flags " +
+        "(broadcast semi-join) instead")
+    sh.as[Long].collect().sorted
   }
 }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.expressions.VecDot
 
@@ -19,7 +18,7 @@ import graft.expressions.VecDot
   *  - ASSIGN: per-row argmin over the broadcast centroids with the tie
   *    broken by cell index — a pure map-side expression (k fused VecDot
   *    terms inside whole-stage codegen, no UDF);
-  *  - UPDATE: per-cell per-dimension MEANS via exact DECIMAL(30,10) sums —
+  *  - UPDATE: per-cell per-dimension MEANS via exact DECIMAL(38,10) sums —
   *    float addition is order-dependent, decimal addition is not, so
   *    centroids are bit-identical however Spark schedules the partial
   *    aggregates.
@@ -61,15 +60,39 @@ object KMeans {
         val byCell = assignTo(base, "v", cents)
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
-          .agg((sum(col("x").cast(DecimalType(30, 10))) /
-            count(lit(1))).cast("double").as("m"))
+          // try_cast/try_sum, not cast/sum: under ANSI (Spark 4 default) a
+          // float beyond DECIMAL(38,10) capacity (|x| ≥ 10^28) or an
+          // overflowing accumulation would THROW mid-job; the try_ forms
+          // yield NULL instead, and bool_or pins the whole (cell, dim) mean
+          // to NULL whenever any member was uncastable (a partial mean that
+          // silently dropped members would be worse than no update)
+          .agg(when(expr("bool_or(try_cast(x AS DECIMAL(38,10)) IS NULL)"),
+              lit(null).cast("double"))
+            .otherwise((expr("try_sum(try_cast(x AS DECIMAL(38,10)))") /
+              count(lit(1))).cast("double")).as("m"))
           .groupBy("cell")
           .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
           .collect()
-          .map(r => r.getInt(0) ->
-            r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+          .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
           .toMap
-        val next = cents.indices.map(j => byCell.getOrElse(j, cents(j))).toArray
+        // A decimal sum past DECIMAL(38,10) capacity (|Σx| ≥ 10^28 — only
+        // reachable on adversarial float magnitudes) comes back NULL from
+        // Spark; keep the previous centroid for that (cell, dim) instead of
+        // NPEing inside fit. Cells that lose all members keep their previous
+        // centroid wholesale, as before.
+        val next = cents.indices.map { j =>
+          byCell.get(j) match {
+            case None => cents(j)
+            case Some(dims) =>
+              val arr = cents(j).clone()
+              dims.foreach { row =>
+                val pos = row.getInt(0)
+                if (!row.isNullAt(1) && pos >= 0 && pos < arr.length)
+                  arr(pos) = row.getDouble(1)
+              }
+              arr
+          }
+        }.toArray
         converged = next.zip(cents).forall { case (a, b) => a.sameElements(b) }
         cents = next
         it += 1

@@ -114,7 +114,13 @@ object Mp4Meta {
             if (c < 1 || c > nChunks) return None
             val p = coBox.payloadOff + 8 + coWidth * (c - 1)
             if (p + coWidth > coBox.payloadOff + coBox.payloadLen) None
-            else Some(if (coWidth == 4L) u32(bytes, p) else u64(bytes, p))
+            else {
+              val v = if (coWidth == 4L) u32(bytes, p) else u64(bytes, p)
+              // a co64 offset with the top bit set comes back negative from
+              // u64 — not addressable by any reader; treat as malformed and
+              // skip the chunk, same as a truncated table
+              if (v < 0) None else Some(v)
+            }
           }
           // stsc runs: (first_chunk, samples_per_chunk); a run covers chunks
           // up to the next entry's first_chunk (exclusive), the last to nChunks
@@ -221,7 +227,9 @@ object Mp4Meta {
     } else if (version == 1 && b.payloadLen >= 32) {
       val timescale = u32(bytes, b.payloadOff + 20)
       val duration = u64(bytes, b.payloadOff + 24)
-      if (timescale > 0) Some(duration.toDouble / timescale) else None
+      // top-bit-set u64 duration reads back negative — malformed, like a
+      // truncated box
+      if (timescale > 0 && duration >= 0) Some(duration.toDouble / timescale) else None
     } else None
   }
 

@@ -78,6 +78,24 @@ class KMeansSpec extends SparkSpec {
     assert(recall >= 0.5, s"partial-probe recall $recall collapsed")
   }
 
+  test("extreme-magnitude floats degrade gracefully instead of NPEing in fit") {
+    import spark.implicits._
+    // Float.MaxValue ≈ 3.4·10³⁸ — ONE such value already exceeds the
+    // DECIMAL(38,10) accumulator (integer capacity 10²⁸), so Spark returns
+    // a NULL mean for that (cell, dim); fit must keep the previous centroid
+    // coordinate there, not NPE on the collected row. The second dimension
+    // stays sane and must still train normally.
+    val hostile = Seq(
+      (0L, Array(Float.MaxValue, 1f)), (1L, Array(Float.MaxValue, 2f)),
+      (2L, Array(-1f, 10f)), (3L, Array(-2f, 11f))).toDF("id", "emb")
+    val model = KMeans.fit(hostile, "id", "emb", k = 2, maxIters = 3)
+    assert(model.k == 2 && model.centroids.forall(_.length == 2))
+    assert(model.centroids.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    // every row still lands in a cell
+    assert(KMeans.assign(hostile, "emb", model).select("cell")
+      .collect().map(_.getInt(0)).forall(c => c >= 0 && c < 2))
+  }
+
   test("an empty cell keeps its previous centroid instead of crashing") {
     import spark.implicits._
     // two identical points, k = 3: at most one cell can own members

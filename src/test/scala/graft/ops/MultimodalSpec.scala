@@ -236,6 +236,37 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, 1L, chunks(0), 10L), (1L, 4L, chunks(1) + 30L, 40L)))
   }
 
+  test("hostile co64: top-bit-set chunk offsets are malformed, never negative byte ranges") {
+    def be64(v: Long): Array[Byte] =
+      (56 to 0 by -8).map(s => ((v >> s) & 0xff).toByte).toArray
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0),
+      be32(0), be32(0), be32(1000), be32(5000), new Array[Byte](80))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 0),
+      new Array[Byte](72), be32(320L << 16), be32(240L << 16))
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(0),
+      be32(4L), Seq(10L, 20L, 30L, 40L).toArray.flatMap(be32))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0), be32(1L),
+      be32(1L) ++ be32(2L) ++ be32(1L)) // 2 samples per chunk, 2 chunks
+    // chunk 1 at a sane offset, chunk 2 at a hostile top-bit-set "offset"
+    // (reads back negative from u64): the walk keeps the sane prefix and
+    // stops cleanly at the malformed entry — the same contract as a
+    // truncated table — and never emits a negative byte range
+    val co64 = box("co64", Array[Byte](0, 0, 0, 0), be32(2L),
+      be64(1024L) ++ be64(0x8000000000000000L))
+    val trak = box("trak", tkhd,
+      box("mdia", hdlr, box("minf", box("stbl", stsz, stsc, co64))))
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", mvhd, trak)
+    val ranges = Mp4Meta.sampleRanges(bytes, 10)
+    assert(ranges.forall(s => s.offset >= 0 && s.size >= 0),
+      s"negative byte range leaked: $ranges")
+    assert(ranges.map(_.sampleNo) == Seq(1L, 2L),
+      "the sane chunk must survive, the malformed one must stop the walk")
+    assert(ranges.map(_.offset) == Seq(1024L, 1034L))
+  }
+
   test("sampleRanges never throws on truncated or lying sample tables") {
     val (bytes, _) = mp4WithSamples(Seq(10L, 20L, 30L), Seq((1L, 3L)), Seq(0L), Seq(1L))
     (0 until bytes.length by 7).foreach { cut =>

@@ -90,4 +90,21 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(streamed.exists { case (id, _, c) => id == 1L && c })
     } finally q.stop()
   }
+
+  test("flagsInline refuses a corpus-sized 'benchmark' set instead of OOMing the driver") {
+    import spark.implicits._
+    val docs1 = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // one past the documented ceiling (80 MB of zeros — allocatable here,
+    // but the typedLit/broadcast it would become is the failure mode)
+    val oversized = new Array[Long]((graft.ops.Decontaminate.MaxInlineShingles + 1).toInt)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Decontaminate.flagsInline(docs1, "doc_id", "text", oversized, 3L)
+    }
+    assert(e.getMessage.contains("MaxInlineShingles"))
+    // at the ceiling exactly: accepted (the require is a bound, not a cliff
+    // below it) — plan construction must not throw
+    val atCeiling = graft.ops.Decontaminate.flagsInline(
+      docs1, "doc_id", "text", Array(1L, 2L, 3L), 3L)
+    assert(atCeiling.columns.toSeq == Seq("id", "n_hits", "contaminated"))
+  }
 }
