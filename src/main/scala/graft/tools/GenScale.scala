@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *    the generated dir byte-identically to the driver's.
   *  - `region`/`nation` are fixed dimensions and are copied once, like TPC-H.
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <copies>
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <copies> [mode]
+  *   mode: rotate (default, quality-failing replicas — near-dup-safe) |
+  *         qdup (quality-SURVIVING replicas for pipeline scale curves)
   */
 object GenScale {
   private val KeyOffset = 10000000000L
@@ -55,11 +57,34 @@ object GenScale {
   private val Alphabet2 = "cdmpbghfwk"
   private def rotated(a: String, r: Int): String = a.drop(r % a.length) + a.take(r % a.length)
 
-  private def copyOf(df: DataFrame, table: String, i: Int): DataFrame = {
+  /** `qdup` mode text transform: rotate ONLY non-stopword tokens, so the
+    * replica keeps copy-0's quality metrics EXACTLY (token count, stopword
+    * hits — the same exact-token predicate as TextFns.stopwordHits — and
+    * text length) and therefore SURVIVES CorpusPipeline's English quality
+    * floor, while nearly every 3-gram shingle still contains a rotated
+    * content word, so cross-copy docs stay far below the Jaccard near-dup
+    * threshold. Result: the pipeline's survivor set and its within-copy
+    * duplicate structure both grow ~K× — dedup/cluster stages do real
+    * growing work at scale — without the fake K² cross-copy pair inflation
+    * verbatim clones would cause. (The driver's synthetic documents are
+    * single-space token streams, so the space split is exact.) */
+  private def qdupText(i: Int): org.apache.spark.sql.Column = {
+    val quoted = graft.functions.TextFns.stopwords.map(s => s"'$s'").mkString(", ")
+    val r1 = rotated(Alphabet, i % 10)
+    val r2 = rotated(Alphabet2, i / 10 % 10)
+    expr(s"""array_join(transform(split(text, ' '), t ->
+      CASE WHEN t IN ($quoted) THEN t
+           ELSE translate(translate(t, '$Alphabet', '$r1'), '$Alphabet2', '$r2')
+      END), ' ')""")
+  }
+
+  private def copyOf(df: DataFrame, table: String, i: Int, mode: String): DataFrame = {
     val keyed = int64Keys.getOrElse(table, Nil).foldLeft(df) { (d, k) =>
       d.withColumn(k, col(k) + lit(KeyOffset * i))
     }
     val perturbed = table match {
+      case "documents" if i > 0 && mode == "qdup" =>
+        keyed.withColumn("text", qdupText(i))
       case "documents" if i > 0 =>
         keyed.withColumn("text",
           translate(translate(col("text"), Alphabet, rotated(Alphabet, i % 10)),
@@ -73,7 +98,9 @@ object GenScale {
     perturbed
   }
 
-  def generate(spark: SparkSession, srcDir: String, dstDir: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, srcDir: String, dstDir: String, copies: Int,
+      mode: String = "rotate"): Unit = {
+    require(mode == "rotate" || mode == "qdup", s"unknown GenScale mode '$mode'")
     // read TIMESTAMP(NANOS) as long so the generated events.parquet keeps the
     // raw-nanos column Tables.events expects
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -86,14 +113,15 @@ object GenScale {
     }
     for (t <- scaled) {
       val base = spark.read.parquet(s"$srcDir/$t.parquet")
-      val all = (0 until copies).map(i => copyOf(base, t, i)).reduce(_ unionAll _)
+      val all = (0 until copies).map(i => copyOf(base, t, i, mode)).reduce(_ unionAll _)
       all.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
-      println(s"GENSCALE $t: ${copies}x written to $dstDir/$t.parquet")
+      println(s"GENSCALE $t: ${copies}x ($mode) written to $dstDir/$t.parquet")
     }
   }
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, copiesStr) = args.take(3)
+    val mode = args.drop(3).headOption.getOrElse("rotate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,7 +130,7 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, dstDir, copiesStr.toInt)
+    generate(spark, srcDir, dstDir, copiesStr.toInt, mode)
     spark.stop()
   }
 }
