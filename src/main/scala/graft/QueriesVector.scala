@@ -253,6 +253,67 @@ object VectorQueries {
          FROM reach GROUP BY id ORDER BY vec_id"""
     })
 
+  // SemDeDup-style cell-blocked semantic dedup (Abbas et al. 2023,
+  // arXiv:2303.09540 — the published recipe for web-scale embedding dedup:
+  // cluster the corpus into k cells, then dedup WITHIN cells only). The
+  // 100 TB trade made explicit: assignment is one broadcast-argmin pass
+  // (k×dim centroids, never the corpus), the pair join shuffles by cell id,
+  // and within-cell cost is quadratic only in cell size — while cross-cell
+  // near-dup pairs are forfeited BY DESIGN. Because this entry runs the same
+  // corpus and τ as `dedup_embedding` (the exact all-pairs answer), the
+  // recall given up by blocking is directly measurable: this result is the
+  // subset of dedup_embedding's pairs whose ends land in the same cell.
+  // Cells here are the deterministic seed centroids sim_ivf uses (vec_id
+  // 0..15; a real build trains them with ops.KMeans — centroid source is
+  // config, the blocked-dedup shape is the operator). With k FIXED at 16
+  // the within-cell cost is still ~n²/16 — quadratic by contract, skipped
+  // at sf10 alongside dedup_embedding; SemDeDup at real scale grows k with
+  // the corpus (the paper uses k ≈ n/10⁴) so cells stay bounded.
+  private val dedupSemanticCells = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VecDot(col("embedding"), col("embedding")).as("nn"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nn").as("c_nn"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_sim").desc, col("c_id").asc)
+      val assigned = e.repartition(col("vec_id")).withColumn("z", pmod(col("vec_id"), lit(1L)))
+        .join(broadcast(cents.withColumn("z", pmod(col("c_id"), lit(1L)))), Seq("z"))
+        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id"),
+          (VecDot(col("embedding"), col("c_emb")) /
+            (sqrt(col("nn")) * sqrt(col("c_nn")))).as("c_sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id").as("cell"))
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(VecDot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.nn")) * sqrt(col("b.nn"))) >= lit(graft.api.Dedup.cosineTau))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT a.vec_id, a.embedding, c.c_id AS cell,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_sum(list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(generate_series(1, len(c.c_emb)),
+                               i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))) DESC,
+                         c.c_id ASC) AS rn
+                FROM e a CROSS JOIN cents c) t WHERE rn = 1)
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${sqlCos("a", "b")} >= 0.45
+            ORDER BY id1, id2"""))
+
   // ---- Wide-band (production-geometry) LSH entries -------------------------
   // The τ=0.45 entries above are corpus-forced to the (4,4) geometry, which is
   // near-quadratic in candidates; REAL embedding dedup runs at τ≥0.8 where
@@ -448,6 +509,7 @@ object VectorQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
     "dedup_embedding_cluster" -> dedupEmbeddingCluster,
+    "dedup_semantic_cells" -> dedupSemanticCells,
     "lsh_bands_wide" -> lshBandsWide,
     "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
     "dedup_lsh_cosine_adaptive" -> dedupLshCosineAdaptive,

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
   *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
   *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
+  *   runMain graft.tools.Dev geomsweep <sfDir> [τ] [reps] [bitsCsv] — end-to-end sweep over band widths
   *   runMain graft.tools.Dev ivfab <sfDir> [k] [nCells] [nProbe] — trained-IVF recall/time A/B
   */
 object Dev {
@@ -96,6 +97,48 @@ object Dev {
         run("fixed-tier", fb, fw)
         val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
         run("adaptive  ", ab, aw)
+        corpus.unpersist()
+      case "geomsweep" :: sfDir :: rest =>
+        // Calibration sweep for adaptiveBandGeometry's bits rule: for each
+        // candidate bits width, derive the band count from the SAME recall
+        // formula the adaptive geometry uses, run the full near-dup
+        // end-to-end (reps in one JVM; rep 1 discarded as warmup), and print
+        // wall time + the shape stats lshCosineNearDup measured internally
+        // (candidates, banded-index rows, verify layout). No separate
+        // candidate-count materialization — that's what poisoned the r7 A/B.
+        import org.apache.spark.sql.functions._
+        val tau = rest.headOption.map(_.toDouble).getOrElse(0.8)
+        val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+        val bitsList = rest.drop(2).headOption
+          .map(_.split(",").map(_.toInt).toList).getOrElse(List(8, 10, 12, 14, 16, 18))
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val corpus = emb.union(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .cache()
+        val n = corpus.count()
+        val planted = emb.filter(pmod(col("vec_id"), lit(10L)) === 0).count()
+        val p = 1.0 - math.acos(tau) / math.Pi
+        println(s"geomsweep: n=$n planted=$planted tau=$tau reps=$reps bits=$bitsList")
+        for (bits <- bitsList) {
+          val pb = math.pow(p, bits)
+          val bands = math.max(16L, math.min(512L,
+            math.ceil(math.log1p(-0.9) / math.log1p(-pb)).toLong)).toInt
+          for (r <- 1 to reps) {
+            graft.api.Similarity.lastLshShape = None
+            val t0 = System.nanoTime()
+            val found = graft.api.Similarity.lshCosineNearDup(
+              corpus, "vec_id", "embedding", tau, bands, bits).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            val sh = graft.api.Similarity.lastLshShape
+            println(f"bits=$bits bands=$bands rep=$r: $t%.1f s, pairs=$found, " +
+              s"cands=${sh.map(_.candidates).getOrElse(-1L)} " +
+              s"bandRows=${sh.map(_.bandRows).getOrElse(-1L)} " +
+              s"layout=${sh.map(_.shapeName).getOrElse("?")}")
+          }
+        }
         corpus.unpersist()
       case "pipeline" :: rest =>
         // end-to-end CorpusPipeline over a documents table: timing + stage

@@ -245,6 +245,39 @@ class VectorRecallSpec extends SparkSpec {
         s"($candSmall -> $candBig) — quadratic, not sub-quadratic")
   }
 
+  test("SemDeDup cell blocking: exactly the same-cell subset of the exact pairs") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val exact = exactPairs(d)
+      val cellPairs = graft.SparkEntry.queries("dedup_semantic_cells")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // independent assignment oracle (spec-size corpus, driver-side):
+      // nearest of the 16 seed centroids by cosine, ties to the lowest id —
+      // the same rule the operator's broadcast-argmin declares
+      val rows = spark.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cents = rows.filter(_._1 < 16)
+      val cell = rows.map { case (id, v) =>
+        id -> cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+      }.toMap
+      val expected = exact.filter { case (a, b) => cell(a) == cell(b) }
+      assert((cellPairs -- exact).isEmpty,
+        s"$d: cell-blocked dedup emitted non-near-dup pairs: ${cellPairs -- exact}")
+      assert(cellPairs == expected,
+        s"$d: cell-blocked pairs != same-cell subset of exact: " +
+          s"missing=${(expected -- cellPairs).size} extra=${(cellPairs -- expected).size} " +
+          s"(exact=${exact.size}, forfeited=${(exact -- expected).size})")
+    }
+  }
+
   test("banded LSH: precision 1.0, recall measured against exact, rises with similarity") {
     val d = sf("sf0.01")
     val exact = exactPairs(d)
