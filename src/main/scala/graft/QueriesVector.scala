@@ -271,28 +271,13 @@ object VectorQueries {
   // the corpus (the paper uses k ≈ n/10⁴) so cells stay bounded.
   private val dedupSemanticCells = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          VecDot(col("embedding"), col("embedding")).as("nn"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nn").as("c_nn"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_sim").desc, col("c_id").asc)
-      val assigned = e.repartition(col("vec_id")).withColumn("z", pmod(col("vec_id"), lit(1L)))
-        .join(broadcast(cents.withColumn("z", pmod(col("c_id"), lit(1L)))), Seq("z"))
-        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id"),
-          (VecDot(col("embedding"), col("c_emb")) /
-            (sqrt(col("nn")) * sqrt(col("c_nn")))).as("c_sim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nn"), col("c_id").as("cell"))
-      assigned.as("a")
-        .join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .filter(VecDot(col("a.embedding"), col("b.embedding")) /
-          (sqrt(col("a.nn")) * sqrt(col("b.nn"))) >= lit(graft.api.Dedup.cosineTau))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = graft.api.Similarity.assignCellsCosine(
+        e, "vec_id", "embedding", cents, "c_id", "c_emb")
+      graft.api.Similarity.withinCellNearDup(
+          assigned, "vec_id", "embedding", graft.api.Dedup.cosineTau)
         .orderBy("id1", "id2")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

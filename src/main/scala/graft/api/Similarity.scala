@@ -281,6 +281,66 @@ object Similarity {
         greatest(col(idCol + "1"), col(idCol + "2")).as("id2"))
   }
 
+  /** SemDeDup cell assignment (Abbas et al. 2023, arXiv:2303.09540): every
+    * row of `emb` goes to its highest-cosine centroid, ties to the lowest
+    * cell id. One broadcast-argmin pass — only the k×dim `centroids` frame
+    * (cols `cellCol`, `centEmbCol`) is broadcast, never the corpus — and the
+    * fan-out×argmin runs on rows already hash-partitioned by `idCol`, so the
+    * row_number window adds no second exchange. Output: `emb`'s (id, emb)
+    * columns plus `__nn` (self dot) and `cell`.
+    */
+  def assignCellsCosine(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, cellCol: String, centEmbCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col(cellCol).as("__cid"), col(centEmbCol).as("__ce"),
+      VecDot(col(centEmbCol), col(centEmbCol)).as("__cn"))
+    val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cid").asc)
+    emb.select(col(idCol), col(embCol), VecDot(col(embCol), col(embCol)).as("__nn"))
+      .repartition(col(idCol))
+      .withColumn("__z", pmod(col(idCol).cast("long"), lit(1L)))
+      .join(broadcast(cents.withColumn("__z", pmod(col("__cid").cast("long"), lit(1L)))), Seq("__z"))
+      .select(col(idCol), col(embCol), col("__nn"), col("__cid"),
+        (VecDot(col(embCol), col("__ce")) /
+          (sqrt(col("__nn")) * sqrt(col("__cn")))).as("__csim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(embCol), col("__nn"), col("__cid").as("cell"))
+  }
+
+  /** Near-dup pairs (cosine ≥ tau) WITHIN cells of an assigned corpus — the
+    * blocking half of SemDeDup. The pair join shuffles by `cell`, so the
+    * cost is quadratic only per cell; cross-cell pairs are forfeited by the
+    * blocking contract. `assigned` is `assignCellsCosine`/`KMeans.assign`
+    * output: (idCol, embCol, cell). Output: (id1, id2), id1 < id2.
+    */
+  def withinCellNearDup(assigned: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val e = assigned.select(col("cell"), col(idCol), col(embCol),
+      VecDot(col(embCol), col(embCol)).as("__nn"))
+    val a = e.select(col("cell"), col(idCol).as("id1"), col(embCol).as("__e1"),
+      col("__nn").as("__n1"))
+    val b = e.select(col("cell"), col(idCol).as("id2"), col(embCol).as("__e2"),
+      col("__nn").as("__n2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2") &&
+        VecDot(col("__e1"), col("__e2")) / (sqrt(col("__n1")) * sqrt(col("__n2"))) >= tau)
+      .select("id1", "id2")
+  }
+
+  /** Production SemDeDup: cells TRAINED with [[graft.ops.KMeans]]
+    * (deterministic Lloyd — the index is reproducible bit-for-bit), corpus
+    * assigned map-side from the broadcast k×dim model, near-dup pairs within
+    * cells only. At real scale k grows with the corpus (the paper runs
+    * k ≈ n/10⁴) so per-cell cost stays bounded; the catalog's
+    * `dedup_semantic_cells` fixes k to the deterministic sim_ivf seeds so
+    * its DuckDB oracle can mirror the assignment. Output: (id1, id2).
+    */
+  def semanticNearDup(emb: DataFrame, idCol: String, embCol: String, tau: Double,
+      nCells: Int, maxIters: Int = 8): DataFrame = {
+    val model = graft.ops.KMeans.fit(emb, idCol, embCol, nCells, maxIters)
+    withinCellNearDup(graft.ops.KMeans.assign(emb, embCol, model), idCol, embCol, tau)
+  }
+
   /** Brute-force cosine top-k of `corpus` rows for each row of `queries`
     * (both (id, embedding)-shaped): the queries broadcast, the corpus
     * streams. Output: (q_id, rank, nbr_id), rank 1..k, self-matches excluded.

@@ -278,6 +278,27 @@ class VectorRecallSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup trained path: within-cell join over KMeans cells ≡ same-cell subset of exact") {
+    import graft.api.Similarity
+    val d = sf("sf0.01")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.semanticNearDup(emb, "vec_id", "embedding", 0.45, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocking oracle: the bit-deterministic KMeans assignment (pinned by
+    // KMeansSpec) — only the within-cell pair join is under test here
+    val model = KMeans.fit(emb, "vec_id", "embedding", 8, 8)
+    val cell = KMeans.assign(emb, "embedding", model)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = exactPairs(d)
+    val expected = exact.filter { case (a, b) => cell(a) == cell(b) }
+    assert(got == expected,
+      s"trained SemDeDup != same-cell subset of exact: " +
+        s"missing=${(expected -- got).size} extra=${(got -- expected).size} " +
+        s"(exact=${exact.size}, forfeited=${(exact -- expected).size})")
+  }
+
   test("banded LSH: precision 1.0, recall measured against exact, rises with similarity") {
     val d = sf("sf0.01")
     val exact = exactPairs(d)
