@@ -234,6 +234,42 @@ object DedupQueries {
             WHERE buck.b >= 800 AND d.doc_id NOT IN (SELECT bid FROM dropped)
             ORDER BY d.doc_id"""))
 
+  // Exact-substring repeated spans (Lee et al. 2022 ExactSubstr, re-expressed
+  // as a distributed k-gram inverted index — api.Dedup.repeatedSpans): every
+  // maximal token range covered by 8-token grams occurring ≥2 times anywhere
+  // in the corpus. k=8 because the test corpus's planted duplicates are
+  // short; production runs k≈50. The oracle mirrors the double polynomial
+  // gram hash arithmetic exactly, then the same overlap-merge window.
+  private val dedupSubstrSpans = Q(
+    (s, d) =>
+      graft.api.Dedup.repeatedSpans(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy("doc_id", "span_start"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            pos AS (SELECT doc_id, unnest(generate_series(1, len(th) - 7)) AS pos, th
+                    FROM th WHERE len(th) >= 8),
+            gr AS (SELECT doc_id, pos,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[pos:pos+7]),
+                       (a, h) -> (a * 31 + h) % 1000000007) * 999999937
+                   + list_reduce(list_prepend(CAST(0 AS BIGINT), th[pos:pos+7]),
+                       (a, h) -> (a * 37 + h) % 999999937) AS g
+                   FROM pos),
+            dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM gr WHERE g IN (SELECT g FROM dup)),
+            m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hits),
+            isl AS (SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m)
+            SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+                   max(e) - min(s) + 1 AS span_tokens
+            FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""))
+
   val all: List[(String, Q)] = List(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
@@ -241,5 +277,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_substr_spans" -> dedupSubstrSpans,
     "dedup_cluster" -> dedupCluster)
 }

@@ -98,6 +98,99 @@ object Dedup {
     batch.join(pairs.select(col("bid").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Token length of the repeated spans [[repeatedSpans]] hunts by default.
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) use 50 BPE tokens at web scale; the catalog
+    * corpus's planted duplicates are short, so its entry runs k=8 — k is the
+    * sensitivity/recall knob, not a semantics change. */
+  val substrK: Int = 8
+
+  // Double polynomial-hash constants for k-gram keys: two independent folds
+  // over the per-token hashes, combined as g1*P2+g2 (< 2^60, fits a long).
+  // A false dup span needs BOTH folds to collide — ~1/(P1·P2) ≈ 1e-18 per
+  // gram pair, negligible at 1e9+ grams where the single-mod shingle hash
+  // (birthday ~n²/2P) would produce real false spans.
+  private val P1 = 1000000007L
+  private val P2 = 999999937L
+
+  /** (idCol, pos, g) rows: the double-hash key of the k-token gram starting
+    * at 1-based token position `pos`. O(n·k) fold work per doc, all inside
+    * whole-stage codegen; docs shorter than k tokens emit nothing. */
+  private[graft] def gramRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val th = graft.functions.TextFns.tokenHashes(
+      graft.functions.TextFns.tokens(col(textCol)))
+    def fold(sl: Column, mult: Long, mod: Long): Column =
+      aggregate(sl, lit(0L), (a, h) => (a * mult + h) % mod)
+    val grams = transform(sequence(lit(1), size(col("__th")) - (k - 1)),
+      i => fold(slice(col("__th"), i, lit(k)), 31L, P1) * P2 +
+        fold(slice(col("__th"), i, lit(k)), 37L, P2))
+    df.select(col(idCol), th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(col(idCol), posexplode(grams).as(Seq("__p0", "g")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("g"))
+  }
+
+  /** Exact-substring repeated spans (Lee et al. 2022, arXiv:2107.06499 —
+    * ExactSubstr dedup re-expressed as a distributed k-gram inverted index
+    * instead of a single-node suffix array): every maximal token range
+    * covered by k-token grams that occur ≥ 2 times ANYWHERE in the corpus
+    * (within- or cross-document). Output: (idCol, span_start, span_end,
+    * span_tokens), 1-based inclusive token positions, overlapping/adjacent
+    * gram hits merged per doc.
+    *
+    * Scale posture: gram rows are linear in corpus tokens (×k fold cost,
+    * map-side); the occurrence count is one hash shuffle on the gram key;
+    * hits join back on the same key (second shuffle); span-merge is one
+    * window per doc. The gram frame is recomputed for the join-back rather
+    * than cached — two map-side scans beat materializing a tokens×k
+    * intermediate at 100 TB. No driver collects, no broadcasts of
+    * corpus-sized data.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = substrK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val grams = gramRows(df, idCol, textCol, k)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("g")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    grams.join(dup, Seq("g"))
+      .select(col(idCol), col("pos"), (col("pos") + (k - 1)).as("__end"))
+      .withColumn("__pmax",
+        max(col("__end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__isl",
+        sum(when(col("__pmax").isNull || col("pos") > col("__pmax") + 1, 1)
+          .otherwise(0)).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("span_start"), max("__end").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Scrub [[repeatedSpans]] out of the text: tokens whose position falls in
+    * any repeated span are dropped, the rest re-joined with single spaces
+    * (positions are token-exact, so removal never splits a surviving token).
+    * Docs with no repeated span pass through with normalized whitespace.
+    * Spans arrive per doc as a broadcast-free left join + one array lambda —
+    * span counts per doc are small by construction (merged, disjoint).
+    * Output: df's columns with `textCol` replaced by the scrubbed text. */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = substrK): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(idCol).agg(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__kept", filter(
+        transform(toks, (t, i) => struct((i + 1).as("p"), t.as("t"))),
+        x => col("__spans").isNull ||
+          !exists(col("__spans"), sp =>
+            x.getField("p") >= sp.getField("s") && x.getField("p") <= sp.getField("e"))))
+      .withColumn(textCol, array_join(transform(col("__kept"), x => x.getField("t")), " "))
+      .drop("__spans", "__kept")
+  }
+
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],
     * every doc labeled with the smallest reachable id (singletons label
     * themselves). Output: (idCol, cluster). */
