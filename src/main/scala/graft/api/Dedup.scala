@@ -105,31 +105,17 @@ object Dedup {
     * sensitivity/recall knob, not a semantics change. */
   val substrK: Int = 8
 
-  // Double polynomial-hash constants for k-gram keys: two independent folds
-  // over the per-token hashes, combined as g1*P2+g2 (< 2^60, fits a long).
-  // A false dup span needs BOTH folds to collide — ~1/(P1·P2) ≈ 1e-18 per
-  // gram pair, negligible at 1e9+ grams where the single-mod shingle hash
-  // (birthday ~n²/2P) would produce real false spans.
-  private val P1 = 1000000007L
-  private val P2 = 999999937L
-
   /** (idCol, pos, g) rows: the double-hash key of the k-token gram starting
-    * at 1-based token position `pos`. O(n·k) fold work per doc, all inside
-    * whole-stage codegen; docs shorter than k tokens emit nothing. */
+    * at 1-based token position `pos` — one compiled rolling-hash pass per
+    * doc (expressions.GramHashes: O(tokens) regardless of k; each key is
+    * two independent polynomial folds combined as g1·P2+g2, so a false dup
+    * span needs both to collide, ~1e-18 per gram pair). Docs shorter than
+    * k tokens emit nothing. */
   private[graft] def gramRows(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val th = graft.functions.TextFns.tokenHashes(
-      graft.functions.TextFns.tokens(col(textCol)))
-    def fold(sl: Column, mult: Long, mod: Long): Column =
-      aggregate(sl, lit(0L), (a, h) => (a * mult + h) % mod)
-    val grams = transform(sequence(lit(1), size(col("__th")) - (k - 1)),
-      i => fold(slice(col("__th"), i, lit(k)), 31L, P1) * P2 +
-        fold(slice(col("__th"), i, lit(k)), 37L, P2))
-    df.select(col(idCol), th.as("__th"))
-      .filter(size(col("__th")) >= k)
-      .select(col(idCol), posexplode(grams).as(Seq("__p0", "g")))
+      k: Int): DataFrame =
+    df.select(col(idCol), posexplode(graft.expressions.GramHashes(
+        graft.functions.TextFns.tokens(col(textCol)), k)).as(Seq("__p0", "g")))
       .select(col(idCol), (col("__p0") + 1).as("pos"), col("g"))
-  }
 
   /** Exact-substring repeated spans (Lee et al. 2022, arXiv:2107.06499 —
     * ExactSubstr dedup re-expressed as a distributed k-gram inverted index

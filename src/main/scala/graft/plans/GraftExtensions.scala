@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{Bigrams, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{Bigrams, GramHashes, PolyHash, ShingleHashes, VecDot}
 
 /** Session extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so the library's hot-path primitives are
@@ -43,6 +43,17 @@ object GraftExtensions {
     "graft_vec_dot" -> { (args: Seq[Expression]) =>
       require(args.length == 2, s"expected 2 arguments, got ${args.length}")
       VecDot(args(0), args(1))
+    },
+    "graft_gram_hashes" -> { (args: Seq[Expression]) =>
+      require(args.length == 2, s"expected 2 arguments (tokens, k), got ${args.length}")
+      val k = args(1) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+          lit.value.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      GramHashes(args(0), k)
     })
 
   /** Register all graft SQL functions on an already-built session. */

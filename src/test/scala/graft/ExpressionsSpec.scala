@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.expressions.{BandKeys, Bigrams, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{BandKeys, Bigrams, GramHashes, PolyHash, ShingleHashes, VecDot}
 import graft.functions.TextFns
 
 /** The native expressions must agree exactly with their composable
@@ -50,6 +50,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr.toSeq == viaFns.toSeq)
     assert(viaExpr(1).isEmpty && viaExpr(2).isEmpty) // <3 tokens → empty
     assert(viaExpr(0).length == 3)
+  }
+
+  test("GramHashes matches the fold-from-scratch HOF composition at several k") {
+    import spark.implicits._
+    val docs = Seq("one two three four five six seven eight nine ten",
+      "a b c", "", "repeat repeat repeat repeat repeat",
+      "w1 w2 w3 w4 w5 w6 w7 w8")
+    val df = docs.toDF("text")
+    val toks = TextFns.tokens(col("text"))
+    def hofGrams(k: Int) = {
+      val th = TextFns.tokenHashes(toks)
+      def fold(sl: Column, mult: Long, mod: Long) =
+        aggregate(sl, lit(0L), (a, h) => (a * mult + h) % mod)
+      when(size(th) < k, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(1), size(th) - (k - 1)),
+          i => fold(slice(th, i, lit(k)), 31L, GramHashes.P1) * GramHashes.P2 +
+            fold(slice(th, i, lit(k)), 37L, GramHashes.P2)))
+    }
+    for (k <- Seq(2, 3, 8)) {
+      val viaExpr = df.select(GramHashes(toks, k).as("g")).as[Seq[Long]].collect()
+      val viaHof = df.select(hofGrams(k).as("g")).as[Seq[Long]].collect()
+      assert(viaExpr.toSeq == viaHof.toSeq, s"k=$k (rolling != fold-from-scratch)")
+    }
+    // shape: n-k+1 grams, none for short docs; identical windows hash equal
+    val g8 = df.select(GramHashes(toks, 8).as("g")).as[Seq[Long]].collect()
+    assert(g8(0).length == 3 && g8(1).isEmpty && g8(2).isEmpty && g8(4).length == 1)
+    val rep = df.select(GramHashes(toks, 2).as("g")).as[Seq[Long]].collect()(3)
+    assert(rep.distinct.length == 1, "identical 2-gram windows must collide")
   }
 
   test("Bigrams property: matches a Scala reference on random token arrays") {
@@ -137,7 +165,9 @@ class ExpressionsSpec extends SparkSpec {
       val vs = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
       val vd = vs.select(VecDot(col("a"), col("b"))).as[Double].collect().toSeq
       val bk = vs.select(BandKeys(col("a"), 4, 4)).as[Seq[String]].collect().toSeq
-      (p, sh, bg, vd, bk)
+      val gh = docs.select(GramHashes(TextFns.tokens(col("text")), 3))
+        .as[Seq[Long]].collect().toSeq
+      (p, sh, bg, vd, bk, gh)
     }
     val underCodegen = run()
     val confs = Seq("spark.sql.codegen.wholeStage" -> "false",

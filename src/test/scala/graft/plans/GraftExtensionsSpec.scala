@@ -29,6 +29,18 @@ class GraftExtensionsSpec extends SparkSpec {
     val dot = spark.sql(
       "SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").as[Double].head()
     assert(dot == 11.0)
+
+    val viaSqlGrams = spark.sql(
+      "SELECT graft_gram_hashes(split(trim(text), '\\\\s+'), 2) AS gh FROM ext_docs")
+      .as[Seq[Long]].collect().toSeq
+    val viaColGrams = docs.select(
+      graft.expressions.GramHashes(TextFns.tokens(col("text")), 2).as("gh"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaSqlGrams == viaColGrams)
+    // non-literal k must fail loudly, not silently misparse
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_gram_hashes(split(text, ' '), length(text)) FROM ext_docs").collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
   }
 
   test("extensions class injects the same functions at session build") {
@@ -37,6 +49,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)  // must not throw; registration list is shared
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("graft_poly_hash", "graft_shingle_hashes", "graft_bigrams", "graft_vec_dot"))
+      Set("graft_poly_hash", "graft_shingle_hashes", "graft_bigrams", "graft_vec_dot",
+        "graft_gram_hashes"))
   }
 }
