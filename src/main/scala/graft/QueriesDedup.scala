@@ -270,6 +270,34 @@ object DedupQueries {
                    max(e) - min(s) + 1 AS span_tokens
             FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""))
 
+  // CCNet-style sub-document dedup (Wenzek et al. 2020): fixed-width token
+  // segments stand in for paragraphs (this corpus has no newlines), each
+  // segment keeps only its corpus-wide first occurrence — the boilerplate
+  // killer that runs before document-level dedup. The oracle rebuilds the
+  // identical segments (same 1-based slice arithmetic), the identical char
+  // hash, and the identical keep-first (doc_id, seg_idx) window order.
+  private val dedupParagraphs = Q(
+    (s, d) =>
+      graft.api.Dedup.dedupSegments(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            seg AS (SELECT doc_id,
+                      unnest(range(0, CAST((len(t) + 15) // 16 AS INT))) AS seg_idx,
+                      unnest(list_transform(range(0, CAST((len(t) + 15) // 16 AS INT)),
+                        i -> array_to_string(t[(i*16+1):(i*16+16)], ' '))) AS seg_text
+                    FROM tok),
+            h AS (SELECT doc_id, seg_idx, seg_text,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(seg_text, ''), c -> ascii(c))),
+                      (a, c) -> (a * 31 + c) % 1000000007) AS sh FROM seg),
+            r AS (SELECT doc_id, seg_idx, seg_text,
+                    row_number() OVER (PARTITION BY sh ORDER BY doc_id, seg_idx) AS rn FROM h)
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '') AS clean_text,
+              CAST(count(*) AS BIGINT) AS n_segs,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
@@ -278,5 +306,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incremental" -> dedupIncremental,
     "dedup_substr_spans" -> dedupSubstrSpans,
+    "dedup_paragraphs" -> dedupParagraphs,
     "dedup_cluster" -> dedupCluster)
 }

@@ -135,11 +135,29 @@ object SampleQueries {
                      FROM documents) t) o
              WHERE cum <= 60000 ORDER BY doc_id"""))
 
+  // Corpus balancing: cap any one source/domain's contribution at 10 docs,
+  // chosen by the deterministic (hash, id) order — the C4/Gopher-style
+  // "limit documents per domain" curation rule, one window shuffle keyed by
+  // domain. The oracle mirrors bucketOf and the identical window order.
+  private val sampleDomainCap = Q(
+    (s, d) =>
+      Sampling.domainCap(documents(s, d).select("doc_id", "source"),
+          "doc_id", "source", cap = 10, salt = 6L)
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source, rn FROM (
+               SELECT doc_id, source,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY ${sqlBucket("doc_id", 6L)}, doc_id) AS BIGINT) AS rn
+               FROM documents) t
+             WHERE rn <= 10 ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
     "split_leakage_safe" -> splitLeakageSafe,
     "sample_k_by_hash" -> sampleK,
     "sample_token_budget" -> sampleTokenBudget,
+    "sample_domain_cap" -> sampleDomainCap,
     "pack_chunks" -> packChunks)
 }

@@ -467,6 +467,33 @@ object TextQueries {
             SELECT doc_id, t.lang, n_tok, q25 FROM toks t JOIN thr USING (lang)
             WHERE n_tok >= q25 ORDER BY doc_id"""))
 
+  // Model-scored quality filter: the fastText-shaped hashed linear
+  // classifier (Joulin et al. 2016) that web pipelines run as the
+  // model-based quality gate — token → feature bucket → weight → mean
+  // score, one per-row expression pass, no shuffle. Weights are a
+  // deterministic arithmetic table (TextFns.hashedModelScore) so the
+  // DuckDB twin materializes the SAME model; both engines left-fold the
+  // token list in document order, so the double sums are bit-identical.
+  private val textQualityModel = Q(
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFns.hashedModelScore(tokens(col("text"))).as("score"))
+        .withColumn("keep", col("score") >= 0.0)
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            sc AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(th, h ->
+                         CAST(((h % 4096) * 2654435761 + 7) % 1000000007 % 2001 - 1000 AS DOUBLE) / 1000.0)),
+                       (a, x) -> a + x) / CAST(len(th) AS DOUBLE) AS s0
+                   FROM th)
+            SELECT doc_id, s0 AS score, s0 >= 0 AS keep FROM sc ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -476,6 +503,7 @@ object TextQueries {
     "lang_id" -> langId,
     "text_quality" -> textQuality,
     "text_quality_calibrated" -> textQualityCalibrated,
+    "text_quality_model" -> textQualityModel,
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,

@@ -177,6 +177,58 @@ object Dedup {
       .drop("__spans", "__kept")
   }
 
+  /** Token width of the segments [[dedupSegments]] hashes. CCNet (Wenzek
+    * et al. 2020, arXiv:1911.00359) dedups at paragraph granularity; the
+    * catalog corpus has no paragraph breaks, so its entry segments on a
+    * fixed token width instead — the splitter is a parameter, the
+    * hash/keep-first machinery is identical. */
+  val segmentTokens: Int = 16
+
+  /** CCNet-style sub-document dedup (Wenzek et al. 2020, arXiv:1911.00359):
+    * split every doc into non-overlapping `segTokens`-token segments, hash
+    * each segment, and keep only the FIRST occurrence of every distinct
+    * segment corpus-wide (first = smallest (id, position) — deterministic on
+    * any cluster size); later copies are cut out and the survivors re-joined
+    * in document order. This is the boilerplate-killer that runs BEFORE
+    * document-level dedup in web-crawl pipelines: headers/footers repeated
+    * across a site disappear from every page but one, which document-level
+    * near-dup can never do.
+    *
+    * Output: (idCol, clean_text, n_segs, n_dropped) — one row per input doc,
+    * clean_text possibly empty when every segment was a later copy.
+    *
+    * Scale posture (100 TB): segmentation + hashing are map-side array
+    * lambdas over one native-hashed pass (no shuffle); the keep-first
+    * decision is ONE window shuffle keyed by segment hash (row_number, no
+    * self-join, no df table join-back); reassembly is one groupBy(id). Two
+    * linear shuffles total, no broadcasts, no driver collects. A degenerate
+    * hash (every segment identical) concentrates one window partition — at
+    * that point the corpus IS one segment repeated, and the output is one
+    * surviving segment, reached without a pair explosion (row_number scans,
+    * never pairs). */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = segmentTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    // ceil(n_tokens / segTokens) via exact double arithmetic (counts < 2^31)
+    val nseg = floor((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast("int")
+    val segs = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+        .as(Seq("seg_idx", "seg_text")))
+      .withColumn("__sh", graft.functions.TextFns.charHash(col("seg_text")))
+    val w = Window.partitionBy("__sh").orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__rn") === 1, struct(col("seg_idx"), col("seg_text"))))),
+          x => x.getField("seg_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],
     * every doc labeled with the smallest reachable id (singletons label
     * themselves). Output: (idCol, cluster). */

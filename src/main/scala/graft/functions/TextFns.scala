@@ -52,6 +52,27 @@ object TextFns {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Hashed-feature linear model score — the fastText-shaped classifier
+    * (Joulin et al. 2016, arXiv:1607.01759) that web-scale pipelines use as
+    * the model-based quality filter: every token hashes into one of `dim`
+    * feature buckets, each bucket carries a weight, and the doc's score is
+    * the mean bucket weight over its tokens. The weights here are a
+    * deterministic pseudo-random table derived arithmetically from the
+    * bucket index (w(b) = (((b·2654435761 + 7) mod P) mod 2001 − 1000)/1000
+    * ∈ [−1, 1]) so both engines can materialize the SAME model without
+    * shipping a weights file; swapping in trained weights is a
+    * one-column-lookup change, the plumbing (hash → bucket → weight → mean)
+    * is the production shape. Left-fold over the token list in document
+    * order on both engines → bit-identical doubles. Per-row expression, no
+    * shuffle, no UDF. */
+  def hashedModelScore(toks: Column, dim: Int = 4096): Column = {
+    def weight(h: Column): Column =
+      ((pmod(h, lit(dim.toLong)) * 2654435761L + 7L) % P % 2001L - 1000L)
+        .cast("double") / 1000.0
+    aggregate(tokenHashes(toks), lit(0.0), (acc, h) => acc + weight(h)) /
+      size(toks).cast("double")
+  }
+
   /** English-ish stopwords used for quality scoring and language ID. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

@@ -115,6 +115,29 @@ object Sampling {
       .limit(k)
       .drop("__h")
 
+  /** Per-domain cap: keep at most `cap` rows per `domainCol` value, chosen
+    * by the deterministic (hash, id) order — the corpus-balancing step of
+    * web-crawl pipelines (cap any one site/domain's contribution so
+    * boilerplate-heavy megadomains cannot dominate the training mix; the
+    * "limit documents per domain" rule of C4/Gopher-style curation). Output:
+    * df's columns plus `rn` (the row's 1-based rank within its domain).
+    *
+    * Scale posture: one shuffle keyed by domain (the window), no broadcast,
+    * no driver state. A pathologically hot domain concentrates one window
+    * partition; row_number streams it (no buffering of the frame), so the
+    * cost is a scan of that partition, not a blowup — and when one domain
+    * holds a double-digit share of 100 TB, pre-filtering with
+    * [[uniformSample]] on that domain before the exact window is the
+    * documented escape hatch (two scans, both linear). */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String, cap: Int,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(bucketOf(col(idCol), salt), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+  }
+
   /** Concatenate-and-chunk packing offsets (how pretraining data is
     * actually batched: documents are laid end-to-end in a deterministic
     * order and the stream is cut into fixed `budget`-token chunks, document

@@ -55,6 +55,46 @@ class DedupApiSpec extends SparkSpec {
     assert(got == Set(2L))
   }
 
+  test("dedupSegments equals a driver-side keep-first brute force") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d x y z w"),        // segs (w=2): "a b","c d","x y","z w"
+      (2L, "a b c d q r"),            // "a b","c d" are later copies → dropped
+      (3L, "q r a b"),                // "q r" duplicates doc 2's third seg
+      (4L, "a b"),                    // entirely a later copy → empty clean_text
+      (5L, "solo")                    // short doc, one 1-token segment
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSegments(fixture, "doc_id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // brute force: first (doc_id, seg_idx) occurrence of each segment wins
+    val segsByDoc = Seq(
+      1L -> Seq("a b", "c d", "x y", "z w"),
+      2L -> Seq("a b", "c d", "q r"),
+      3L -> Seq("q r", "a b"),
+      4L -> Seq("a b"),
+      5L -> Seq("solo"))
+    val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, segs) <- segsByDoc; (s, i) <- segs.zipWithIndex)
+      if (!firstOwner.contains(s)) firstOwner(s) = (id, i)
+    val want = segsByDoc.map { case (id, segs) =>
+      val kept = segs.zipWithIndex.collect {
+        case (s, i) if firstOwner(s) == (id, i) => s
+      }
+      (id, kept.mkString(" "), segs.size.toLong, (segs.size - kept.size).toLong)
+    }
+    assert(got.toSeq == want)
+    assert(got.find(_._1 == 4L).get._2 == "", "fully-duplicated doc keeps empty text")
+  }
+
+  test("dedupSegments on a dup-free corpus is whitespace normalization") {
+    import spark.implicits._
+    val fixture = Seq((1L, "  p q  r s  t "), (2L, "u v w")).toDF("doc_id", "text")
+    val got = Dedup.dedupSegments(fixture, "doc_id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "p q r s t", 0L), (2L, "u v w", 0L)))
+  }
+
   test("exact and normalized dedup shrink the corpus monotonically") {
     val n = docs.count()
     val exact = Dedup.exactDedup(docs, "doc_id", "text").count()

@@ -168,4 +168,26 @@ class SamplingSpec extends SparkSpec {
     // partitioning-independence
     assert(run(4000L, parts = 7) == big)
   }
+
+  test("domainCap keeps the deterministic top-cap rows per domain") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val got = Sampling.domainCap(rows, "id", "dom", cap = 5, salt = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // every domain capped, ranks within [1, cap]
+    val byDom = got.groupBy(_._2)
+    assert(byDom.values.forall(g => g.length <= 5 && g.map(_._3).sorted.sameElements(1 to g.length)))
+    // brute force with the same (bucket, id) order
+    val P = 1000000007L
+    def bucket(id: Long) = ((id % P) * 2654435761L + 6L) % P % 1000L
+    val want = (0L until 40L).groupBy(i => s"dom${i % 3}").flatMap { case (d, ids) =>
+      ids.sortBy(i => (bucket(i), i)).take(5).map(i => (i, d))
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == want)
+    // a hot domain cannot exceed the cap either
+    val skew = (0L until 100L).map(i => (i, if (i < 95) "big" else "tail")).toDF("id", "dom")
+    val capped = Sampling.domainCap(skew, "id", "dom", cap = 7, salt = 0L)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("big" -> 7L, "tail" -> 5L))
+  }
 }
