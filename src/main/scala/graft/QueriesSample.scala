@@ -152,6 +152,34 @@ object SampleQueries {
                FROM documents) t
              WHERE rn <= 10 ORDER BY doc_id"""))
 
+  // Mixture materialization: per-language token budgets (20k en / 8k zh /
+  // 5k de; fr+es unlisted → dropped) — "30B web + 10B books + 5B code" as
+  // one operator. Each language's cumulative sum runs inside its own window
+  // partition (one shuffle keyed by lang, never a global order), and
+  // budgets at one salt nest per group. The oracle mirrors bucketOf, the
+  // per-group window order, and the CASE budget lookup.
+  private val sampleMixture = Q(
+    (s, d) =>
+      Sampling.mixtureByBudget(
+          documents(s, d).select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).as("n_tok")),
+          "doc_id", "lang", "n_tok",
+          budgets = Map("en" -> 20000L, "zh" -> 8000L, "de" -> 5000L), salt = 7L)
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, n_tok FROM (
+               SELECT doc_id, lang, n_tok,
+                      sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY lang
+                        ORDER BY ${sqlBucket("doc_id", 7L, 1000000L)}, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM (SELECT doc_id, lang,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok
+                     FROM documents) t) o
+             WHERE cum <= CASE lang WHEN 'en' THEN 20000
+                                    WHEN 'zh' THEN 8000
+                                    WHEN 'de' THEN 5000 END
+             ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
@@ -159,5 +187,6 @@ object SampleQueries {
     "sample_k_by_hash" -> sampleK,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_domain_cap" -> sampleDomainCap,
+    "sample_mixture" -> sampleMixture,
     "pack_chunks" -> packChunks)
 }

@@ -138,6 +138,39 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
   }
 
+  /** Mixture materialization: per-group token budgets — "30 B tokens of
+    * web, 10 B of books, 5 B of code" as ONE operator. Within each group
+    * rows are taken in the deterministic (hash, id) order until the group's
+    * INCLUSIVE running token total exceeds its budget; groups absent from
+    * `budgets` are dropped entirely. Budgets at one salt nest per group
+    * (a smaller budget is a prefix of a larger one — shrinking the "books"
+    * allocation between runs reuses the exact same leading documents), and
+    * the assignment is independent of partitioning and cluster size.
+    *
+    * Scale posture: ONE window shuffle keyed by group (each group's
+    * cumulative sum runs inside its own partition — never a global-order
+    * window), plus a map-side literal-map budget lookup. A group holding a
+    * double-digit share of 100 TB concentrates one window partition; the
+    * cumulative sum streams it (running aggregate, no frame buffering), so
+    * the cost is a scan, not a blowup — and [[takeTokenBudget]]'s
+    * range-partitioned prefix sum per group is the escape hatch if one
+    * group's scan must itself be parallel. */
+  def mixtureByBudget(df: DataFrame, idCol: String, groupCol: String,
+      tokCol: String, budgets: Map[String, Long], salt: Long = 0L): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0),
+      s"budgets must be positive, got $budgets")
+    val budget = element_at(
+      map(budgets.toSeq.flatMap { case (g, b) => Seq(lit(g), lit(b)) }: _*),
+      col(groupCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucketOf(col(idCol), salt, 1000000), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget) // null budget (unlisted group) → dropped
+      .drop("__cum")
+  }
+
   /** Concatenate-and-chunk packing offsets (how pretraining data is
     * actually batched: documents are laid end-to-end in a deterministic
     * order and the stream is cut into fixed `budget`-token chunks, document

@@ -169,6 +169,43 @@ class SamplingSpec extends SparkSpec {
     assert(run(4000L, parts = 7) == big)
   }
 
+  test("mixtureByBudget: per-group budgets hold, nest, and drop unlisted groups") {
+    import spark.implicits._
+    val rows = (0L until 120L)
+      .map(i => (i, Seq("web", "books", "code", "junk")((i % 4).toInt), 10 + (i % 7).toInt))
+      .toDF("id", "src", "n_tok")
+    val budgets = Map("web" -> 90L, "books" -> 55L, "code" -> 1000000L)
+    val got = Sampling.mixtureByBudget(rows, "id", "src", "n_tok", budgets, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // budget respected per group; unlisted group fully dropped
+    val byGroup = got.groupBy(_._2)
+    assert(!byGroup.contains("junk"))
+    for ((g, b) <- budgets if byGroup.contains(g))
+      assert(byGroup(g).map(_._3.toLong).sum <= b, s"group $g over budget")
+    // a group with a huge budget keeps every row
+    assert(byGroup("code").length == 30)
+    // greedy: the NEXT doc in each group's hash order would burst the budget
+    val P = 1000000007L
+    def bucket(id: Long) = ((id % P) * 2654435761L + 3L) % P % 1000000L
+    for (g <- Seq("web", "books")) {
+      val inOrder = (0L until 120L).filter(i => Seq("web", "books", "code", "junk")((i % 4).toInt) == g)
+        .sortBy(i => (bucket(i), i)).map(i => (i, 10 + (i % 7).toInt))
+      val kept = got.filter(_._2 == g).map(_._1).toSet
+      val prefix = inOrder.takeWhile { var c = 0L; p => { c += p._2; c <= budgets(g) } }
+      assert(kept == prefix.map(_._1).toSet, s"group $g is not the greedy hash-order prefix")
+    }
+    // nesting: halving one group's budget yields a prefix of the larger run
+    val smaller = Sampling.mixtureByBudget(rows, "id", "src", "n_tok",
+        budgets.updated("web", 45L), salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(smaller.filter(_._2 == "web").map(_._1).toSet
+      .subsetOf(got.filter(_._2 == "web").map(_._1).toSet))
+    // partitioning-independence
+    val reparted = Sampling.mixtureByBudget(rows.repartition(7), "id", "src", "n_tok", budgets, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(reparted.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("domainCap keeps the deterministic top-cap rows per domain") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
