@@ -180,6 +180,28 @@ object SampleQueries {
                                     WHEN 'de' THEN 5000 END
              ORDER BY doc_id"""))
 
+  // Temperature-scaled language balancing: cap each language at
+  // floor(3·sqrt(count)) docs in the deterministic (hash, id) order — the
+  // square-root smoothing (τ = 1/2) that flattens multilingual pretraining
+  // mixes. τ is fixed at 1/2 because IEEE requires sqrt to be CORRECTLY
+  // rounded (a general pow could flip the floor() boundary between
+  // engines); the oracle re-derives the per-language cap from a window
+  // count with the identical floor(scale·sqrt(c)) formula.
+  private val sampleTemperature = Q(
+    (s, d) =>
+      Sampling.temperatureCap(documents(s, d).select("doc_id", "lang"),
+          "doc_id", "lang", scale = 3L, salt = 8L)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, rn FROM (
+               SELECT doc_id, lang,
+                      CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY ${sqlBucket("doc_id", 8L, 1000000L)}, doc_id) AS BIGINT) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS c
+               FROM documents) t
+             WHERE rn <= greatest(CAST(floor(3 * sqrt(c)) AS BIGINT), 1)
+             ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
@@ -188,5 +210,6 @@ object SampleQueries {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_domain_cap" -> sampleDomainCap,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "pack_chunks" -> packChunks)
 }

@@ -138,6 +138,45 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
   }
 
+  /** Temperature-scaled group balancing: cap each group (language, source)
+    * at `scale`·√(its doc count) rows, chosen in the deterministic
+    * (hash, id) order — the square-root smoothing used to flatten
+    * multilingual pretraining mixes (sampling a group with effective
+    * probability ∝ count^(τ−1), here fixed at τ = 1/2: high-resource
+    * languages are downsampled ∝ 1/√count while low-resource ones pass
+    * through nearly whole; the exponentiated-smoothing family of mBERT /
+    * XLM-R / mC4, Xue et al. 2021, arXiv:2010.11934). Every group keeps at
+    * least one row. Output: df's columns plus `rn` (the row's 1-based rank
+    * within its group).
+    *
+    * τ is fixed at 1/2 because that exponent is CROSS-ENGINE EXACT:
+    * IEEE-754 requires sqrt to be correctly rounded (JVM Math.sqrt and any
+    * C-library sqrt agree bit-for-bit), so `floor(scale·sqrt(count))` is
+    * the same integer in Spark and in an external SQL oracle — a general
+    * pow(count, τ) is only faithfully rounded and could flip a floor()
+    * boundary between engines (wrong-answer-not-error, the class this
+    * repo's determinism conventions exist to kill).
+    *
+    * Scale posture: one tiny column-pruned count aggregate (map-side
+    * partial, k-group result) broadcast back, plus ONE window shuffle keyed
+    * by group; row_number streams a hot group's partition without
+    * buffering. Same hot-group escape hatch as [[domainCap]]: pre-thin a
+    * double-digit-share group with [[uniformSample]] first. */
+  def temperatureCap(df: DataFrame, idCol: String, groupCol: String,
+      scale: Long, salt: Long = 0L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cap",
+        greatest(floor(lit(scale.toDouble) * sqrt(col("__c"))).cast("long"), lit(1L)))
+      .drop("__c")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucketOf(col(idCol), salt, 1000000), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq(groupCol))
+      .filter(col("rn") <= col("__cap"))
+      .drop("__cap")
+  }
+
   /** Mixture materialization: per-group token budgets — "30 B tokens of
     * web, 10 B of books, 5 B of code" as ONE operator. Within each group
     * rows are taken in the deterministic (hash, id) order until the group's

@@ -227,4 +227,32 @@ class SamplingSpec extends SparkSpec {
       .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped == Map("big" -> 7L, "tail" -> 5L))
   }
+
+  test("temperatureCap flattens group sizes at floor(scale*sqrt(count))") {
+    import spark.implicits._
+    // groups of very different sizes: 144 / 36 / 4 / 1
+    val sizes = Map("big" -> 144, "mid" -> 36, "small" -> 4, "one" -> 1)
+    val rows = sizes.toSeq.flatMap { case (g, n) => (0 until n).map(i => (g, i)) }
+      .zipWithIndex.map { case ((g, _), id) => (id.toLong, g) }.toDF("id", "grp")
+    val got = Sampling.temperatureCap(rows, "id", "grp", scale = 2L, salt = 9L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"), r.getAs[Int]("rn")))
+    val kept = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // caps: floor(2*sqrt(n)), min 1 — 24 / 12 / 4 / 1; small groups pass whole
+    assert(kept == Map("big" -> 24, "mid" -> 12, "small" -> 4, "one" -> 1))
+    // keep RATE decreases as count grows (the flattening property)
+    assert(24.0 / 144 < 12.0 / 36 && 12.0 / 36 < 4.0 / 4)
+    // exact membership: brute force with the same (bucket, id) order
+    val P = 1000000007L
+    def bucket(id: Long) = ((id % P) * 2654435761L + 9L) % P % 1000000L
+    val byGrp = rows.collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val want = byGrp.flatMap { case (g, ids) =>
+      val cap = math.max(math.floor(2.0 * math.sqrt(ids.length.toDouble)).toLong, 1L)
+      ids.map(_._1).sortBy(i => (bucket(i), i)).take(cap.toInt).map(i => (i, g)).toSeq
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == want)
+    // partitioning-independence
+    val reparted = Sampling.temperatureCap(rows.repartition(7), "id", "grp", 2L, salt = 9L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"), r.getAs[Int]("rn")))
+    assert(reparted.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }
