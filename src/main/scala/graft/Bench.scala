@@ -11,6 +11,7 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     yml.foreach(_.applySparkConfs(builder))
     val spark = builder.getOrCreate()

@@ -20,16 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy flag) and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same file, so
-    * oracle comparisons see identical values. */
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How Spark surfaces that depends
+    * on the runtime: older 4.x rejects it in the vectorized reader unless read
+    * as raw long nanos (the legacy `nanosAsLong` flag), while Spark ≥ 4.1
+    * reads it natively as TIMESTAMP_NTZ truncated to micros and ignores the
+    * flag at schema inference. Branch on the inferred type so either runtime
+    * lands on the same session-zoned TIMESTAMP at microsecond precision —
+    * exactly the value DuckDB produces when it reads the same file (its
+    * TIMESTAMP is micros; both floor-truncate), so oracle comparisons see
+    * identical values. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: ns values exceed 2^53 and would lose precision
-    // through a double division.
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns values exceed 2^53 and would lose
+        // precision through a double division.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions here run UTC, so the NTZ→LTZ cast is value-preserving
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
