@@ -172,18 +172,23 @@ object DedupQueries {
   // same answer; the oracle computes it with a recursive CTE. Singletons
   // (the vast majority of any near-dup graph) skip the iteration entirely
   // and are unioned back at the end.
-  private val dedupCluster = Q(
-    (s, d) => {
-      val labels = graft.ops.ConnectedComponents.labels(
-        ngramPairs(s, d).select("id1", "id2"))
-      val singletons = documents(s, d).select(col("doc_id").as("id"))
-        .join(labels.select("id"), Seq("id"), "left_anti")
-        .withColumn("label", col("id"))
-      labels.union(singletons)
-        .select(col("id").as("doc_id"), col("label").as("cluster"))
-        .orderBy("doc_id")
-    },
-    Some(s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  /** (doc_id, cluster) labels incl. singletons — the Spark side shared by
+    * dedup_cluster and dedup_cluster_best (api.Dedup.nearDupClusters shape,
+    * fed from the checkpoint-backed catalog pair set). */
+  private def clusterFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val labels = graft.ops.ConnectedComponents.labels(
+      ngramPairs(s, d).select("id1", "id2"))
+    val singletons = documents(s, d).select(col("doc_id").as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.union(singletons)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** The recursive-CTE oracle chain ending in `cl(doc_id, cluster)` — the
+    * DuckDB twin of [[clusterFrame]], shared by both cluster entries. */
+  private val clusterSqlCtes: String =
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
             shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(hs) AS s FROM hs) u),
             sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
@@ -195,9 +200,38 @@ object DedupQueries {
                       UNION ALL SELECT id2, id1 FROM pairs),
             reach AS (SELECT doc_id AS id, doc_id AS label FROM documents
                       UNION
-                      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
-            SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
-            FROM reach GROUP BY id ORDER BY doc_id"""))
+                      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+            cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+                   FROM reach GROUP BY id)"""
+
+  private val dedupCluster = Q(
+    (s, d) => clusterFrame(s, d).orderBy("doc_id"),
+    Some(s"""$clusterSqlCtes
+            SELECT doc_id, cluster FROM cl ORDER BY doc_id"""))
+
+  // Cluster CANONICALIZATION: fuzzy dedup doesn't drop whole clusters — it
+  // keeps one representative each, and real pipelines keep the BEST copy
+  // (longest / highest-quality), not an arbitrary one. This entry composes
+  // the CC labels above with a token-count quality signal: per cluster keep
+  // argmax(n_tok), ties to the smallest doc_id (api.Dedup.bestPerCluster —
+  // one id-keyed join + one window shuffle keyed by cluster). The oracle
+  // reuses the cluster fixpoint CTE and mirrors the identical window order.
+  private val dedupClusterBest = Q(
+    (s, d) => {
+      val scores = documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.api.Dedup.bestPerCluster(clusterFrame(s, d), "doc_id", scores, "n_tok")
+        .select("doc_id", "cluster", "n_tok")
+        .orderBy("doc_id")
+    },
+    Some(s"""$clusterSqlCtes,
+            nt AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+                   FROM documents),
+            r AS (SELECT c.doc_id, c.cluster, n.n_tok,
+                    row_number() OVER (PARTITION BY c.cluster
+                      ORDER BY n.n_tok DESC, c.doc_id) AS rn
+                  FROM cl c JOIN nt n ON c.doc_id = n.doc_id)
+            SELECT doc_id, cluster, n_tok FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
   // Incremental ingestion dedup: a deterministic 20% hash slice of the
   // corpus plays the "new crawl batch", the other 80% the standing corpus;
@@ -307,5 +341,6 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_substr_spans" -> dedupSubstrSpans,
     "dedup_paragraphs" -> dedupParagraphs,
+    "dedup_cluster_best" -> dedupClusterBest,
     "dedup_cluster" -> dedupCluster)
 }

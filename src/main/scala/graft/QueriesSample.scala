@@ -202,6 +202,40 @@ object SampleQueries {
              WHERE rn <= greatest(CAST(floor(3 * sqrt(c)) AS BIGINT), 1)
              ORDER BY doc_id"""))
 
+  // DSIR-style targeted selection (Xie et al. 2023, arXiv:2302.03169): rank
+  // every doc by how target-like its hashed-unigram feature distribution is
+  // — target = the corpus's own English slice — and keep the top 100.
+  // Fixed-point integer count ratios make the weights bit-exact (ops.Dsir);
+  // the model is ≤4096 rows by construction, broadcast, never corpus-sized.
+  // The oracle mirrors the PolyHash fold, the bucket fold, the add-one
+  // ratio arithmetic, and the (weight DESC, doc_id) top-k order.
+  private val sampleDsir = Q(
+    (s, d) => {
+      val docs = documents(s, d).select("doc_id", "text", "lang")
+      graft.ops.Dsir.topKByImportance(
+          raw = docs, target = docs.filter(col("lang") === "en"),
+          idCol = "doc_id", textCol = "text", k = 100)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            inst AS (SELECT doc_id, unnest(th) % 4096 AS b FROM th),
+            db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM inst GROUP BY doc_id, b),
+            br AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
+            bt AS (SELECT i.b, CAST(sum(i.c) AS BIGINT) AS ct
+                   FROM db i JOIN documents d ON i.doc_id = d.doc_id
+                   WHERE d.lang = 'en' GROUP BY i.b),
+            q AS (SELECT br.b, ((coalesce(ct, 0) + 1) * 1000000) // (cr + 1) AS q
+                  FROM br LEFT JOIN bt ON br.b = bt.b),
+            sc AS (SELECT doc_id,
+                     CAST(sum(c * q) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS weight
+                   FROM db JOIN q USING (b) GROUP BY doc_id),
+            top AS (SELECT doc_id, weight FROM sc ORDER BY weight DESC, doc_id LIMIT 100)
+            SELECT doc_id, weight FROM top ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
@@ -211,5 +245,6 @@ object SampleQueries {
     "sample_domain_cap" -> sampleDomainCap,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
+    "sample_dsir" -> sampleDsir,
     "pack_chunks" -> packChunks)
 }

