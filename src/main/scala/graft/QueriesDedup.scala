@@ -274,14 +274,10 @@ object DedupQueries {
   // in the corpus. k=8 because the test corpus's planted duplicates are
   // short; production runs k≈50. The oracle mirrors the double polynomial
   // gram hash arithmetic exactly, then the same overlap-merge window.
-  private val dedupSubstrSpans = Q(
-    (s, d) =>
-      graft.api.Dedup.repeatedSpans(documents(s, d), "doc_id", "text")
-        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
-          col("span_end").cast("long").as("span_end"),
-          col("span_tokens").cast("long").as("span_tokens"))
-        .orderBy("doc_id", "span_start"),
-    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+  /** The ExactSubstr oracle chain ending in per-doc merged repeat islands
+    * `isl` — shared by the span-table entry and its scrub twin. */
+  private val substrCtes: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
             th AS (SELECT doc_id, list_transform(t, s ->
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(string_split(s, ''), c -> ascii(c))),
@@ -299,10 +295,42 @@ object DedupQueries {
             m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hits),
             isl AS (SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax + 1
-                    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m)
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m)"""
+
+  private val dedupSubstrSpans = Q(
+    (s, d) =>
+      graft.api.Dedup.repeatedSpans(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy("doc_id", "span_start"),
+    Some(s"""$substrCtes
             SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
                    max(e) - min(s) + 1 AS span_tokens
             FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""))
+
+  // The DESTRUCTIVE half of ExactSubstr dedup: cut the repeated spans out
+  // of the text and re-join the survivors (api.Dedup.scrubRepeatedSpans) —
+  // what a 100 TB run actually writes back. The oracle rebuilds each doc
+  // from its surviving token positions under the identical span semantics
+  // (one extra anti-semijoin + ordered string_agg over the shared CTEs).
+  private val dedupSubstrScrub = Q(
+    (s, d) =>
+      graft.api.Dedup.scrubRepeatedSpans(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy("doc_id"),
+    Some(s"""$substrCtes,
+            spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+            tokrow AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM tok),
+            tr AS (SELECT doc_id, p, t[p] AS tok FROM tokrow),
+            kept AS (SELECT tr.doc_id, tr.p, tr.tok FROM tr
+                     WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                       WHERE sp.doc_id = tr.doc_id AND tr.p BETWEEN sp.s AND sp.e)),
+            agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id"""))
 
   // CCNet-style sub-document dedup (Wenzek et al. 2020): fixed-width token
   // segments stand in for paragraphs (this corpus has no newlines), each
@@ -340,6 +368,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incremental" -> dedupIncremental,
     "dedup_substr_spans" -> dedupSubstrSpans,
+    "dedup_substr_scrub" -> dedupSubstrScrub,
     "dedup_paragraphs" -> dedupParagraphs,
     "dedup_cluster_best" -> dedupClusterBest,
     "dedup_cluster" -> dedupCluster)

@@ -12,11 +12,15 @@ import graft.ops.{ConnectedComponents, JaccardPrefix, Sampling}
   *   clean → quality filter → exact dedup → near-dup clustering →
   *   leakage-safe split → stratified mix → chunk packing
   *
-  * with two optional stages (`prepareFull`): SEMANTIC dedup — embedding
+  * with four optional stages: SEMANTIC dedup (`prepareFull`) — embedding
   * near-dup pairs from the scale-adaptive LSH geometry union with the
-  * lexical Jaccard pairs before one shared connected-components fixpoint —
-  * and DECONTAMINATION — docs overlapping a benchmark/eval corpus at the
-  * shingle level are dropped after the quality filter, before dedup.
+  * lexical Jaccard pairs before one shared connected-components fixpoint;
+  * DECONTAMINATION (`prepareFull`) — docs overlapping a benchmark/eval
+  * corpus at the shingle level are dropped after the quality filter, before
+  * dedup; the corpus-trained LM SURPRISAL gate (`Config.maxSurprisalBits` —
+  * the CCNet perplexity filter's slot); and cluster CANONICALIZATION
+  * (`Config.keepBestPerCluster` — collapse each near-dup cluster to its
+  * best copy instead of keeping whole clusters split-safe).
   *
   * Each stage is the same public operator the catalog verifies individually
   * (TextFns cleanup, Sampling splits, JaccardPrefix auto-selected pair
@@ -42,6 +46,16 @@ object CorpusPipeline {
     * @param maxTopTokenFrac quality ceiling: drop docs whose most frequent
     *                       token exceeds this fraction of all tokens (the
     *                       Gopher-style repetition filter; 1.0 disables)
+    * @param maxSurprisalBits optional CCNet-style LM gate: drop docs whose
+    *                       mean whole-bit unigram surprisal under the
+    *                       corpus's OWN model exceeds this (see
+    *                       [[graft.ops.UnigramLM]]; infinity disables).
+    *                       Corpus-trained, so it runs after the static
+    *                       quality floor, on survivors only
+    * @param keepBestPerCluster when true, near-dup clusters collapse to ONE
+    *                       representative — the highest-n_tok doc, ties to
+    *                       smallest id ([[Dedup.bestPerCluster]]) — instead
+    *                       of surviving whole (split-safe) as by default
     * @param jaccardTau     near-dup similarity threshold
     * @param hotShingleDf   hot-shingle guard cutoff (see Dedup.hotShingleDf)
     * @param cosineTau      semantic near-dup threshold for the optional
@@ -67,6 +81,8 @@ object CorpusPipeline {
       minTokens: Long = 10L,
       minStopRatio: Double = 0.01,
       maxTopTokenFrac: Double = 1.0,
+      maxSurprisalBits: Double = Double.PositiveInfinity,
+      keepBestPerCluster: Boolean = false,
       jaccardTau: Double = Dedup.jaccardTau,
       hotShingleDf: Long = Dedup.hotShingleDf,
       cosineTau: Double = 0.85,
@@ -185,7 +201,18 @@ object CorpusPipeline {
           .filter(col("contaminated")).select("id")
         qualified.join(contaminated, Seq("id"), "left_anti")
     }
-    val fp = decontaminated.withColumn("__fp", md5(normalized(col("text"))))
+    // 2c. optional corpus-trained LM gate (UnigramLM): the CCNet-shaped
+    // perplexity filter, trained on the quality survivors themselves and
+    // applied as a semi join — after the static floors (the model should
+    // not train on gibberish), before dedup (a high-surprisal doc must not
+    // survive as its cluster's representative)
+    val gated =
+      if (cfg.maxSurprisalBits.isPosInfinity) decontaminated
+      else decontaminated.join(
+        graft.ops.UnigramLM.surprisal(decontaminated, "id", "text", cfg.maxSurprisalBits)
+          .filter(col("keep")).select("id"),
+        Seq("id"), "left_semi")
+    val fp = gated.withColumn("__fp", md5(normalized(col("text"))))
     val keep = fp.groupBy("__fp").agg(min(col("id")).as("id"))
     val deduped = fp.join(keep, Seq("__fp", "id")).drop("__fp")
       // one narrow shuffle key for everything downstream
@@ -216,9 +243,17 @@ object CorpusPipeline {
         .select(col("id"), col("label").as("cluster"))
       val labeled = deduped.join(clusters, Seq("id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      // 4c. optional canonicalization: collapse each near-dup cluster to its
+      // best copy (argmax n_tok, ties to smallest id — Dedup.bestPerCluster)
+      // instead of keeping whole clusters split-safe
+      val canonical =
+        if (!cfg.keepBestPerCluster) labeled
+        else Dedup.bestPerCluster(labeled,
+          "id", labeled.select(col("id"), col("n_tok").as("__score")), "__score")
+          .drop("__score")
       // 5. leakage-safe split (hash the CLUSTER, not the row id) then
       // 6. stratified mix — both map-side
-      val split = Sampling.groupSafeSplit(labeled, "cluster", cfg.splitWeights, salt = 2L)
+      val split = Sampling.groupSafeSplit(canonical, "cluster", cfg.splitWeights, salt = 2L)
       val mixed =
         if (cfg.mixRates.isEmpty && cfg.defaultRate >= 1.0) split
         else Sampling.stratifiedSample(split, "id", "strata", cfg.mixRates,

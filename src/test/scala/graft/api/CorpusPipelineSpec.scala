@@ -148,6 +148,38 @@ class CorpusPipelineSpec extends SparkSpec {
       s"decontamination dropped the wrong docs: kept $ids")
   }
 
+  test("canonicalization stage: one representative per cluster, the longest copy") {
+    val best = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(keepBestPerCluster = true))
+    val out = best.documents
+    // exactly one survivor per cluster
+    assert(out.groupBy("cluster").count().filter(col("count") > 1).count() == 0)
+    // the survivor is the cluster's argmax n_tok (ties to smallest id):
+    // rebuild the full labeled set (no canonicalization) and compare
+    val full = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config()).documents
+    val expect = full.collect().map(r =>
+        (r.getAs[Long]("cluster"), (r.getAs[Long]("n_tok"), r.getAs[Long]("id"))))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.map(_._2).minBy { case (n, id) => (-n, id) }._2 }
+    val got = out.select("cluster", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("surprisal gate drops the high-surprisal tail and stays deterministic") {
+    val cfgTight = CorpusPipeline.Config(maxSurprisalBits = 5.05)
+    val gatedIds = CorpusPipeline.prepare(docs, "doc_id", "text", "lang", cfgTight)
+      .documents.select("id").collect().map(_.getLong(0)).toSet
+    val allIds = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config()).documents.select("id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds.subsetOf(allIds) && gatedIds.size < allIds.size,
+      s"gate should drop a tail: ${gatedIds.size} of ${allIds.size}")
+    val again = CorpusPipeline.prepare(docs.repartition(11), "doc_id", "text", "lang",
+      cfgTight).documents.select("id").collect().map(_.getLong(0)).toSet
+    assert(again == gatedIds)
+  }
+
   test("end-to-end determinism: same corpus from any input partitioning") {
     val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
       CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
