@@ -518,6 +518,99 @@ object TextQueries {
                    CAST(ssum AS DOUBLE) / CAST(ntok AS DOUBLE) <= 5.05 AS keep
             FROM sc ORDER BY doc_id"""))
 
+
+  // Time-series regularization: hourly per-type buckets with MISSING hours
+  // materialized from a generated integer hour grid (sequence + explode —
+  // no resampling UDF), counts zero-filled and the last seen hourly total
+  // carried forward (last_value ignoreNulls over the hour order) — the
+  // resample + forward-fill step every metrics/feature pipeline runs.
+  // Integer epoch-hours keep the grid exact; the carried value reuses the
+  // exact-decimal sum. Scale: one agg shuffle + one window keyed by type;
+  // the grid is |types| x |span| rows, generated, never read.
+  private val eventsGapfill = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
+      val hourly = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      val span = hourly.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = span.select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("carried_value", last(col("total_value"), ignoreNulls = true).over(w))
+        .select("event_type", "h", "n_events", "carried_value")
+        .orderBy("event_type", "h")
+    },
+    Some(s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, value FROM events),
+            hourly AS (SELECT event_type, h, count(*) AS n_events,
+                              ${sqlDsum("value")} AS total_value
+                       FROM ev GROUP BY 1, 2),
+            span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+            grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM span),
+            j AS (SELECT g.event_type, g.h,
+                         CAST(coalesce(n_events, 0) AS BIGINT) AS n_events, total_value
+                  FROM grid g LEFT JOIN hourly USING (event_type, h))
+            SELECT event_type, h, n_events,
+                   last_value(total_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY h) AS carried_value
+            FROM j ORDER BY event_type, h"""))
+
+
+  // The Gopher rule-based quality bundle (Rae et al. 2021, arXiv:2112.11446
+  // §A1.1): the published pre-filters web pipelines run before any model
+  // gate, as ONE per-row expression pass (no UDF, no shuffle) — token count
+  // in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+  // (#/ellipsis) < 0.1, ≥70% of words contain an alphabetic character, and
+  // ≥2 distinct stopwords (the "real language" check). Every signal is an
+  // integer count or a single exact division, so the DuckDB twin hashes
+  // identically. (The subset of rules needing line structure — bullet
+  // ratios — is inapplicable to this corpus's single-line docs.)
+  private val textGopherRules = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val ntok = size(toks).cast("long")
+      val chars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+      val sym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+      val nstop = size(array_distinct(filter(toks,
+        t => t.isInCollection(graft.functions.TextFns.stopwords)))).cast("long")
+      documents(s, d)
+        .select(col("doc_id"), ntok.as("n_tok"),
+          (chars.cast("double") / ntok.cast("double")).as("mean_wlen"),
+          (alpha.cast("double") / ntok.cast("double")).as("alpha_frac"),
+          (sym.cast("double") / ntok.cast("double")).as("symbol_frac"),
+          nstop.as("n_stopwords"))
+        .withColumn("keep",
+          col("n_tok") >= 50L && col("n_tok") <= 100000L &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("alpha_frac") >= 0.7 && col("symbol_frac") < 0.1 &&
+          col("n_stopwords") >= 2L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, text FROM documents),
+            s AS (SELECT doc_id,
+                    CAST(len(tk) AS BIGINT) AS n_tok,
+                    CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS chars,
+                    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+                    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS sym,
+                    CAST(len(list_distinct(list_filter(tk,
+                      x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT) AS nstop
+                  FROM t)
+            SELECT doc_id, n_tok,
+                   CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_wlen,
+                   CAST(alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) AS alpha_frac,
+                   CAST(sym AS DOUBLE) / CAST(n_tok AS DOUBLE) AS symbol_frac,
+                   nstop AS n_stopwords,
+                   (n_tok >= 50 AND n_tok <= 100000
+                    AND CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
+                    AND CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 10.0
+                    AND CAST(alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.7
+                    AND CAST(sym AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.1
+                    AND nstop >= 2) AS keep
+            FROM s ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -529,11 +622,13 @@ object TextQueries {
     "text_quality_calibrated" -> textQualityCalibrated,
     "text_quality_model" -> textQualityModel,
     "text_surprisal" -> textSurprisal,
+    "text_gopher_rules" -> textGopherRules,
     "doc_fingerprint" -> docFingerprint,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_streaks" -> eventsStreaks,
+    "events_gapfill" -> eventsGapfill,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_clean" -> textClean,
     "text_pii_mask" -> textPiiMask,

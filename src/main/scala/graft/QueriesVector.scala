@@ -486,11 +486,61 @@ object VectorQueries {
             WHERE ${sqlCos("a", "b")} >= 0.8
             ORDER BY id1, id2"""))
 
+
+  // Product-quantization ADC search (Jégou et al. 2011 — the memory half of
+  // IVF-PQ, the standard web-scale vector-store layout): corpus vectors are
+  // stored as m=8 codes into per-block k=16 codebooks; queries score exact
+  // sub-vectors against a broadcast query×codeword lookup table, so the
+  // corpus floats are never touched at query time. Codebook = the fixed
+  // seed vectors (vec_id < 16, same oracle-mirrorable pattern as sim_ivf's
+  // seed centroids); production trains each block's codebook with
+  // KMeans.fit — same plumbing (ops.ProductQuant doc). Every distance is a
+  // left-to-right ordered fold in double, and the per-pair ADC total sums
+  // its 8 block distances in sorted block order, so the DuckDB twin is
+  // bit-exact.
+  private val simPq = Q(
+    (s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val cb = graft.ops.ProductQuant.codebookFromVectors(
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", m = 8)
+      val codes = graft.ops.ProductQuant.encode(e, "vec_id", "embedding", cb, m = 8)
+      graft.ops.ProductQuant.adcTopK(codes, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cb, m = 8, k = 3)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            bl AS (SELECT vec_id, b, embedding[b*8+1 : b*8+8] AS sub
+                   FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) s),
+            cb AS (SELECT vec_id AS code, b, sub FROM bl WHERE vec_id < 16),
+            enc AS (SELECT vec_id, b, code FROM (
+                      SELECT v.vec_id, v.b, c.code,
+                             row_number() OVER (PARTITION BY v.vec_id, v.b ORDER BY
+                               list_sum(list_transform(generate_series(1, 8),
+                                 i -> (CAST(v.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))
+                                    * (CAST(v.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))) ASC,
+                               c.code ASC) AS rn
+                      FROM bl v JOIN cb c USING (b)) t WHERE rn = 1),
+            lut AS (SELECT q.vec_id AS q_id, q.b, c.code,
+                           list_sum(list_transform(generate_series(1, 8),
+                             i -> (CAST(q.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))
+                                * (CAST(q.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))) AS d
+                    FROM bl q JOIN cb c USING (b) WHERE q.vec_id < 10),
+            pair AS (SELECT l.q_id, en.vec_id,
+                            list_sum(list_transform(list_sort(list(struct_pack(b := en.b, d := l.d))), x -> x.d)) AS adist
+                     FROM enc en JOIN lut l ON en.b = l.b AND en.code = l.code
+                     GROUP BY l.q_id, en.vec_id)
+            SELECT q_id, rank, nbr_id FROM (
+              SELECT q_id, vec_id AS nbr_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+              FROM pair WHERE q_id <> vec_id) t
+            WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
+    "sim_pq" -> simPq,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
     "dedup_embedding_cluster" -> dedupEmbeddingCluster,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PQ properties the oracle can't express: hand-computed codes on a tiny
+  * geometry, ADC agreement with exact search when the codebook is the
+  * corpus itself, and partitioning determinism. */
+class ProductQuantSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("encode picks the nearest codeword per block, ties to smallest code") {
+    // 4-dim, m=2 blocks of 2. Codewords per block: code 0 = (0,0), code 1 = (10,10)
+    val cbVecs = vecs(Seq(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(10f, 10f, 10f, 10f)))
+    val cb = ProductQuant.codebookFromVectors(cbVecs, "vec_id", "embedding", m = 2)
+    val data = vecs(Seq(
+      100L -> Seq(1f, 1f, 9f, 9f),   // block 0 → code 0, block 1 → code 1
+      101L -> Seq(5f, 5f, 5f, 5f)))  // equidistant → ties to code 0 in both blocks
+    val got = ProductQuant.encode(data, "vec_id", "embedding", cb, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((100L, 0) -> 0L, (100L, 1) -> 1L, (101L, 0) -> 0L, (101L, 1) -> 0L))
+  }
+
+  test("ADC with a self-codebook reproduces exact nearest neighbors") {
+    // every corpus vector is its own codeword -> PQ distance == exact distance
+    val data = vecs(Seq(
+      0L -> Seq(0f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(4f, 4f), 3L -> Seq(5f, 4f)))
+    val cb = ProductQuant.codebookFromVectors(data, "vec_id", "embedding", m = 1)
+    val codes = ProductQuant.encode(data, "vec_id", "embedding", cb, m = 1)
+    val top = ProductQuant.adcTopK(codes, data, "vec_id", "embedding", cb, m = 1, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("encode and ADC are partitioning-independent on real embeddings") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cb = ProductQuant.codebookFromVectors(
+      e.filter(col("vec_id") < 16).withColumn("code", col("vec_id")),
+      "code", "embedding", m = 8)
+    def run(df: DataFrame) = {
+      val codes = ProductQuant.encode(df, "vec_id", "embedding", cb, m = 8)
+      ProductQuant.adcTopK(codes, df.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cb, m = 8, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    assert(run(e) == run(e.repartition(13)))
+  }
+}
