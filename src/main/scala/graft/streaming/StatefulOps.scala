@@ -158,4 +158,50 @@ object StatefulOps {
           Iterator.single(next)
       }
   }
+
+  case class BudgetDoc(doc_id: Long, group: String, n_tok: Long)
+  case class AdmittedDoc(doc_id: Long, group: String, n_tok: Long, cum_tok: Long)
+
+  /** Streaming token-budget admission — the ingestion-time twin of the
+    * batch mixture materialization (Sampling.mixtureByBudget / Z17): per
+    * group (language/source), admit arriving docs while the group's
+    * cumulative token total stays within its budget; everything after the
+    * budget fills is dropped, unlisted groups drop entirely. State per
+    * group is ONE long (the running total) — bounded by group cardinality,
+    * not stream length.
+    *
+    * Ordering contract: a stream has no global order, so admission is
+    * FIRST-ARRIVAL within each group (per micro-batch, iterator order).
+    * That is the honest streaming semantics — the batch op's (hash, id)
+    * order needs the whole corpus. Batch parity therefore holds exactly
+    * when the batch frame is fed in the batch op's admission order
+    * (StreamingPipelineSpec pins this: same input order → same admitted
+    * set and same cumulative totals as mixtureByBudget).
+    */
+  def streamingBudgetAdmission(docs: Dataset[BudgetDoc],
+      budgets: Map[String, Long]): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          budgets.get(group) match {
+            case None => Iterator.empty
+            case Some(budget) =>
+              var cum = state.getOption.getOrElse(0L)
+              val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+              for (d <- rows) {
+                // EVERY arrival advances the inclusive running total and a
+                // doc is admitted iff its own inclusive total fits — the
+                // batch op's exact prefix rule (a too-big doc ends the
+                // group's admissions, it does not skip-and-continue)
+                cum += d.n_tok
+                if (cum <= budget) out += AdmittedDoc(d.doc_id, d.group, d.n_tok, cum)
+              }
+              state.update(cum)
+              out.iterator
+          }
+      }
+  }
+
 }

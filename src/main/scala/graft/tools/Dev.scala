@@ -186,6 +186,54 @@ object Dev {
         }
         println(f"ivfab: trained recall@$k = ${recall(trained)}%.3f " +
           f"(${brute.size} queries, $nCells cells, probe $nProbe)")
+
+      case "pqrecall" :: rest =>
+        // PQ ADC recall vs exact L2 top-k at k codewords/block: how much
+        // ranking quality the 8-codes-per-vector compression keeps on this
+        // corpus. Production tunes k (and trains codebooks with KMeans.fit);
+        // this measures the catalog's fixed-seed codebook honestly against
+        // brute force.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val topK = 3
+        val nQ = 50L
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")).cache()
+        val n = e.count()
+        val queries = e.filter(col("vec_id") < nQ)
+        // exact L2 top-k via the codegen'd dot products:
+        // ||q - x||^2 = q.q - 2 q.x + x.x
+        val qq = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          graft.expressions.VecDot(col("embedding"), col("embedding")).as("q_nn"))
+        val xx = e.select(col("vec_id"), col("embedding"),
+          graft.expressions.VecDot(col("embedding"), col("embedding")).as("nn"))
+        val wExact = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id").asc)
+        val exact = xx.repartition(col("vec_id"))
+          .withColumn("__z", pmod(col("vec_id"), lit(1L)))
+          .join(broadcast(qq.withColumn("__z", pmod(col("q_id"), lit(1L)))), Seq("__z"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (col("q_nn") - lit(2.0) * graft.expressions.VecDot(col("q_emb"), col("embedding"))
+              + col("nn")).as("d2"))
+          .withColumn("rk", row_number().over(wExact)).filter(col("rk") <= topK)
+          .select("q_id", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        for (k <- Seq(16, 64, 256)) {
+          val t0 = System.nanoTime()
+          val cb = graft.ops.ProductQuant.codebookFromVectors(
+            e.filter(col("vec_id") < k), "vec_id", "embedding", m = 8)
+          val codes = graft.ops.ProductQuant.encode(e, "vec_id", "embedding", cb, m = 8)
+          val adc = graft.ops.ProductQuant.adcTopK(codes, queries, "vec_id", "embedding",
+              cb, m = 8, k = topK)
+            .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+          val secs = (System.nanoTime() - t0) / 1e9
+          val recall = adc.map { case (q, nb) => (nb & exact.getOrElse(q, Set())).size.toDouble / topK }
+            .sum / adc.size
+          println(f"pqrecall: n=$n k=$k codewords/block recall@$topK=$recall%.3f (${secs}%.1f s)")
+        }
+        e.unpersist()
+
       case "mart" :: _ =>
         // game-domain flagship over the bundled fixture subsets
         val res = "src/test/resources/game"

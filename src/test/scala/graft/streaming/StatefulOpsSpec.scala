@@ -170,4 +170,54 @@ class StatefulOpsSpec extends SparkSpec {
       assert(rows.contains((8L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("streaming budget admission matches the batch mixture prefix rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Map("en" -> 1200L, "zh" -> 600L)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    // the batch op over the FULL corpus (its own admission order)
+    val batchAdmitted = graft.ops.Sampling.mixtureByBudget(
+        docs, "doc_id", "lang", "n_tok", budgets, salt = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // feed the stream the first 30 docs of the batch admission order, one
+    // micro-batch each (iterator order within a group is only pinned this
+    // way; a real stream has no global order — the op's documented contract)
+    val fed = docs
+      .withColumn("__o", graft.ops.Sampling.bucketOf(col("doc_id"), 7L, 1000000))
+      .orderBy("__o", "doc_id")
+      .select("doc_id", "lang", "n_tok").limit(30).collect()
+      .map(r => BudgetDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[BudgetDoc]
+    val q = streamingBudgetAdmission(mem.toDS(), budgets)
+      .writeStream.format("memory").queryName("budget_out").outputMode("append").start()
+    try {
+      for (d <- fed) { mem.addData(d); q.processAllAvailable() }
+      val got = spark.table("budget_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tok")).toMap
+      // same admitted set as the batch op restricted to the fed prefix
+      // (a fed doc's inclusive cum depends only on its in-group
+      // predecessors, all of which are in the prefix)
+      val fedIds = fed.map(_.doc_id).toSet
+      assert(got.keySet == (batchAdmitted & fedIds))
+      // and the cumulative totals are the true inclusive running sums
+      val byGroup = fed.groupBy(_.group)
+      for ((g, ds) <- byGroup; budget = budgets.get(g)) {
+        var cum = 0L
+        for (d <- ds) {
+          cum += d.n_tok
+          if (budget.exists(cum <= _)) assert(got(d.doc_id) == cum,
+            s"cum mismatch for doc ${d.doc_id} in group $g")
+        }
+      }
+      // unlisted groups (de/fr/es) are dropped entirely
+      assert(got.keySet.forall(id => fed.find(_.doc_id == id).get.group match {
+        case "en" | "zh" => true; case _ => false
+      }))
+    } finally q.stop()
+  }
+
 }
