@@ -41,6 +41,31 @@ object ProductQuant {
     train.select(col(codeCol).cast("long").as("code"),
       posexplode(subBlocks(embCol, m)).as(Seq("b", "sub")))
 
+  /** The PRODUCTION codebook: per block, [[KMeans.fit]] on the block slice
+    * — the bit-deterministic Lloyd pass (hash-seeded init, codegen argmin,
+    * exact-decimal means), m small models of k×(d/m) doubles each; only
+    * those models reach the driver, never the corpus. Output rows
+    * (code, b, sub) drop into [[encode]]/[[adcTopK]] unchanged — the
+    * fixed-seed catalog codebook and this trained one are the same
+    * contract (ProductQuantSpec pins exact-recovery geometry: when each
+    * block's sub-vectors take k distinct values, training recovers them
+    * and ADC equals exact search). */
+  def trainedCodebook(vectors: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, maxIters: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val blocks = vectors
+      .select(col(idCol), posexplode(subBlocks(embCol, m)).as(Seq("b", "sub")))
+      .persist()
+    try {
+      val rows = (0 until m).flatMap { b =>
+        val model = KMeans.fit(blocks.filter(col("b") === b), idCol, "sub", k, maxIters)
+        model.centroids.zipWithIndex.map { case (c, j) => (j.toLong, b, c.toSeq) }
+      }
+      rows.toDF("code", "b", "sub")
+    } finally blocks.unpersist()
+  }
+
   private def subBlocks(embCol: String, m: Int): Column =
     expr(s"transform(sequence(0, ${m - 1}), b -> slice($embCol, b * (size($embCol) div $m) + 1, size($embCol) div $m))")
 

@@ -145,12 +145,19 @@ object Dev {
         // survivor counts (the number a capacity plan starts from)
         val d = rest.headOption.getOrElse("/root/testdata/sf0.001")
         val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
+        // "full" also runs the r8 curation stages: the corpus-trained
+        // surprisal gate and keep-best cluster canonicalization
+        val full = rest.drop(2).headOption.contains("full")
+        val cfg =
+          if (full) graft.api.CorpusPipeline.Config(mixRates = Map("en" -> 0.9),
+            defaultRate = 0.7, maxSurprisalBits = 5.05, keepBestPerCluster = true)
+          else graft.api.CorpusPipeline.Config(mixRates = Map("en" -> 0.9),
+            defaultRate = 0.7)
         val docs = spark.read.parquet(s"$d/documents.parquet")
         docs.count() // warm the scan so run 1 measures the pipeline
         for (r <- 1 to reps) {
           val t0 = System.nanoTime()
-          val p = graft.api.CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
-            graft.api.CorpusPipeline.Config(mixRates = Map("en" -> 0.9), defaultRate = 0.7))
+          val p = graft.api.CorpusPipeline.prepare(docs, "doc_id", "text", "lang", cfg)
           val n = p.documents.count()
           val c = p.trainChunks.count()
           println(f"pipeline[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
@@ -232,6 +239,18 @@ object Dev {
             .sum / adc.size
           println(f"pqrecall: n=$n k=$k codewords/block recall@$topK=$recall%.3f (${secs}%.1f s)")
         }
+        // the production path: per-block KMeans-trained codebook at k=16
+        val t1 = System.nanoTime()
+        val tcb = graft.ops.ProductQuant.trainedCodebook(e, "vec_id", "embedding", m = 8, k = 16)
+        val tadc = graft.ops.ProductQuant.adcTopK(
+            graft.ops.ProductQuant.encode(e, "vec_id", "embedding", tcb, m = 8),
+            queries, "vec_id", "embedding", tcb, m = 8, k = topK)
+          .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+        val tsecs = (System.nanoTime() - t1) / 1e9
+        val trecall = tadc.map { case (q, nb) =>
+          (nb & exact.getOrElse(q, Set())).size.toDouble / topK }.sum / tadc.size
+        println(f"pqrecall: n=$n k=16 TRAINED codebook recall@$topK=$trecall%.3f " +
+          f"(${tsecs}%.1f s incl. 8 block fits)")
         e.unpersist()
 
       case "mart" :: _ =>

@@ -39,6 +39,34 @@ class ProductQuantSpec extends SparkSpec {
     assert(top == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("trained codebook quantizes losslessly at covering k, making ADC exact") {
+    // each block's sub-vectors take 2 distinct values; training with k
+    // covering every vector puts both values in every block's codebook
+    // (hash-seeded init picks all points at k = n, so this holds for ANY
+    // init order) -> quantization error 0 -> ADC == brute-force L2
+    val a = Seq(0f, 0f); val b = Seq(8f, 8f)   // block-0 vocabulary
+    val c = Seq(1f, 1f); val d = Seq(9f, 9f)   // block-1 vocabulary
+    val rows = (0L until 20L).map { i =>
+      val b0 = if (i % 2 == 0) a else b
+      val b1 = if (i % 3 == 0) c else d
+      i -> (b0 ++ b1)
+    }
+    val data = vecs(rows)
+    val cb = ProductQuant.trainedCodebook(data, "vec_id", "embedding", m = 2, k = 20)
+    // every vector's block distance to its nearest codeword is exactly 0:
+    // the ADC ranking equals brute-force L2 over the original vectors
+    val adc = ProductQuant.adcTopK(
+        ProductQuant.encode(data, "vec_id", "embedding", cb, m = 2),
+        data, "vec_id", "embedding", cb, m = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def d2(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val exact = rows.map { case (i, v) =>
+      i -> rows.filter(_._1 != i).minBy { case (j, w) => (d2(v, w), j) }._1
+    }.toMap
+    assert(adc == exact)
+  }
+
   test("encode and ADC are partitioning-independent on real embeddings") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select("vec_id", "embedding")
