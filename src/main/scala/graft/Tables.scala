@@ -42,7 +42,12 @@ object Tables {
         // sessions here run UTC, so the NTZ→LTZ cast is value-preserving
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case other =>
+        // fail LOUDLY on the next schema-inference drift: silently skipping
+        // the micros/zone normalization would hash-mismatch every events
+        // oracle with no error pointing here
+        sys.error(s"events.ts surfaced as unexpected type $other — " +
+          "extend Tables.events for this Spark runtime")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

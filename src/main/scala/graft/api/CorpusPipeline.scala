@@ -205,13 +205,21 @@ object CorpusPipeline {
     // perplexity filter, trained on the quality survivors themselves and
     // applied as a semi join — after the static floors (the model should
     // not train on gibberish), before dedup (a high-surprisal doc must not
-    // survive as its cluster's representative)
-    val gated =
-      if (cfg.maxSurprisalBits.isPosInfinity) decontaminated
-      else decontaminated.join(
-        graft.ops.UnigramLM.surprisal(decontaminated, "id", "text", cfg.maxSurprisalBits)
-          .filter(col("keep")).select("id"),
-        Seq("id"), "left_semi")
+    // survive as its cluster's representative). The gate reads its input
+    // twice (model training + the semi-join left side are different
+    // subplans), so the clean/quality/decontamination subtree is persisted
+    // for the duration — otherwise the pipeline's most expensive scan runs
+    // twice more.
+    val gateCache =
+      if (cfg.maxSurprisalBits.isPosInfinity) None else Some(decontaminated.persist())
+    val gated = gateCache match {
+      case None => decontaminated
+      case Some(cached) =>
+        cached.join(
+          graft.ops.UnigramLM.surprisal(cached, "id", "text", cfg.maxSurprisalBits)
+            .filter(col("keep")).select("id"),
+          Seq("id"), "left_semi")
+    }
     val fp = gated.withColumn("__fp", md5(normalized(col("text"))))
     val keep = fp.groupBy("__fp").agg(min(col("id")).as("id"))
     val deduped = fp.join(keep, Seq("__fp", "id")).drop("__fp")
@@ -266,6 +274,9 @@ object CorpusPipeline {
       // materialize while the dedup cache is live; callers get
       // checkpoint-backed frames that never re-run the upstream stages
       Prepared(mixed.localCheckpoint(true), chunks.localCheckpoint(true))
-    } finally deduped.unpersist()
+    } finally {
+      deduped.unpersist()
+      gateCache.foreach(_.unpersist())
+    }
   }
 }

@@ -66,6 +66,12 @@ object ProductQuant {
     } finally blocks.unpersist()
   }
 
+  // Block width is size(emb) div m: when m does not divide the dimension,
+  // the trailing (size mod m) dims are NOT covered by any block — callers
+  // pick m to divide d (64 = 8×8 here). Kept as an arithmetic contract
+  // rather than a runtime assert: size() is per-row and the codebook and
+  // vectors must simply agree, which encode's equi-join on (b) guarantees
+  // structurally.
   private def subBlocks(embCol: String, m: Int): Column =
     expr(s"transform(sequence(0, ${m - 1}), b -> slice($embCol, b * (size($embCol) div $m) + 1, size($embCol) div $m))")
 
