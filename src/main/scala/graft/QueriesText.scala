@@ -494,6 +494,43 @@ object TextQueries {
                    FROM th)
             SELECT doc_id, s0 AS score, s0 >= 0 AS keep FROM sc ORDER BY doc_id"""))
 
+  // Full winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+  // MOSS local fingerprinting algorithm; docFingerprint above is the
+  // bottom-1 degenerate case): the minimum 3-gram rolling hash of every
+  // w=4 gram window, deduplicated per doc — guarantees any shared run of
+  // ≥ w+k-1 tokens between two docs shares a fingerprint, the property
+  // plagiarism/overlap detection needs and a single bottom sketch lacks.
+  // One compiled rolling-hash pass (expressions.GramHashes) + a per-row
+  // window-min lambda; shuffle only for the final distinct. The oracle
+  // mirrors the double polynomial gram key and the window mins exactly.
+  private val docWinnow = Q(
+    (s, d) => {
+      val gh = graft.expressions.GramHashes(tokens(col("text")), 3)
+      documents(s, d)
+        .select(col("doc_id"), gh.as("gh"))
+        .filter(size(col("gh")) >= 4)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("gh")) - 3),
+          i => array_min(slice(col("gh"), i, lit(4))))).as("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            ghl AS (SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+                      p -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[p:p+2]),
+                             (a, h) -> (a * 31 + h) % 1000000007) * 999999937
+                         + list_reduce(list_prepend(CAST(0 AS BIGINT), th[p:p+2]),
+                             (a, h) -> (a * 37 + h) % 999999937)) AS gh
+                    FROM th WHERE len(th) >= 3),
+            win AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(gh) - 3),
+                      i -> list_min(gh[i:i+3]))) AS fp
+                    FROM ghl WHERE len(gh) >= 4)
+            SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp"""))
+
   // Corpus-trained unigram-LM gate (the CCNet perplexity filter's shape,
   // Wenzek et al. 2020): mean WHOLE-BIT surprisal per doc — bits(N div c),
   // i.e. −log2 p(token) quantized to whole bits via exact integer
@@ -624,6 +661,7 @@ object TextQueries {
     "text_surprisal" -> textSurprisal,
     "text_gopher_rules" -> textGopherRules,
     "doc_fingerprint" -> docFingerprint,
+    "doc_winnow" -> docWinnow,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
