@@ -172,6 +172,42 @@ object DedupQueries {
   // same answer; the oracle computes it with a recursive CTE. Singletons
   // (the vast majority of any near-dup graph) skip the iteration entirely
   // and are unioned back at the end.
+  // Content-defined chunking variant of the segment dedup above (FastCDC
+  // idea at token granularity): boundaries cut AFTER tokens whose hash ≡ 0
+  // (mod 8), so an insertion reframes only its own segment — the
+  // robustness fixed-width splitting lacks. Same keep-first machinery,
+  // same output shape; the oracle mirrors the cut rule, the boundary
+  // prefix count, and the keep-first window exactly.
+  private val dedupParagraphsCdc = Q(
+    (s, d) =>
+      graft.api.Dedup.dedupSegmentsCDC(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, t, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            pos AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t, th FROM th),
+            r AS (SELECT doc_id, p, t[p] AS tok,
+                         CASE WHEN th[p] % 8 = 0 THEN 1 ELSE 0 END AS cut FROM pos),
+            s AS (SELECT doc_id, p, tok,
+                         CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seg
+                  FROM r),
+            segs AS (SELECT doc_id, seg, string_agg(tok, ' ' ORDER BY p) AS seg_text
+                     FROM s GROUP BY doc_id, seg),
+            h AS (SELECT doc_id, seg, seg_text,
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(seg_text, ''), c -> ascii(c))),
+                           (a, c) -> (a * 31 + c) % 1000000007) AS sh FROM segs),
+            rn AS (SELECT doc_id, seg, seg_text,
+                          row_number() OVER (PARTITION BY sh ORDER BY doc_id, seg) AS rn FROM h)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM rn GROUP BY doc_id ORDER BY doc_id"""))
+
   /** (doc_id, cluster) labels incl. singletons — the Spark side shared by
     * dedup_cluster and dedup_cluster_best (api.Dedup.nearDupClusters shape,
     * fed from the checkpoint-backed catalog pair set). */
@@ -370,6 +406,7 @@ object DedupQueries {
     "dedup_substr_spans" -> dedupSubstrSpans,
     "dedup_substr_scrub" -> dedupSubstrScrub,
     "dedup_paragraphs" -> dedupParagraphs,
+    "dedup_paragraphs_cdc" -> dedupParagraphsCdc,
     "dedup_cluster_best" -> dedupClusterBest,
     "dedup_cluster" -> dedupCluster)
 }

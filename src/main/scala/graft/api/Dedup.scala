@@ -254,6 +254,49 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Content-defined segment dedup (the FastCDC idea at token granularity —
+    * Xia et al. 2016's rolling-hash boundary rule, simplified to one cut
+    * decision per token): the same keep-first machinery as
+    * [[dedupSegments]], but boundaries are chosen by CONTENT — cut after
+    * any token whose hash ≡ 0 (mod `avgTokens`) — so inserting or deleting
+    * a token reframes only its own segment, where the fixed-width splitter
+    * shifts every later segment and misses all downstream repeats. Expected
+    * segment length = `avgTokens`. Output matches [[dedupSegments]]:
+    * (idCol, clean_text, n_segs, n_dropped).
+    *
+    * Scale posture: one id-keyed window (the boundary prefix count), one
+    * (id, segment) agg, ONE window shuffle keyed by segment hash for the
+    * keep-first decision, one reassembly groupBy — all linear, no pair
+    * joins, no broadcasts. */
+  def dedupSegmentsCDC(df: DataFrame, idCol: String, textCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgTokens > 0, s"avgTokens must be positive, got $avgTokens")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val rows = df.select(col(idCol), posexplode(toks).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"),
+        when(pmod(graft.expressions.PolyHash(col("__tok")),
+          lit(avgTokens.toLong)) === 0, 1L).otherwise(0L).as("__cut"))
+    val wSeg = Window.partitionBy(idCol).orderBy("__p")
+    val segs = rows
+      .withColumn("__seg", coalesce(sum("__cut")
+        .over(wSeg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col(idCol), col("__seg"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__p"), col("__tok")))), x => x.getField("__tok")), " ")
+        .as("seg_text"))
+      .withColumn("__sh", graft.functions.TextFns.charHash(col("seg_text")))
+    val wFirst = Window.partitionBy("__sh").orderBy(col(idCol), col("__seg"))
+    segs.withColumn("__rn", row_number().over(wFirst))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__rn") === 1, struct(col("__seg"), col("seg_text"))))),
+          x => x.getField("seg_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Near-duplicate clusters: connected components over [[nearDupPairs]],
     * every doc labeled with the smallest reachable id (singletons label
     * themselves). Output: (idCol, cluster). */

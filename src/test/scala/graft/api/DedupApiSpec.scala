@@ -95,6 +95,27 @@ class DedupApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "p q r s t", 0L), (2L, "u v w", 0L)))
   }
 
+  test("CDC segments survive a head insertion where fixed-width reframes everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 200 distinct tokens; doc 2 = doc 1 with ONE token prepended
+    val base = (0 until 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> base, 2L -> s"inserted $base").toDF("doc_id", "text")
+    def dropped(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("doc_id") === 2L).select("n_dropped").collect()(0).getLong(0)
+    val cdcDrop = dropped(Dedup.dedupSegmentsCDC(docs, "doc_id", "text"))
+    val fixedDrop = dropped(Dedup.dedupSegments(docs, "doc_id", "text"))
+    // fixed-width: the +1 offset reframes every segment of doc 2 → ~no
+    // repeats found; CDC: every boundary after the first cut realigns, so
+    // most of doc 2's segments are exact repeats of doc 1's
+    assert(cdcDrop > fixedDrop,
+      s"CDC should beat fixed-width under insertion: $cdcDrop vs $fixedDrop")
+    val nSegs = Dedup.dedupSegmentsCDC(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2L).select("n_segs").collect()(0).getLong(0)
+    assert(cdcDrop >= nSegs / 2,
+      s"most CDC segments must dedup away: $cdcDrop of $nSegs")
+  }
+
   test("exact and normalized dedup shrink the corpus monotonically") {
     val n = docs.count()
     val exact = Dedup.exactDedup(docs, "doc_id", "text").count()
