@@ -96,37 +96,81 @@ object DedupQueries {
             FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
             ORDER BY id1, id2"""))
 
+  /** 32-bit SimHash signatures of a (doc_id, text) frame: 32 codegen'd
+    * conditional sums over exploded (doc_id, token-hash) rows — shared by
+    * the signature entry and the hamming-banded pairing entry. */
+  private def simhashOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tokHash = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), graft.expressions.PolyHash(col("t")).as("h"))
+    val votes = (0 until 32).map { b =>
+      val mask = 1L << b
+      sum(when(col("h").bitwiseAND(mask) === mask, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    tokHash.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash signature CTEs over a corpus CTE named `wd` — DuckDB twin of
+    * [[simhashOf]] (PolyHash per token, majority vote per bit). */
+  private def sqlSimhashCtes(corpus: String): String =
+    s"""$corpus,
+       tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM wd),
+       hs AS (SELECT doc_id, list_transform(t, s ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''), c -> ascii(c))),
+                  (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM tok),
+       sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+                 CASE WHEN list_sum(list_transform(hs, h ->
+                        CASE WHEN (h & (CAST(1 AS BIGINT) << b)) = (CAST(1 AS BIGINT) << b)
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+               FROM hs)"""
+
   // SimHash: 32-bit signature over token hashes, computed as 32 codegen'd
   // conditional sums over exploded (doc_id, token-hash) rows. Pairing by
-  // hamming distance is exercised in scalatest; the oracle checks signatures.
+  // hamming distance is the dedup_simhash_hamming entry below; the oracle
+  // here checks the signatures themselves.
   private val dedupSimhash = Q(
+    (s, d) => simhashOf(documents(s, d)).orderBy("doc_id"),
+    Some(s"""${sqlSimhashCtes("WITH wd AS (SELECT doc_id, text FROM documents)")}
+            SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
+
+  // Hamming-banded SimHash PAIRING (Manku/Jain/Sarma WWW 2007 — the Google
+  // web-crawl near-dup design): all doc pairs whose 32-bit SimHash
+  // signatures differ in ≤ 3 bits, found by the pigeonhole band join in
+  // ops.Hamming — 4 disjoint 8-bit blocks, a ≤3-bit-distant pair must agree
+  // exactly on one block, so candidate generation is an equi join on
+  // (block, block bits) and the popcount(xor) verify is EXACT. Because the
+  // banding is lossless (recall 1.0 by construction, HammingSpec), the
+  // oracle is the plain brute-force predicate — the strongest possible
+  // cross-check of the banded path. The corpus plants exact copies of every
+  // 10th doc at doc_id + 10,000,000 (hamming 0 — guaranteed output through
+  // the same join+verify path a production corpus takes); the demo geometry
+  // is 32/4 to mirror dedup_simhash — production web dedup runs 64-bit
+  // prints at the same d=3 (the paper's geometry; ops.Multimodal's image
+  // dHash path uses the 64-bit form of the identical operator).
+  private val dedupSimhashHamming = Q(
     (s, d) => {
-      val tokHash = documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .select(col("doc_id"), graft.expressions.PolyHash(col("t")).as("h"))
-      val votes = (0 until 32).map { b =>
-        val mask = 1L << b
-        sum(when(col("h").bitwiseAND(mask) === mask, 1L).otherwise(-1L)).as(s"v$b")
-      }
-      tokHash.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 32).map { b =>
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-          }.reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val widened = docs.union(docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      graft.ops.Hamming.nearDupPairs(simhashOf(widened), "doc_id", "simhash",
+          bits = 32, maxDist = 3)
+        .orderBy("id1", "id2")
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-            hs AS (SELECT doc_id, list_transform(t, s ->
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(s, ''), c -> ascii(c))),
-                       (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM tok)
-            SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
-                     CASE WHEN list_sum(list_transform(hs, h ->
-                            CASE WHEN (h & (CAST(1 AS BIGINT) << b)) = (CAST(1 AS BIGINT) << b)
-                                 THEN 1 ELSE -1 END)) > 0
-                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-            FROM hs ORDER BY doc_id"""))
+    Some(s"""${sqlSimhashCtes(
+        """WITH wd AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0)""")}
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id1, id2"""))
 
   // N-gram Jaccard with a data-driven join-shape guard: the inverted shingle
   // index (join on shared shingles → intersection counts → |A∪B| =
@@ -401,6 +445,7 @@ object DedupQueries {
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_hamming" -> dedupSimhashHamming,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incremental" -> dedupIncremental,
     "dedup_substr_spans" -> dedupSubstrSpans,

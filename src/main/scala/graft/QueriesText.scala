@@ -411,6 +411,70 @@ object TextQueries {
               GROUP BY doc_id) r
             ORDER BY doc_id"""))
 
+  // Duplicate-n-gram repetition signals — the n>1 half of Gopher's
+  // repetition filter set (Rae et al. 2021, arXiv:2112.11446 §A1.1:
+  // "fraction of characters in duplicate n-grams", at token granularity
+  // here like text_repetition's unigram signals): per doc, the fraction of
+  // n-gram POSITIONS whose gram occurs ≥2 times in the doc, and the
+  // fraction claimed by the single most frequent gram, for n = 2 and 3.
+  // A doc shorter than n tokens has no n-gram positions and scores 0.
+  // One explode + two hash aggs per n — linear, no pair join; each frac is
+  // ONE integer÷integer double division so the DuckDB twin is bit-exact.
+  private val textRepetitionNgram = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      def gramStats(n: Int) =
+        documents(s, d)
+          .filter(size(toks) >= n)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(toks) - (n - 1)),
+              i => array_join(slice(toks, i, lit(n)), " "))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(col("c")).as(s"n$n"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$n"),
+            max(col("c")).as(s"max$n"))
+      documents(s, d).select(col("doc_id"))
+        .join(gramStats(2), Seq("doc_id"), "left")
+        .join(gramStats(3), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup2").cast("double") / col("n2").cast("double"), lit(0.0))
+            .as("dup_2gram_frac"),
+          coalesce(col("max2").cast("double") / col("n2").cast("double"), lit(0.0))
+            .as("top_2gram_frac"),
+          coalesce(col("dup3").cast("double") / col("n3").cast("double"), lit(0.0))
+            .as("dup_3gram_frac"),
+          coalesce(col("max3").cast("double") / col("n3").cast("double"), lit(0.0))
+            .as("top_3gram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> array_to_string(t[i:i+1], ' '))) AS g
+                   FROM tok WHERE len(t) >= 2),
+            g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i+2], ' '))) AS g
+                   FROM tok WHERE len(t) >= 3),
+            s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2,
+                          CAST(max(c) AS BIGINT) AS max2
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) t
+                   GROUP BY doc_id),
+            s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+                          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+                          CAST(max(c) AS BIGINT) AS max3
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) t
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(CAST(dup2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) AS dup_2gram_frac,
+                   coalesce(CAST(max2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) AS top_2gram_frac,
+                   coalesce(CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) AS dup_3gram_frac,
+                   coalesce(CAST(max3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) AS top_3gram_frac
+            FROM documents d
+            LEFT JOIN s2 ON s2.doc_id = d.doc_id
+            LEFT JOIN s3 ON s3.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   // Benchmark decontamination (ops.Decontaminate): flag corpus docs whose
   // 3-token shingle inventory overlaps a benchmark set (here: every 97th
   // doc stands in for an eval suite) by >= 8 distinct shingles. The
@@ -671,6 +735,7 @@ object TextQueries {
     "text_clean" -> textClean,
     "text_pii_mask" -> textPiiMask,
     "text_repetition" -> textRepetition,
+    "text_repetition_ngram" -> textRepetitionNgram,
     "text_decontam" -> textDecontam,
     "multimodal_meta" -> multimodalMeta)
 }

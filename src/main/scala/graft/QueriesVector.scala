@@ -535,12 +535,113 @@ object VectorQueries {
               FROM pair WHERE q_id <> vec_id) t
             WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  // IVF-PQ — the two ANN halves the catalog already verifies separately
+  // (sim_ivf: cell-pruned search; sim_pq: ADC over codes) COMPOSED into the
+  // standard web-scale vector-store layout (Jégou et al. 2011): corpus
+  // vectors are assigned to seed-centroid cells AND stored as m=8 PQ codes;
+  // a query probes its own cell only, scoring candidates by ADC against a
+  // broadcast query×codeword table — so the search touches neither
+  // out-of-cell vectors (IVF pruning, in the join key) nor any corpus float
+  // (PQ). Seed cells (vec_id < 16) + seed codebooks keep every step
+  // oracle-mirrorable; production swaps in KMeans.fit for both (same
+  // contract, see ops.KMeans / ProductQuant.trainedCodebook). Probe 1 is
+  // the determinism-friendly setting; more probes widen the cell filter,
+  // not the shape.
+  private val simIvfpq = Q(
+    (s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = graft.api.Similarity.assignCellsCosine(
+        e, "vec_id", "embedding", cents, "c_id", "c_emb")
+      val cb = graft.ops.ProductQuant.codebookFromVectors(
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", m = 8)
+      graft.ops.ProductQuant.ivfpqTopK(assigned,
+          assigned.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, m = 8, k = 3)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT a.vec_id, c.c_id AS cell,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_sum(list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(generate_series(1, len(c.c_emb)),
+                               i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))) DESC,
+                         c.c_id ASC) AS rn
+                FROM e a CROSS JOIN cents c) t WHERE rn = 1),
+            bl AS (SELECT vec_id, b, embedding[b*8+1 : b*8+8] AS sub
+                   FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) s),
+            cb AS (SELECT vec_id AS code, b, sub FROM bl WHERE vec_id < 16),
+            enc AS (SELECT vec_id, b, code FROM (
+                      SELECT v.vec_id, v.b, c.code,
+                             row_number() OVER (PARTITION BY v.vec_id, v.b ORDER BY
+                               list_sum(list_transform(generate_series(1, 8),
+                                 i -> (CAST(v.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))
+                                    * (CAST(v.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))) ASC,
+                               c.code ASC) AS rn
+                      FROM bl v JOIN cb c USING (b)) t WHERE rn = 1),
+            encc AS (SELECT en.vec_id, en.b, en.code, a.cell
+                     FROM enc en JOIN assigned a ON a.vec_id = en.vec_id),
+            lut AS (SELECT q.vec_id AS q_id, aq.cell, q.b, c.code,
+                           list_sum(list_transform(generate_series(1, 8),
+                             i -> (CAST(q.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))
+                                * (CAST(q.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE)))) AS d
+                    FROM bl q JOIN cb c USING (b)
+                         JOIN assigned aq ON aq.vec_id = q.vec_id
+                    WHERE q.vec_id < 10),
+            pair AS (SELECT l.q_id, en.vec_id,
+                            list_sum(list_transform(list_sort(list(struct_pack(b := en.b, d := l.d))), x -> x.d)) AS adist
+                     FROM encc en JOIN lut l
+                       ON en.cell = l.cell AND en.b = l.b AND en.code = l.code
+                     GROUP BY l.q_id, en.vec_id)
+            SELECT q_id, rank, nbr_id FROM (
+              SELECT q_id, vec_id AS nbr_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+              FROM pair WHERE q_id <> vec_id) t
+            WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // EMBEDDING-space benchmark decontamination (ops.Decontaminate
+  // .semanticFlags): the semantic complement of text_decontam — flag corpus
+  // vectors whose cosine to ANY benchmark vector reaches τ, catching the
+  // paraphrased/translated eval leakage that n-gram overlap misses. Every
+  // 97th vector stands in for the eval suite (same convention as
+  // text_decontam's benchmark side); benchmark vectors flag themselves at
+  // cosine 1.0 — exactly the leak the op exists to catch. τ = 0.45 sits in
+  // the synthetic corpus's similarity range so non-trivial hits exist. The
+  // benchmark side broadcasts (bounded by the eval-suite premise); the
+  // corpus never shuffles before the per-id count.
+  private val decontamSemantic = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.ops.Decontaminate.semanticFlags(
+          e, "vec_id", "embedding",
+          e.filter(pmod(col("vec_id"), lit(97L)) === 0), "embedding",
+          tau = graft.api.Dedup.cosineTau)
+        .orderBy("id")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+            hits AS (SELECT a.vec_id AS id, count(*) AS n_hits
+                     FROM embeddings a JOIN b ON ${sqlCos("a", "b")} >= 0.45
+                     GROUP BY a.vec_id)
+            SELECT e.vec_id AS id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM embeddings e LEFT JOIN hits h ON h.id = e.vec_id
+            ORDER BY id"""))
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
     "sim_ivf" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
     "sim_pq" -> simPq,
+    "sim_ivfpq" -> simIvfpq,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
     "dedup_embedding_cluster" -> dedupEmbeddingCluster,
@@ -548,5 +649,6 @@ object VectorQueries {
     "lsh_bands_wide" -> lshBandsWide,
     "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
     "dedup_lsh_cosine_adaptive" -> dedupLshCosineAdaptive,
-    "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide)
+    "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide,
+    "decontam_semantic" -> decontamSemantic)
 }

@@ -79,6 +79,41 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") >= minOverlap)
   }
 
+  /** EMBEDDING-space decontamination: flag corpus rows whose cosine to ANY
+    * benchmark embedding reaches `tau` — the semantic complement of the
+    * n-gram [[flags]]: a paraphrased or translated eval question shares few
+    * 3-gram shingles with its source but sits close in embedding space, so
+    * n-gram decontamination alone leaks reworded benchmarks into training
+    * sets. Output mirrors [[flags]]: (id, n_hits, contaminated) for EVERY
+    * corpus row, `n_hits` = how many benchmark embeddings clear `tau`.
+    *
+    * Scale posture: identical to [[flags]] with vectors in place of
+    * shingles — the benchmark side is bounded (an eval suite) and rides a
+    * dummy-key BroadcastHashJoin (the [[graft.api.Similarity.cosineTopK]]
+    * pattern, so the codegen'd VecDot probe never leaves whole-stage
+    * codegen and the corpus never shuffles); the per-doc count shuffles
+    * only (id, partial count) and zeros re-attach by one id-keyed left
+    * join. All cosine math is double with array-order summation, so the
+    * DuckDB twin is bit-exact. */
+  def semanticFlags(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String, tau: Double): DataFrame = {
+    import graft.expressions.VecDot
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("__e"),
+      VecDot(col(vecCol), col(vecCol)).as("__nn"))
+    val b = bench.select(col(benchVecCol).as("__be"),
+      VecDot(col(benchVecCol), col(benchVecCol)).as("__bn"))
+    val hits = e.withColumn("__z", pmod(col("id").cast("long"), lit(1L)))
+      .join(broadcast(b.withColumn("__z", lit(0L))), Seq("__z"))
+      .filter(VecDot(col("__e"), col("__be")) /
+        (sqrt(col("__nn")) * sqrt(col("__bn"))) >= tau)
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= 1)
+  }
+
   /** The distinct benchmark shingle inventory [[flagsInline]] consumes —
     * collected to the driver, so call it on the (bounded) benchmark side
     * only; fails loudly past [[MaxInlineShingles]] BEFORE the collect (the

@@ -99,6 +99,47 @@ object ProductQuant {
       .select(col(idCol), col("b"), col("code"))
   }
 
+  /** IVF-PQ search — the two halves of the standard web-scale vector-store
+    * layout COMPOSED: IVF cell assignment prunes WHICH corpus vectors a
+    * query scores (only those in the query's own cell — probe 1, the
+    * determinism-friendly setting; production probes several cells and the
+    * union is a filter widening, not a shape change), PQ codes shrink WHAT
+    * is stored and scored (ADC — the corpus's floats are never touched at
+    * query time). `corpusAssigned` / `queriesAssigned` carry (idCol,
+    * embCol, cell) from `Similarity.assignCellsCosine` or `KMeans.assign`.
+    * Output: (q_id, rank, nbr_id), rank ≤ k by (ADC distance asc, id asc).
+    *
+    * Scale posture: encoding is [[encode]]'s linear pass plus one id-keyed
+    * join to re-attach the cell; the query LUT (queries × m × codewords,
+    * with each query's single cell id) broadcasts; the candidate join keys
+    * on (cell, b, code) so only same-cell codes shuffle into the per-pair
+    * fold — the IVF pruning happens IN the join key, not as a post-filter.
+    */
+  def ivfpqTopK(corpusAssigned: DataFrame, queriesAssigned: DataFrame,
+      idCol: String, embCol: String, codebook: DataFrame, m: Int,
+      k: Int): DataFrame = {
+    val codes = encode(corpusAssigned, idCol, embCol, codebook, m)
+      .join(corpusAssigned.select(col(idCol), col("cell")), Seq(idCol))
+    val lut = queriesAssigned
+      .select(col(idCol).as("q_id"), col("cell"),
+        posexplode(subBlocks(embCol, m)).as(Seq("b", "__qsub")))
+      .join(codebook, Seq("b"))
+      .select(col("q_id"), col("cell"), col("b"), col("code"),
+        sqDist(col("__qsub"), col("sub")).as("__d"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("adist").asc, col(idCol).asc)
+    codes
+      .join(broadcast(lut), Seq("cell", "b", "code"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("b"), col("__d")))),
+            x => x.getField("__d")),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("nbr_id"))
+  }
+
   /** ADC top-k: for each query row (exact sub-vectors), the k nearest
     * corpus vectors by the sum of per-block query→codeword distances.
     * Output: (q_id, rank, nbr_id). Queries score against ENCODED vectors
