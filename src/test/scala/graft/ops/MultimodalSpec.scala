@@ -331,4 +331,65 @@ class MultimodalSpec extends SparkSpec {
     // frame indices follow the stride
     assert(frames.forall(_.frame_idx % 2 == 0))
   }
+
+  /** Deterministic patterned PNG: per-pixel RGB from a seed — gives the
+    * dHash real gradients to fingerprint (solid colors hash to all-zeros). */
+  private def patternPng(w: Int, h: Int, seed: Int,
+      noiseEvery: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 17 + seed) * 2654435761L
+      val base = ((v >>> 16) & 0xffffff).toInt
+      // mild localized noise: flip low luma bits on a sparse pixel lattice
+      val px = if (noiseEvery > 0 && (x + y * w) % noiseEvery == 0) base ^ 0x030303 else base
+      img.setRGB(x, y, px)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: noisy re-encode stays within a few bits; distinct images are far") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", patternPng(64, 48, seed = 7)),
+      Multimodal.MediaRow(2L, "image", patternPng(64, 48, seed = 7, noiseEvery = 97)),
+      Multimodal.MediaRow(3L, "image", patternPng(64, 48, seed = 900001)),
+      Multimodal.MediaRow(4L, "audio", Array[Byte](1, 2, 3)) // undecodable: dropped
+    ).toDS()
+    val hashes = Multimodal.imageDHash(media).collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(hashes(1L), hashes(2L)) <= 10,
+      s"noisy copy drifted ${dist(hashes(1L), hashes(2L))} bits")
+    assert(dist(hashes(1L), hashes(3L)) > 10,
+      s"unrelated image only ${dist(hashes(1L), hashes(3L))} bits away")
+    // the banded near-dup finds exactly the planted near-identical pair
+    val pairs = Multimodal.imageNearDup(media, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dHash is invariant to bilinear rescale of the same content") {
+    import spark.implicits._
+    // the same pattern rendered at 2x resolution downsamples to ~the same
+    // 9x8 luma grid, so the fingerprint should stay within the near-dup cut
+    val base = patternPng(32, 24, seed = 5)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val big = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = big.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 64, 48, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", base),
+      Multimodal.MediaRow(2L, "image", bos.toByteArray)).toDS()
+    val h = Multimodal.imageDHash(media).collect().map(x => x.doc_id -> x.dhash).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 10)
+  }
 }
