@@ -25,8 +25,44 @@ import org.apache.spark.sql.functions._
   * 64-bit prints at d=3). The verify join re-attaches the two longs by id
   * and runs popcount in codegen; no broadcast grows with the corpus, no
   * driver collects.
+  *
+  * The band geometry ([[blocks]]/[[bandKey]]) is shared with the STREAMING
+  * twin (`streaming.StatefulOps.streamingNearDupHamming`), so the online
+  * ingest path shards state across exactly the buckets this batch join
+  * would build — the two paths cannot disagree about candidate generation.
   */
 object Hamming {
+
+  /** (lo, width) of each pigeonhole block: d+1 near-equal blocks covering
+    * the low `bits` bits (the last block may be narrower). */
+  private[graft] def blocks(bits: Int, maxDist: Int): Seq[(Int, Int)] = {
+    require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in 0..${bits - 1}, got $maxDist")
+    val nBands = maxDist + 1
+    val width = (bits + nBands - 1) / nBands
+    (0 until nBands).map { b =>
+      val lo = b * width
+      (lo, math.min(width, bits - lo))
+    }
+  }
+
+  /** Scalar block key — the streaming path's per-row twin of the banded
+    * Column expression below. `w` ≤ 63 by [[blocks]]' construction, so the
+    * mask is exact. */
+  private[graft] def bandKey(fp: Long, lo: Int, w: Int): Long =
+    (fp >>> lo) & ((1L << w) - 1)
+
+  /** One (id, fp, band, key) row per pigeonhole block of every input row —
+    * the shared candidate-bucket projection of the batch join and the
+    * streaming state sharding. */
+  def bandRows(df: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxDist: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"), col(fpCol).cast("long").as("__fp"))
+      .select(col("__id"), col("__fp"),
+        posexplode(array(blocks(bits, maxDist).map { case (lo, w) =>
+          shiftrightunsigned(col("__fp"), lo).bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("__band", "__key")))
 
   /** All (id1, id2) pairs (id1 < id2) whose fingerprints differ in at most
     * `maxDist` of the low `bits` bits. `df` must expose `idCol` (numeric)
@@ -34,19 +70,7 @@ object Hamming {
     * significant). Distinct pairs, exact by the pigeonhole guarantee. */
   def nearDupPairs(df: DataFrame, idCol: String, fpCol: String,
       bits: Int, maxDist: Int): DataFrame = {
-    require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
-    require(maxDist >= 0 && maxDist < bits,
-      s"maxDist must be in 0..${bits - 1}, got $maxDist")
-    val nBands = maxDist + 1
-    val width = (bits + nBands - 1) / nBands // last block may be narrower
-    val fps = df.select(col(idCol).as("__id"), col(fpCol).cast("long").as("__fp"))
-    val bands = fps.select(col("__id"), col("__fp"),
-      posexplode(array((0 until nBands).map { b =>
-        val lo = b * width
-        val w = math.min(width, bits - lo)
-        // block key: (fp >>> lo) & ((1 << w) - 1); w ≤ 63 so the mask is exact
-        shiftrightunsigned(col("__fp"), lo).bitwiseAND(lit((1L << w) - 1))
-      }: _*)).as(Seq("__band", "__key")))
+    val bands = bandRows(df, idCol, fpCol, bits, maxDist)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))

@@ -138,6 +138,53 @@ object StatefulOps {
       }
   }
 
+  case class BandedFp(doc_id: Long, band: Int, key: Long, fp: Long)
+
+  /** Streaming HAMMING near-dup — the online twin of
+    * `ops.Hamming.nearDupPairs` (pigeonhole banding over integer
+    * fingerprints: SimHash signatures, image dHashes). Input rows are
+    * (doc, band, key, fp) — one row per pigeonhole block from the SAME
+    * `Hamming.bandRows` projection the batch join uses — grouped by
+    * (band, key), so state shards across exactly the candidate buckets the
+    * batch join would build. A new arrival emits a match per stored
+    * fingerprint within `maxDist` bits, then appends itself.
+    *
+    * Because the banding is LOSSLESS (any ≤maxDist pair shares a block),
+    * the union of emissions over all buckets is the batch pair set exactly
+    * — dedupe downstream when a pair collides in several blocks (the batch
+    * path's distinct()). `maxPerBucket` bounds state in degenerate buckets
+    * (oldest kept, FIFO — deterministic emission); at the 64/3 production
+    * geometry a bucket key is 16 bits of fingerprint, so real-corpus
+    * occupancy is df(key) and the cap is a backstop. Production swaps
+    * NoTimeout for an event-time timeout per the class doc. */
+  def streamingNearDupHamming(fps: Dataset[BandedFp], bits: Int, maxDist: Int,
+      maxPerBucket: Int = 4096): Dataset[NearDupMatch] = {
+    require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in 0..${bits - 1}, got $maxDist")
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val spark = fps.sparkSession
+    import spark.implicits._
+    fps.groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedFp],
+            state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupMatch]
+          // batch arrival order is nondeterministic, so process in id order:
+          // emissions depend only on the SET of rows per batch, not a race
+          for (d <- rows.toSeq.sortBy(_.doc_id)) {
+            for ((oid, ofp) <- seen if oid != d.doc_id)
+              if (java.lang.Long.bitCount((d.fp ^ ofp) & mask) <= maxDist)
+                out += NearDupMatch(d.doc_id, oid)
+            if (seen.size < maxPerBucket && !seen.exists(_._1 == d.doc_id))
+              seen = seen :+ ((d.doc_id, d.fp))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Running per-user event counter with capped emission: emits an updated
     * total per user per batch — a minimal custom-accumulator shape. */
   case class UserEvent(user_id: Long, value: Double)

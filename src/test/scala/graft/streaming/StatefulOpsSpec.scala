@@ -220,4 +220,41 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hamming near-dup matches the batch pigeonhole operator") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (bits, maxDist) = (32, 3)
+    // clustered fingerprints so ≤3-bit pairs occur, like HammingSpec's corpus
+    val rnd = new scala.util.Random(99)
+    val seeds = Seq.fill(6)(rnd.nextInt().toLong & 0xffffffffL)
+    val fps = (0 until 80).map { i =>
+      val base = seeds(rnd.nextInt(seeds.size))
+      (i.toLong, (0 until rnd.nextInt(5)).foldLeft(base)((f, _) => f ^ (1L << rnd.nextInt(32))))
+    }
+    // the same bandRows projection the batch join builds candidates from
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Hamming.bandRows(df, "doc_id", "fp", bits, maxDist)
+        .select(col("__id").as("doc_id"), col("__band").as("band"),
+          col("__key").as("key"), col("__fp").as("fp"))
+        .as[BandedFp]
+    val mem = MemoryStream[(Long, Long)]
+    val q = streamingNearDupHamming(
+      banded(mem.toDS().toDF("doc_id", "fp")), bits, maxDist)
+      .writeStream.format("memory").queryName("ham_out").outputMode("append").start()
+    try {
+      // several micro-batches: matches must span batch boundaries via state
+      fps.grouped(25).foreach { chunk => mem.addData(chunk: _*); q.processAllAvailable() }
+      val got = spark.table("ham_out").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val want = graft.ops.Hamming.nearDupPairs(
+          fps.toDF("doc_id", "fp"), "doc_id", "fp", bits, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "test corpus must contain close pairs")
+      assert(got == want,
+        s"streaming pairs diverge from batch: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
 }
