@@ -475,6 +475,33 @@ object TextQueries {
             LEFT JOIN s3 ON s3.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  // BPE tokenizer-training statistics (ops.BpeTrain — Sennrich et al. 2016):
+  // the weighted adjacent-symbol pair counts of training round 1 over the
+  // corpus's own word-frequency table, top 20 by (count, pair). The corpus
+  // collapses to the vocab-sized (word, freq) table in ONE shuffle and
+  // every training round touches only that table — the property that makes
+  // corpus-scale tokenizer training cheap; the full k-merge loop (argmax →
+  // map-side merge fold, one row to the driver per round) is fit(), pinned
+  // against a sequential reference implementation in BpeTrainSpec.
+  private val bpePairCounts = Q(
+    (s, d) =>
+      graft.ops.BpeTrain.pairCounts(
+          graft.ops.BpeTrain.seedVocab(documents(s, d), "text"))
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(20),
+    Some("""WITH w AS (SELECT t AS word, count(*) AS freq
+                       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+                             FROM documents) u
+                       WHERE len(t) > 0 GROUP BY t),
+            c AS (SELECT freq, string_split(word, '') AS chars FROM w),
+            p AS (SELECT freq,
+                    unnest(list_transform(range(1, len(chars)), i -> chars[i])) AS lsym,
+                    unnest(list_transform(range(1, len(chars)), i -> chars[i+1])) AS rsym
+                  FROM c WHERE len(chars) >= 2)
+            SELECT lsym, rsym, CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM p GROUP BY lsym, rsym
+            ORDER BY pair_count DESC, lsym, rsym LIMIT 20"""))
+
   // Benchmark decontamination (ops.Decontaminate): flag corpus docs whose
   // 3-token shingle inventory overlaps a benchmark set (here: every 97th
   // doc stands in for an eval suite) by >= 8 distinct shingles. The
@@ -736,6 +763,7 @@ object TextQueries {
     "text_pii_mask" -> textPiiMask,
     "text_repetition" -> textRepetition,
     "text_repetition_ngram" -> textRepetitionNgram,
+    "bpe_pair_counts" -> bpePairCounts,
     "text_decontam" -> textDecontam,
     "multimodal_meta" -> multimodalMeta)
 }
