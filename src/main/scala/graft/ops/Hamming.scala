@@ -67,18 +67,30 @@ object Hamming {
   /** All (id1, id2) pairs (id1 < id2) whose fingerprints differ in at most
     * `maxDist` of the low `bits` bits. `df` must expose `idCol` (numeric)
     * and `fpCol` (integral fingerprint; only the low `bits` bits are
-    * significant). Distinct pairs, exact by the pigeonhole guarantee. */
+    * significant). Distinct pairs, exact by the pigeonhole guarantee.
+    *
+    * Eager, like the Jaccard family's pair builders: the fingerprint frame
+    * is PERSISTED (2 longs/row — upstream fingerprints like SimHash's
+    * 32-sum aggregation or an image decode are the expensive part, and a
+    * plain self-join would run that pipeline once per side), the pair set
+    * materializes to a local checkpoint while the cache is live, and the
+    * cache is released before returning. */
   def nearDupPairs(df: DataFrame, idCol: String, fpCol: String,
       bits: Int, maxDist: Int): DataFrame = {
-    val bands = bandRows(df, idCol, fpCol, bits, maxDist)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id1"), col("a.__fp").as("fp1"),
-        col("b.__id").as("id2"), col("b.__fp").as("fp2"))
-      .distinct()
-    val mask = if (bits == 64) lit(-1L) else lit((1L << bits) - 1)
-    cand.filter(bit_count(col("fp1").bitwiseXOR(col("fp2")).bitwiseAND(mask)) <= maxDist)
-      .select("id1", "id2")
+    val fps = df.select(col(idCol).cast("long").as("__id"),
+      col(fpCol).cast("long").as("__fp")).persist()
+    try {
+      val bands = bandRows(fps, "__id", "__fp", bits, maxDist)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+            col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id1"), col("a.__fp").as("fp1"),
+          col("b.__id").as("id2"), col("b.__fp").as("fp2"))
+        .distinct()
+      val mask = if (bits == 64) lit(-1L) else lit((1L << bits) - 1)
+      cand.filter(bit_count(col("fp1").bitwiseXOR(col("fp2")).bitwiseAND(mask)) <= maxDist)
+        .select("id1", "id2")
+        .localCheckpoint(true)
+    } finally fps.unpersist()
   }
 }
