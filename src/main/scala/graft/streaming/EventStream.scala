@@ -75,4 +75,27 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Watermarked STREAM-STREAM interval join — the attribution shape: every
+    * `clicks` event joined to each same-user `views` event at most `gap`
+    * before it. Both sides carry a watermark and the join condition bounds
+    * the two event times against each other, which is exactly what
+    * Structured Streaming requires to EXPIRE join state: a buffered view
+    * can only match clicks in [v_ts, v_ts + gap], so once the click
+    * watermark passes that bound the row leaves the state store — without
+    * the time bound the state would grow forever and Spark rejects the
+    * plan in append mode. Works identically on batch frames (the spec's
+    * parity oracle). Inputs need (user_id, event_id, ts); output one row
+    * per attributed (click, view) pair. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      gap: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id")).withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")).withWatermark("c_ts", watermark)
+    c.join(v, expr(
+        s"c_user = v_user AND v_ts <= c_ts AND c_ts <= v_ts + interval $gap"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("v_ts"), col("c_ts"))
+  }
 }

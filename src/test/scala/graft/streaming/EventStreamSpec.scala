@@ -84,4 +84,42 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.length == 2)
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("stream-stream attribution join matches the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class E(user_id: Long, event_id: Long, ts: Timestamp)
+    val views = Seq(
+      (7L, 100L, ts("2024-01-01 10:00:00")),
+      (7L, 101L, ts("2024-01-01 10:20:00")),
+      (8L, 102L, ts("2024-01-01 10:00:00")))
+    val clicks = Seq(
+      (7L, 200L, ts("2024-01-01 10:05:00")), // attributes to view 100
+      (7L, 201L, ts("2024-01-01 10:25:00")), // attributes to view 101 only
+      (8L, 202L, ts("2024-01-01 11:00:00")), // outside gap: no attribution
+      (9L, 203L, ts("2024-01-01 10:05:00"))) // no view at all
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "ts")
+    val q = EventStream.attributionJoin(shape(vMem.toDF()), shape(cMem.toDF()))
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // views arrive in one batch, clicks in a LATER one: matches must come
+      // from buffered stream-stream join state, not intra-batch locality
+      vMem.addData(views: _*)
+      q.processAllAvailable()
+      cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      val want = EventStream.attributionJoin(
+          shape(views.toDF()), shape(clicks.toDF())).collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      assert(want == Set((200L, 100L), (201L, 101L)),
+        s"batch reference surprised us: $want")
+      assert(got == want,
+        s"streaming attribution diverges from batch: $got vs $want")
+    } finally q.stop()
+  }
 }
