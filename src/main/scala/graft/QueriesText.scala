@@ -134,6 +134,43 @@ object TextQueries {
             ${sqlDsum("value")} AS total_value
             FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))
 
+  // Hourly volume anomaly flags per event type: |count − μ| > 2σ over each
+  // type's hourly series — the monitoring primitive an ingestion pipeline
+  // runs over its own throughput. The z-test is evaluated in INTEGER
+  // arithmetic: (c·n − S)² > 4·(n·Q − S²) with S = Σc, Q = Σc² is exactly
+  // |c − μ| > 2σ cleared of the two divisions, so both engines compare the
+  // same integers and the σ boundary cannot flip on FP rounding (magnitudes
+  // ≤ (cn)² — bigint-safe for any hourly series a real pipeline has). Two
+  // hash aggs (hourly, then a per-type 3-long rollup) + a broadcast-sized
+  // join back: nothing event-sized shuffles twice.
+  private val eventsAnomaly = Q(
+    (s, d) => {
+      val hourly = events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").as("ws"), col("event_type"), col("c"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      val dev = col("c") * col("n") - col("s")
+      hourly.join(stats, Seq("event_type"))
+        .select(col("event_type"), col("ws"), col("c"),
+          (dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy("event_type", "ws")
+    },
+    Some("""WITH h AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(c) AS BIGINT) AS s,
+                          CAST(sum(c*c) AS BIGINT) AS q
+                   FROM h GROUP BY event_type)
+            SELECT h.event_type, h.ws, h.c,
+                   (h.c*st.n - st.s)*(h.c*st.n - st.s) > 4*(st.n*st.q - st.s*st.s) AS is_anomaly
+            FROM h JOIN st USING (event_type)
+            ORDER BY event_type, ws"""))
+
   // Multimodal plumbing: opaque binary payload + typed metadata derived
   // without decoding (byte length, content hash, magic-byte probe). The
   // batched decode stub lives in graft.ops.Multimodal (mapPartitions).
@@ -594,18 +631,21 @@ object TextQueries {
   // One compiled rolling-hash pass (expressions.GramHashes) + a per-row
   // window-min lambda; shuffle only for the final distinct. The oracle
   // mirrors the double polynomial gram key and the window mins exactly.
+  /** Distinct (doc_id, fp) winnowing fingerprints — shared upstream of the
+    * doc_winnow dump and the doc_winnow_pairs MOSS-style matcher. */
+  private def winnowFps(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val gh = graft.expressions.GramHashes(tokens(col("text")), 3)
+    documents(s, d)
+      .select(col("doc_id"), gh.as("gh"))
+      .filter(size(col("gh")) >= 4)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("gh")) - 3),
+        i => array_min(slice(col("gh"), i, lit(4))))).as("fp"))
+      .distinct()
+  }
+
   private val docWinnow = Q(
-    (s, d) => {
-      val gh = graft.expressions.GramHashes(tokens(col("text")), 3)
-      documents(s, d)
-        .select(col("doc_id"), gh.as("gh"))
-        .filter(size(col("gh")) >= 4)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("gh")) - 3),
-          i => array_min(slice(col("gh"), i, lit(4))))).as("fp"))
-        .distinct()
-        .orderBy("doc_id", "fp")
-    },
+    (s, d) => winnowFps(s, d).orderBy("doc_id", "fp"),
     Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
             th AS (SELECT doc_id, list_transform(t, s ->
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -621,6 +661,45 @@ object TextQueries {
                       i -> list_min(gh[i:i+3]))) AS fp
                     FROM ghl WHERE len(gh) >= 4)
             SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp"""))
+
+  // MOSS-style winnowing MATCHER (the pairing half of Schleimer et al.
+  // 2003, on top of doc_winnow's fingerprints): doc pairs sharing ≥ 8
+  // distinct winnow fingerprints, with the count — since any shared token
+  // run of ≥ w+k−1 = 6 tokens is guaranteed to leave a shared fingerprint,
+  // a high shared count localizes real copied spans, which a global
+  // bottom-k sketch can only hint at. Inverted-index join keyed on the
+  // fingerprint (the Jaccard family's shape): per-fp fanout is C(df, 2)
+  // with df bounded by winnowing's local-min selection (max df 7 on this
+  // corpus); a production corpus with boilerplate would df-cap the index
+  // exactly like Dedup.hotShingleDf.
+  private val docWinnowPairs = Q(
+    (s, d) => {
+      val fps = winnowFps(s, d)
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 8)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            th AS (SELECT doc_id, list_transform(t, s ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> ascii(c))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th FROM tok),
+            ghl AS (SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+                      p -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[p:p+2]),
+                             (a, h) -> (a * 31 + h) % 1000000007) * 999999937
+                         + list_reduce(list_prepend(CAST(0 AS BIGINT), th[p:p+2]),
+                             (a, h) -> (a * 37 + h) % 999999937)) AS gh
+                    FROM th WHERE len(th) >= 3),
+            win AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(gh) - 3),
+                      i -> list_min(gh[i:i+3]))) AS fp
+                    FROM ghl WHERE len(gh) >= 4)
+            SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared
+            FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 8
+            ORDER BY id1, id2"""))
 
   // Corpus-trained unigram-LM gate (the CCNet perplexity filter's shape,
   // Wenzek et al. 2020): mean WHOLE-BIT surprisal per doc — bits(N div c),
@@ -753,11 +832,13 @@ object TextQueries {
     "text_gopher_rules" -> textGopherRules,
     "doc_fingerprint" -> docFingerprint,
     "doc_winnow" -> docWinnow,
+    "doc_winnow_pairs" -> docWinnowPairs,
     "events_window" -> eventsWindow,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_streaks" -> eventsStreaks,
     "events_gapfill" -> eventsGapfill,
+    "events_anomaly" -> eventsAnomaly,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_clean" -> textClean,
     "text_pii_mask" -> textPiiMask,

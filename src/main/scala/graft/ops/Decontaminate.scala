@@ -103,8 +103,12 @@ object Decontaminate {
       VecDot(col(vecCol), col(vecCol)).as("__nn"))
     val b = bench.select(col(benchVecCol).as("__be"),
       VecDot(col(benchVecCol), col(benchVecCol)).as("__bn"))
+    // the dummy key must be DATA-DEPENDENT on both sides: a literal key
+    // constant-folds and Catalyst downgrades the equi join to a
+    // BroadcastNestedLoopJoin (plan-linted in ScaleSpec)
     val hits = e.withColumn("__z", pmod(col("id").cast("long"), lit(1L)))
-      .join(broadcast(b.withColumn("__z", lit(0L))), Seq("__z"))
+      .join(broadcast(b.withColumn("__z",
+        pmod(size(col("__be")).cast("long"), lit(1L)))), Seq("__z"))
       .filter(VecDot(col("__e"), col("__be")) /
         (sqrt(col("__nn")) * sqrt(col("__bn"))) >= tau)
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
