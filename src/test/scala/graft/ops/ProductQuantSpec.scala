@@ -81,4 +81,35 @@ class ProductQuantSpec extends SparkSpec {
     }
     assert(run(e) == run(e.repartition(13)))
   }
+
+  test("ivfpq with a single cell equals plain ADC; with real cells it prunes to own cell") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cb = ProductQuant.codebookFromVectors(
+      e.filter(col("vec_id") < 16).withColumn("code", col("vec_id")),
+      "code", "embedding", m = 8)
+    // ONE cell: the IVF layer prunes nothing, so ivfpqTopK must equal adcTopK
+    val oneCell = e.withColumn("cell", lit(0L))
+    val viaIvfpq = ProductQuant.ivfpqTopK(oneCell,
+        oneCell.filter(col("vec_id") < 5), "vec_id", "embedding", cb, m = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaAdc = ProductQuant.adcTopK(
+        ProductQuant.encode(e, "vec_id", "embedding", cb, m = 8),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", cb, m = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIvfpq == viaAdc, "single-cell IVF-PQ must degenerate to plain ADC")
+    // real cells: every returned neighbor must share the query's cell
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assigned = graft.api.Similarity.assignCellsCosine(
+      e, "vec_id", "embedding", cents, "c_id", "c_emb")
+    val cellOf = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = ProductQuant.ivfpqTopK(assigned,
+        assigned.filter(col("vec_id") < 5), "vec_id", "embedding", cb, m = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.nonEmpty)
+    for ((q, nbr) <- pruned)
+      assert(cellOf(q) == cellOf(nbr), s"neighbor $nbr not in query $q's cell")
+  }
 }
