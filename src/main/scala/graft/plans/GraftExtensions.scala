@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{Bigrams, GramHashes, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{Bigrams, BloomAgg, BloomContains, GramHashes, PolyHash, ShingleHashes, VecDot}
 
 /** Session extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so the library's hot-path primitives are
@@ -54,7 +54,26 @@ object GraftExtensions {
           s"k must be an integer literal, got $other")
       }
       GramHashes(args(0), k)
+    },
+    "graft_bloom_agg" -> { (args: Seq[Expression]) =>
+      require(args.length == 3,
+        s"expected 3 arguments (value, numBits, numHashes), got ${args.length}")
+      BloomAgg(args(0), intLit(args(1), "numBits"), intLit(args(2), "numHashes"))
+        .toAggregateExpression()
+    },
+    "graft_bloom_contains" -> { (args: Seq[Expression]) =>
+      require(args.length == 3,
+        s"expected 3 arguments (filter, value, numHashes), got ${args.length}")
+      BloomContains(args(0), args(1), intLit(args(2), "numHashes"))
     })
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal
+        if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+      lit.value.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   /** Register all graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

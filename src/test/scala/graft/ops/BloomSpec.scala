@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bloom build/probe contracts: zero false negatives (the dedup-safety
+  * half), measured false-positive rate near the designed bound, OR-merge
+  * determinism under repartitioning, and the composed incremental dedup. */
+class BloomSpec extends SparkSpec {
+
+  test("no false negatives: every inserted fingerprint probes true") {
+    import spark.implicits._
+    val vals = (0L until 5000L).map(_ * 2654435761L)
+    val (bits, k) = Bloom.geometry(vals.size, 0.01)
+    val filter = Bloom.build(vals.toDF("v"), col("v"), bits, k)
+    val misses = vals.toDF("v")
+      .filter(!Bloom.mightContain(lit(filter), col("v"), k))
+      .count()
+    assert(misses == 0L, s"$misses inserted values probed false")
+  }
+
+  test("false-positive rate lands near the designed 1%") {
+    import spark.implicits._
+    val inserted = (0L until 20000L).map(_ * 31L + 7L)
+    val (bits, k) = Bloom.geometry(inserted.size, 0.01)
+    val filter = Bloom.build(inserted.toDF("v"), col("v"), bits, k)
+    // disjoint probe set (odd multiples of a different stride)
+    val probes = (0L until 20000L).map(i => i * 1000003L + 999983L)
+    assert(probes.toSet.intersect(inserted.toSet).isEmpty)
+    val fps = probes.toDF("v")
+      .filter(Bloom.mightContain(lit(filter), col("v"), k))
+      .count()
+    val rate = fps.toDouble / probes.size
+    assert(rate < 0.03, f"measured FP rate $rate%.4f far above the 0.01 design")
+  }
+
+  test("build is deterministic under repartitioning (OR-merge)") {
+    import spark.implicits._
+    val vals = (0L until 3000L).map(i => i * i + 13L)
+    val (bits, k) = Bloom.geometry(vals.size, 0.01)
+    val f1 = Bloom.build(vals.toDF("v"), col("v"), bits, k)
+    val f2 = Bloom.build(vals.toDF("v").repartition(17), col("v"), bits, k)
+    assert(java.util.Arrays.equals(f1, f2))
+  }
+
+  test("incremental exact dedup: known duplicates never admitted, novel mostly kept") {
+    import spark.implicits._
+    val corpus = (0L until 2000L).map(i => (i, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val dupBatch = (0L until 200L).map(i => (10000L + i, s"corpus document number $i body"))
+    val novelBatch = (0L until 200L).map(i => (20000L + i, s"novel fresh content $i payload"))
+    val batch = (dupBatch ++ novelBatch).toDF("doc_id", "text")
+    val admitted = Bloom.incrementalExactDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.forall(_ >= 20000L), "a known duplicate was admitted")
+    assert(admitted.size >= 190, s"only ${admitted.size}/200 novel docs kept " +
+      "(FP rate far above design)")
+  }
+
+  test("normalization flows through: case/whitespace variants count as duplicates") {
+    import spark.implicits._
+    val corpus = Seq((1L, "Hello   World example")).toDF("doc_id", "text")
+    val batch = Seq((2L, "hello world EXAMPLE"), (3L, "something else")).toDF("doc_id", "text")
+    val admitted = Bloom.incrementalExactDedup(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(2L), "normalized duplicate slipped through")
+    assert(admitted.contains(3L))
+  }
+}

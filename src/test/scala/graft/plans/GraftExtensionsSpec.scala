@@ -41,6 +41,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql(
       "SELECT graft_gram_hashes(split(text, ' '), length(text)) FROM ext_docs").collect())
     assert(err.getMessage.toLowerCase.contains("literal"))
+
+    // bloom build + probe entirely in SQL: every inserted value is a member
+    spark.range(100).selectExpr("id * 7 AS v").createOrReplaceTempView("ext_vals")
+    val missing = spark.sql(
+      """SELECT count(*) FROM ext_vals,
+              (SELECT graft_bloom_agg(v, 4096, 5) AS f FROM ext_vals)
+        WHERE NOT graft_bloom_contains(f, v, 5)""").as[Long].head()
+    assert(missing == 0L)
   }
 
   test("extensions class injects the same functions at session build") {
@@ -50,6 +58,6 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)  // must not throw; registration list is shared
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("graft_poly_hash", "graft_shingle_hashes", "graft_bigrams", "graft_vec_dot",
-        "graft_gram_hashes"))
+        "graft_gram_hashes", "graft_bloom_agg", "graft_bloom_contains"))
   }
 }
