@@ -139,8 +139,10 @@ object CorpusPipeline {
       strataCol: String,
       embeddings: Option[(DataFrame, String, String)],
       benchmark: Option[(DataFrame, String)],
-      cfg: Config = Config()): Prepared =
-    prepareImpl(docs, idCol, textCol, strataCol, cfg, embeddings, benchmark)
+      cfg: Config = Config(),
+      benchmarkEmbeddings: Option[(DataFrame, String)] = None): Prepared =
+    prepareImpl(docs, idCol, textCol, strataCol, cfg, embeddings, benchmark,
+      benchmarkEmbeddings)
 
   /** Stages 1–2 standalone: clean (tag-strip + whitespace collapse + trim,
     * the text_clean twin) then the quality floor/ceiling (token count,
@@ -187,19 +189,40 @@ object CorpusPipeline {
   private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, cfg: Config,
       embOpt: Option[(DataFrame, String, String)],
-      benchOpt: Option[(DataFrame, String)]): Prepared = {
+      benchOpt: Option[(DataFrame, String)],
+      benchEmbOpt: Option[(DataFrame, String)] = None): Prepared = {
     val qualified = cleanQuality(docs, idCol, textCol, strataCol, cfg)
     // 3. exact dedup on the normalized fingerprint: keep the smallest id
     // 2b. optional decontamination: drop docs overlapping the benchmark
     // corpus (distinct-shingle count >= decontamMinOverlap) BEFORE dedup —
     // a contaminated doc must not survive as its cluster's representative
-    val decontaminated = benchOpt match {
+    val lexDecontaminated = benchOpt match {
       case None => qualified
       case Some((bench, btCol)) =>
         val contaminated = graft.ops.Decontaminate
           .flags(qualified, "id", "text", bench, btCol, cfg.decontamMinOverlap)
           .filter(col("contaminated")).select("id")
         qualified.join(contaminated, Seq("id"), "left_anti")
+    }
+    // 2b'. optional SEMANTIC decontamination: drop docs whose embedding
+    // sits within cfg.cosineTau of ANY benchmark embedding — the
+    // paraphrased/translated eval leakage the shingle stage can't see
+    // (ops.Decontaminate.semanticFlags; same radius as semantic dedup, on
+    // purpose: "semantically the same item" is one notion, not two).
+    // Requires the doc-embeddings stage: the corpus side's vectors come
+    // from the same (id, emb) frame semantic dedup uses.
+    val decontaminated = (benchEmbOpt, embOpt) match {
+      case (None, _) => lexDecontaminated
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "benchmarkEmbeddings requires the doc `embeddings` stage: the corpus " +
+          "side's vectors come from that frame")
+      case (Some((benchEmb, bvCol)), Some((emb, eid, ecol))) =>
+        val corpusEmb = emb.select(col(eid).as("id"), col(ecol).as("__emb"))
+          .join(lexDecontaminated.select("id"), Seq("id"), "left_semi")
+        val flagged = graft.ops.Decontaminate.semanticFlags(
+            corpusEmb, "id", "__emb", benchEmb, bvCol, cfg.cosineTau)
+          .filter(col("contaminated")).select("id")
+        lexDecontaminated.join(flagged, Seq("id"), "left_anti")
     }
     // 2c. optional corpus-trained LM gate (UnigramLM): the CCNet-shaped
     // perplexity filter, trained on the quality survivors themselves and

@@ -282,6 +282,37 @@ object Dev {
           .as[graft.streaming.StatefulOps.FpDoc]
         val out = graft.streaming.StatefulOps.streamingDedup(docs)
         println(s"STATEFUL_DEDUP in=${docs.count()} out=${out.count()}")
+      case "bloomab" :: rest =>
+        // Bloom approximate vs exact anti-join incremental dedup, A/B timed:
+        // corpus = the documents table, batch = 10% known-dups (exact copies
+        // of every 10th doc) + the same count of novel synthetic docs.
+        import org.apache.spark.sql.functions._
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+        val corpus = graft.Tables.documents(spark, d).select("doc_id", "text")
+        val dups = corpus.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val novel = corpus.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(lit("novel payload "), col("doc_id"), lit(" "), col("text")).as("text"))
+        val batch = dups.union(novel).persist()
+        val nBatch = batch.count()
+        def fp(c: org.apache.spark.sql.Column) = xxhash64(graft.api.Dedup.normalized(c))
+        for (r <- 1 to reps) {
+          var t0 = System.nanoTime()
+          val viaBloom = graft.ops.Bloom.incrementalExactDedup(
+            corpus, batch, "doc_id", "text").count()
+          val tBloom = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val viaJoin = batch.join(
+              corpus.select(fp(col("text")).as("__fp")).distinct(),
+              fp(col("text")) === col("__fp"), "left_anti")
+            .count()
+          val tJoin = (System.nanoTime() - t0) / 1e9
+          println(f"BLOOMAB[$r]: batch=$nBatch bloom=$viaBloom (${tBloom}%.2f s) " +
+            f"exactJoin=$viaJoin (${tJoin}%.2f s)")
+        }
+        batch.unpersist()
       case "sqlfns" :: rest =>
         // native expressions through the spark.sql surface
         graft.expressions.GraftFunctions.register(spark)

@@ -148,6 +148,44 @@ class CorpusPipelineSpec extends SparkSpec {
       s"decontamination dropped the wrong docs: kept $ids")
   }
 
+  test("semantic decontamination: embedding-near-benchmark docs drop; shingle stage can't see them") {
+    import spark.implicits._
+    def story(i: Int) =
+      s"the story$i begins when hero$i walks toward castle$i and the " +
+        s"dragon$i waits beside gate$i while wizard$i watches"
+    val corpus = (1 to 12).map(i => (i.toLong, story(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    // doc 7 is a PARAPHRASE of a benchmark item: zero shared shingles with
+    // the benchmark text, but its embedding equals the benchmark embedding
+    val rnd = new scala.util.Random(23)
+    val vecs = (1 to 12).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val benchEmb = Seq(Tuple1(vecs(6)._2.clone())).toDF("embedding") // doc 7's vector
+    val bench = Seq("an unrelated benchmark question overlapping no corpus shingles")
+      .toDF("text")
+    // shingle-only decontamination: doc 7 survives (no lexical overlap)
+    val lexOnly = CorpusPipeline.prepareFull(corpus, "doc_id", "text", "lang",
+      embeddings = Some((emb, "vec_id", "embedding")),
+      benchmark = Some((bench, "text")))
+    assert(lexOnly.documents.filter(col("id") === 7L).count() == 1,
+      "shingle decontamination should NOT catch a paraphrase")
+    // + semantic decontamination: doc 7 drops, everyone else survives
+    val full = CorpusPipeline.prepareFull(corpus, "doc_id", "text", "lang",
+      embeddings = Some((emb, "vec_id", "embedding")),
+      benchmark = Some((bench, "text")),
+      benchmarkEmbeddings = Some((benchEmb, "embedding")))
+    val ids = full.documents.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 12L).toSet - 7L,
+      s"semantic decontamination kept/dropped the wrong docs: $ids")
+    // and it refuses to run without the doc-embedding stage
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.prepareFull(corpus, "doc_id", "text", "lang",
+        embeddings = None, benchmark = None,
+        benchmarkEmbeddings = Some((benchEmb, "embedding")))
+    }
+    assert(err.getMessage.contains("embeddings"))
+  }
+
   test("canonicalization stage: one representative per cluster, the longest copy") {
     val best = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
       CorpusPipeline.Config(keepBestPerCluster = true))
