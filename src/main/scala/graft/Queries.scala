@@ -429,6 +429,37 @@ object RelationalQueries {
     },
     Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id"))
 
+  // Z-order (Morton) clustering key — the multi-dimensional data-layout
+  // lever beside partition pruning above: sorting a table by the bit
+  // interleave of two dimension keys bounds BOTH dimensions within each
+  // output file, so per-file min/max stats prune 2-D box predicates that a
+  // single-column sort can only prune on one axis (measured in LayoutSpec:
+  // the clustered layout reads strictly fewer files for the same box).
+  // The key is the native codegen expression graft_morton2
+  // (expressions.MortonCode2 — O(log w) magic-number bit spreading); the
+  // oracle re-derives it with the identical five shift-mask steps in plain
+  // BIGINT arithmetic. `value` is keyed at cent granularity via the
+  // engine-portable floor(v*100 + 0.5).
+  private val layoutZorder = Q(
+    (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+          graft.ops.Layout.zValue(col("user_id"),
+            floor(col("value") * lit(100.0) + lit(0.5))).as("zval"))
+        .orderBy("event_id"),
+    Some("""WITH s0 AS (SELECT event_id, CAST(user_id AS BIGINT) AS x,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+            s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+                   (y | (y << 16)) & 281470681808895 AS y FROM s0),
+            s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+                   (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+            s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+                   (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+            s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+                   (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+            s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+                   (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+            SELECT event_id, x | (y << 1) AS zval FROM s5 ORDER BY event_id"""))
+
   // Pivot (long→wide): Spark's relational pivot; oracle as conditional
   // aggregation — the portable formulation — with identical column names.
   private val pivotWide = Q(
@@ -758,6 +789,7 @@ object RelationalQueries {
     "csv_roundtrip" -> csvRoundtrip,
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "partition_pruned_scan" -> partitionPrunedScan,
+    "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
     "agg_var_stats" -> aggVarStats,

@@ -440,6 +440,43 @@ object DedupQueries {
               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Cross-source content-overlap matrix: for every source pair, how many
+  // DISTINCT 3-gram shingles they share — the "how much does crawl A repeat
+  // crawl B" redundancy diagnostic behind corpus-composition decisions
+  // (the overlap analyses published with C4/Pile). Scale shape: documents
+  // collapse to DISTINCT (shingle, source) rows FIRST, so the per-shingle
+  // pair fanout is bounded by C(|sources|, 2) — a catalog-sized constant —
+  // never by the shingle's document frequency (the hot-shingle blowup the
+  // raw doc-level inverted index would have); the output is one row per
+  // source pair. The distinct frame is persisted so both self-join sides
+  // share one materialization instead of riding on exchange reuse
+  // (released after the matrix materializes — the repo's persist/
+  // checkpoint/unpersist convention, as in ops.JaccardPrefix).
+  private val dedupSourceOverlap = Q(
+    (s, d) => {
+      val ss = documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(graft.expressions.ShingleHashes(
+            graft.functions.TextFns.tokens(col("text"))))).as("sh"))
+        .distinct()
+        .persist()
+      try ss.as("a").join(ss.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("source_a", "source_b")
+          .localCheckpoint(true)
+      finally ss.unpersist()
+    },
+    Some(s"""$shingleCtes,
+            ss AS (SELECT DISTINCT d.source, u.s
+                   FROM (SELECT doc_id, unnest(hs) AS s FROM hs) u
+                   JOIN documents d USING (doc_id))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   val all: List[(String, Q)] = List(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
@@ -453,5 +490,6 @@ object DedupQueries {
     "dedup_paragraphs" -> dedupParagraphs,
     "dedup_paragraphs_cdc" -> dedupParagraphsCdc,
     "dedup_cluster_best" -> dedupClusterBest,
+    "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_cluster" -> dedupCluster)
 }

@@ -236,6 +236,43 @@ object SampleQueries {
             top AS (SELECT doc_id, weight FROM sc ORDER BY weight DESC, doc_id LIMIT 100)
             SELECT doc_id, weight FROM top ORDER BY doc_id"""))
 
+  // Length-sorted batch packing ("sorted batching"): rank every document by
+  // (token length DESC, doc_id), cut the rank order into fixed 32-doc
+  // batches, and account each batch's padding waste (batch max × batch size
+  // − batch token sum) — the dynamic-batching layout that minimizes padding
+  // when training on padded fixed-shape batches (length-similar docs land in
+  // the same batch). The global rank is a distributed prefix count
+  // (Sampling.rankBy — range partition + per-partition window + a
+  // one-row-per-partition offset sum), never a single global window
+  // partition; the oracle mirrors it with a plain row_number.
+  private val packLengthBinned = Q(
+    (s, d) =>
+      Sampling.rankBy(
+          documents(s, d).select(col("doc_id"),
+              size(tokens(col("text"))).as("n_tok"))
+            .withColumn("__ord", -col("n_tok")),
+          Seq("__ord", "doc_id"))
+        .withColumn("bin", expr("(rn - 1) DIV 32L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok").cast("long")).as("sum_tok"))
+        .withColumn("padding",
+          col("max_tok").cast("long") * col("n_docs") - col("sum_tok"))
+        .orderBy("bin"),
+    Some("""WITH t AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok
+               FROM documents),
+            r AS (SELECT doc_id, n_tok,
+                    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn FROM t)
+            SELECT (rn - 1) // 32 AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   max(n_tok) AS max_tok,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(max(n_tok) AS BIGINT) * count(*) - CAST(sum(n_tok) AS BIGINT)
+                     AS padding
+            FROM r GROUP BY bin ORDER BY bin"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
@@ -246,5 +283,6 @@ object SampleQueries {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_dsir" -> sampleDsir,
-    "pack_chunks" -> packChunks)
+    "pack_chunks" -> packChunks,
+    "pack_length_binned" -> packLengthBinned)
 }

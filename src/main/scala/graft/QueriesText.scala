@@ -818,6 +818,47 @@ object TextQueries {
                     AND nstop >= 2) AS keep
             FROM s ORDER BY doc_id"""))
 
+  // Vocabulary coverage / OOV rate: freeze the top-1000-token vocabulary by
+  // (global count DESC, token) — the fixed-tokenizer-vocab stand-in — then
+  // score every document's out-of-vocabulary token fraction (the coverage
+  // check run before committing a tokenizer to a corpus). The vocab agg is
+  // token-vocab-sized; scoring is ONE exploded-token pass with a broadcast
+  // vocab lookup folded into the same aggregation (no second pass, no
+  // corpus-side shuffle beyond the per-doc agg) — with a frozen vocab the
+  // scoring half is a pure map+agg, streaming-legal. One integer÷integer
+  // double division so the oracle is bit-exact.
+  private val textOovRate = Q(
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1L).as("__v"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("__v"), lit(0L))).as("n_in"))
+        .withColumn("n_oov", col("n_tok") - col("n_in"))
+        .withColumn("oov_frac",
+          col("n_oov").cast("double") / col("n_tok").cast("double"))
+        .select("doc_id", "n_tok", "n_oov", "oov_frac")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+            v AS (SELECT tok FROM (
+                    SELECT tok, count(*) AS c FROM tok GROUP BY tok
+                    ORDER BY c DESC, tok LIMIT 1000)),
+            sc AS (SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tok,
+                     CAST(count(v.tok) AS BIGINT) AS n_in
+                   FROM tok t LEFT JOIN v ON t.tok = v.tok
+                   GROUP BY t.doc_id)
+            SELECT doc_id, n_tok, n_oov,
+                   CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+            FROM (SELECT doc_id, n_tok, n_tok - n_in AS n_oov FROM sc) s
+            ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -846,5 +887,6 @@ object TextQueries {
     "text_repetition_ngram" -> textRepetitionNgram,
     "bpe_pair_counts" -> bpePairCounts,
     "text_decontam" -> textDecontam,
+    "text_oov_rate" -> textOovRate,
     "multimodal_meta" -> multimodalMeta)
 }

@@ -635,6 +635,53 @@ object VectorQueries {
             FROM embeddings e LEFT JOIN hits h ON h.id = e.vec_id
             ORDER BY id"""))
 
+  // Scalar (int8) vector quantization — the storage half of a web-scale
+  // vector store when PQ is overkill: per-DIMENSION global [min, max]
+  // (a 64-row agg, broadcast back), each component linearly mapped to an
+  // 8-bit code, and the per-vector reconstruction error accounted. 4×
+  // smaller than float32 at one code per dimension; the codes join is
+  // broadcast (model = dims × 2 doubles), the corpus makes ONE exploded
+  // pass — no shuffle beyond the per-vector re-agg. All arithmetic is
+  // double with the identical op order on both engines (the repo's
+  // bit-exact-twin convention), and the degenerate flat-dimension case
+  // (max = min) is pinned to code 0 in both. Output is compact: the code
+  // checksum + max absolute reconstruction error per vector.
+  private val vecQuantizeInt8 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val mm = e.groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      e.join(broadcast(mm), "pos")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(255L), greatest(lit(0L),
+              floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))
+                + lit(0.5))))))
+        .withColumn("recon",
+          col("mn") + col("code").cast("double") * (col("mx") - col("mn")) / lit(255.0))
+        .withColumn("err", abs(col("x") - col("recon")))
+        .groupBy("vec_id")
+        .agg(sum(col("code")).as("code_sum"), max(col("err")).as("max_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+                 FROM embeddings CROSS JOIN
+                   (SELECT unnest(generate_series(1, 64)) AS i) u),
+            mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
+            c AS (SELECT vec_id, x, mn, mx,
+                    CASE WHEN mx = mn THEN 0
+                         ELSE least(255, greatest(0,
+                           CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)))
+                    END AS code
+                  FROM e JOIN mm USING (pos)),
+            r AS (SELECT vec_id, code,
+                    abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0)) AS err
+                  FROM c)
+            SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+                   max(err) AS max_err
+            FROM r GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: List[(String, Q)] = List(
     "sim_topk" -> simTopk,
     "sim_ann" -> simAnn,
@@ -650,5 +697,6 @@ object VectorQueries {
     "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
     "dedup_lsh_cosine_adaptive" -> dedupLshCosineAdaptive,
     "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide,
+    "vec_quantize_int8" -> vecQuantizeInt8,
     "decontam_semantic" -> decontamSemantic)
 }

@@ -265,6 +265,17 @@ object Sampling {
     * 100 TB bottleneck); the only single-partition window runs over ONE ROW
     * PER PARTITION. The result is independent of where the range boundaries
     * fall, so sampling-based boundary placement cannot change the answer. */
+  /** Global 1-based rank of every row under `orderCols` (ascending), as a
+    * `rn` column — a distributed row_number(): the same range-partition +
+    * per-partition prefix + one-row-per-partition offset sum as
+    * [[chunkOffsets]], never a single global window partition. Used by
+    * length-sorted batch packing (SampleQueries.packLengthBinned), where
+    * the rank order is (length DESC, id) via a negated order column. */
+  def rankBy(df: DataFrame, orderCols: Seq[String], partitions: Int = 0): DataFrame =
+    inclusiveRunningSum(df.withColumn("__one", lit(1)), orderCols, "__one", partitions)
+      .withColumnRenamed("__cum", "rn")
+      .drop("__one")
+
   private def inclusiveRunningSum(df: DataFrame, orderCols: Seq[String],
       tokCol: String, partitions: Int): DataFrame = {
     val p = if (partitions > 0) partitions

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{Bigrams, BloomAgg, BloomContains, GramHashes, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{Bigrams, BloomAgg, BloomContains, GramHashes, MortonCode2, PolyHash, ShingleHashes, VecDot}
 
 /** Session extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so the library's hot-path primitives are
@@ -65,6 +65,10 @@ object GraftExtensions {
       require(args.length == 3,
         s"expected 3 arguments (filter, value, numHashes), got ${args.length}")
       BloomContains(args(0), args(1), intLit(args(2), "numHashes"))
+    },
+    "graft_morton2" -> { (args: Seq[Expression]) =>
+      require(args.length == 2, s"expected 2 arguments, got ${args.length}")
+      MortonCode2(args(0), args(1))
     })
 
   private def intLit(e: Expression, name: String): Int = e match {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.expressions.{BandKeys, Bigrams, GramHashes, PolyHash, ShingleHashes, VecDot}
+import graft.expressions.{BandKeys, Bigrams, GramHashes, MortonCode2, PolyHash, ShingleHashes, VecDot}
 import graft.functions.TextFns
 
 /** The native expressions must agree exactly with their composable
@@ -147,6 +147,41 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("MortonCode2 matches the bit-by-bit interleave reference") {
+    // Reference: result bit 2i carries x bit i, bit 2i+1 carries y bit i —
+    // the definition the magic-number spreading must reproduce.
+    def ref(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val edge = Seq(0L, 1L, 2L, 3L, 255L, 256L, (1L << 30), (1L << 31) - 1)
+    for (x <- edge; y <- edge)
+      assert(MortonCode2.interleave(x, y) == ref(x, y), s"($x, $y)")
+    val rng = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val x = rng.nextLong() & 0x7FFFFFFFL
+      val y = rng.nextLong() & 0x7FFFFFFFL
+      val z = MortonCode2.interleave(x, y)
+      assert(z == ref(x, y), s"($x, $y)")
+      assert(z >= 0L, "31-bit inputs must keep the code positive (sort order)")
+    }
+    // out-of-range inputs fail LOUDLY, never wrap into a corrupt layout key
+    intercept[IllegalArgumentException](MortonCode2.interleave(1L << 31, 0L))
+    intercept[IllegalArgumentException](MortonCode2.interleave(0L, -1L))
+  }
+
+  test("MortonCode2 column form agrees with the kernel, incl. via SQL registration") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (5L, 9L), (149L, 49002L), ((1L << 31) - 1, 7L))
+    val df = rows.toDF("x", "y")
+    val viaCol = df.select(MortonCode2(col("x"), col("y"))).as[Long].collect().toSeq
+    assert(viaCol == rows.map { case (x, y) => MortonCode2.interleave(x, y) })
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("mxy")
+    val viaSql = spark.sql("SELECT graft_morton2(x, y) FROM mxy").as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("custom expressions: interpreted eval agrees with codegen") {
     // All four expressions route eval and doGenCode through one static
     // kernel, so divergence is impossible by construction — this guards the
@@ -167,7 +202,9 @@ class ExpressionsSpec extends SparkSpec {
       val bk = vs.select(BandKeys(col("a"), 4, 4)).as[Seq[String]].collect().toSeq
       val gh = docs.select(GramHashes(TextFns.tokens(col("text")), 3))
         .as[Seq[Long]].collect().toSeq
-      (p, sh, bg, vd, bk, gh)
+      val mc = Seq((5L, 9L), (149L, 49002L)).toDF("x", "y")
+        .select(MortonCode2(col("x"), col("y"))).as[Long].collect().toSeq
+      (p, sh, bg, vd, bk, gh, mc)
     }
     val underCodegen = run()
     val confs = Seq("spark.sql.codegen.wholeStage" -> "false",

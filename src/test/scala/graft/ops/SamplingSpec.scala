@@ -206,6 +206,23 @@ class SamplingSpec extends SparkSpec {
     assert(reparted.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("rankBy: distributed global rank equals row_number, partitioning-independent") {
+    import spark.implicits._
+    val rows = Seq(30, 7, 30, 12, 99, 1, 7, 55).zipWithIndex
+      .map { case (len, id) => (id.toLong, len) }.toDF("id", "len")
+      .withColumn("__ord", -col("len"))
+    // reference: 1-based rank under (len DESC, id)
+    val want = Seq(30, 7, 30, 12, 99, 1, 7, 55).zipWithIndex
+      .map { case (len, id) => (id.toLong, len) }
+      .sortBy { case (id, len) => (-len, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 3, 4)) {
+      val got = Sampling.rankBy(rows.repartition(parts), Seq("__ord", "id"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("domainCap keeps the deterministic top-cap rows per domain") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")

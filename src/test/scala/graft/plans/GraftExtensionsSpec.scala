@@ -58,6 +58,7 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)  // must not throw; registration list is shared
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("graft_poly_hash", "graft_shingle_hashes", "graft_bigrams", "graft_vec_dot",
-        "graft_gram_hashes", "graft_bloom_agg", "graft_bloom_contains"))
+        "graft_gram_hashes", "graft_bloom_agg", "graft_bloom_contains",
+        "graft_morton2"))
   }
 }
