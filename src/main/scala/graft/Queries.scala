@@ -302,6 +302,38 @@ object RelationalQueries {
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey"""))
 
+  // Bloom-prefiltered join — the runtime-filter trick that cuts shuffle
+  // volume when the build side is selective but too big to broadcast as a
+  // hash set: build a Bloom filter over the build side's keys (the native
+  // OR-merge aggregate, n·~10 bits), probe it MAP-SIDE on the fact scan
+  // (codegen, no shuffle), then run the ordinary equi join on the ~1%-FP
+  // survivor set. False positives are eliminated by the exact join, so the
+  // result is bit-identical to the plain join — the oracle IS the plain
+  // join — while the fact-side shuffle carries only matching rows (+FP)
+  // instead of the full table. Same shape as Spark's own
+  // spark.sql.optimizer.runtimeFilter.bloomFilter, here as an explicit,
+  // tunable operator (BloomSpec measures the survivor rate).
+  private val joinBloomPrefilter = Q(
+    (s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val n = math.max(1L, urgent.count())
+      val (bits, hashes) = graft.ops.Bloom.geometry(n, fpRate = 0.01)
+      val filter = graft.ops.Bloom.build(urgent, col("o_orderkey"), bits, hashes)
+      lineitem(s, d).select("l_orderkey", "l_quantity")
+        .filter(graft.ops.Bloom.mightContain(lit(filter), col("l_orderkey"), hashes))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
   // left-anti: "requested but never scraped" analog (web_scraper.py:245-246).
   private val joinAnti = Q(
     (s, d) =>
@@ -783,6 +815,7 @@ object RelationalQueries {
     "join_equi" -> joinEqui,
     "join_override" -> joinOverride,
     "join_semi" -> joinSemi,
+    "join_bloom_prefilter" -> joinBloomPrefilter,
     "join_anti" -> joinAnti,
     "join_multiway" -> joinMultiway,
     "row_fanout" -> rowFanout,

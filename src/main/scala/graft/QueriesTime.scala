@@ -205,11 +205,59 @@ object TimeQueries {
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderpriority, o_orderkey"""))
 
+  // Winsorization (percentile clipping) — the outlier-robust feature-prep
+  // step: per event type, clip `value` (at exact cent granularity) to its
+  // [p01, p99] band and account what was clipped. The bounds are EXACT
+  // order statistics picked by pure-integer ranks (k = ⌈q·n⌉ via
+  // (q·100·n + 99) DIV 100 — no double×quantile arithmetic whose ceil could
+  // straddle an ulp between engines, and no reliance on the engines'
+  // subtly-different quantile_disc conventions); ties are safe because the
+  // k-th smallest VALUE is invariant under tie order. Scale posture: exact
+  // per-group percentiles cost one sort per group (the window below — fine
+  // while the group count is bounded, as here); at 100 TB with huge groups
+  // the same clip shape runs off `agg_approx_quantile`'s sketch bounds
+  // instead.
+  private val eventsWinsorize = Q(
+    (s, d) => {
+      val ev = graft.Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val ranked = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val bounds = ranked.groupBy("event_type").agg(
+        min(when(col("rn") === expr("(n + 99) DIV 100"), col("cents"))).as("lo"),
+        min(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("cents"))).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(least(col("hi"), greatest(col("lo"), col("cents")))).as("sum_winsorized"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+            r AS (SELECT event_type, cents,
+                    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+            b AS (SELECT event_type,
+                    min(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo,
+                    min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi
+                  FROM r GROUP BY event_type)
+            SELECT e.event_type, min(lo) AS lo, min(hi) AS hi,
+                   CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                   CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                   CAST(sum(least(hi, greatest(lo, cents))) AS BIGINT) AS sum_winsorized
+            FROM ev e JOIN b USING (event_type)
+            GROUP BY e.event_type ORDER BY event_type"""))
+
   val all: List[(String, Q)] = List(
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
     "window_move_avg" -> windowMoveAvg,
     "cube_agg" -> cubeAgg,
     "agg_percentile" -> aggPercentile,
+    "events_winsorize" -> eventsWinsorize,
     "window_ntile" -> windowNtile)
 }

@@ -21,6 +21,16 @@ object TextFns {
     * mirrored in SQL. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Occurrences of `toks` elements present in the FROZEN `vocab` — a pure
+    * per-row expression (no join, no shuffle, no state): the streaming-legal
+    * scoring half of text_oov_rate once the vocabulary is frozen
+    * (StreamingPipelineSpec proves batch parity). Linear scan of the vocab
+    * literal per token — right for vocabs up to a few thousand entries; the
+    * batch catalog entry keeps the broadcast-join shape, which is what a
+    * very large vocab needs. */
+  def inVocabCount(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(vocab.toArray), t)))
+
   /** Deterministic polynomial string hash: fold (acc*31 + ascii(char)) mod P.
     * DuckDB twin: list_reduce(list_prepend(CAST(0 AS BIGINT),
     *   list_transform(string_split(s,''), c -> ascii(c))), (a,c) -> (a*31+c) % P). */

@@ -58,6 +58,35 @@ class BloomSpec extends SparkSpec {
       "(FP rate far above design)")
   }
 
+  test("bloom join prefilter: exact result, fact side shrunk to ~matches before the join") {
+    // The runtime-filter contract behind join_bloom_prefilter: probing the
+    // build side's Bloom filter map-side keeps every matching fact row (no
+    // false negatives ⇒ the exact join result is unchanged) while passing
+    // only ~|matches|·(1 + fp) rows into the shuffle.
+    val d = sf("sf0.001")
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val li = spark.read.parquet(s"$d/lineitem.parquet").select("l_orderkey")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val (bits, k) = Bloom.geometry(math.max(1L, urgent.count()), 0.01)
+    val filter = Bloom.build(urgent, col("o_orderkey"), bits, k)
+    val pre = li.filter(Bloom.mightContain(lit(filter), col("l_orderkey"), k))
+
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    val filtered = pre.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    assert(filtered == plain, "prefilter changed the exact join result")
+
+    val total = li.count()
+    val matches = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    val survivors = pre.count()
+    assert(survivors >= matches, "a matching row was dropped (false negative)")
+    // survivors = matches + FP; FP bounded well under the non-matching bulk
+    assert(survivors - matches <= math.max(50L, (total - matches) / 10),
+      s"prefilter passed $survivors of $total rows for $matches matches — " +
+        "FP rate far above design")
+  }
+
   test("normalization flows through: case/whitespace variants count as duplicates") {
     import spark.implicits._
     val corpus = Seq((1L, "Hello   World example")).toDF("doc_id", "text")

@@ -91,6 +91,46 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("OOV scoring with a frozen vocab is stateless on a stream, batch-identical") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    implicit val sqlCtx = spark.sqlContext
+
+    // freeze the vocab from the batch corpus (top-5 by count desc, token) —
+    // the same deterministic rule as text_oov_rate's top-1000
+    val tok = docs.toDF().select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(5)
+      .select("tok").as[String].collect().toSeq
+
+    // batch twin: the catalog entry's broadcast-join shape
+    val batchScores = tok
+      .join(vocab.toDF("tok").withColumn("__v", lit(1L)), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(coalesce(col("__v"), lit(0L))).as("n_in"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // stream: per-row expression only — no join, no state, no shuffle
+    val mem = MemoryStream[RawDoc]
+    val q = mem.toDF().select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        TextFns.inVocabCount(TextFns.tokens(col("text")), vocab)
+          .cast("long").as("n_in"))
+      .writeStream.format("memory").queryName("oov_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("oov_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batchScores,
+        s"streaming OOV $streamed diverged from batch $batchScores")
+    } finally q.stop()
+  }
+
   test("flagsInline refuses a corpus-sized 'benchmark' set instead of OOMing the driver") {
     import spark.implicits._
     val docs1 = Seq((1L, "a b c d")).toDF("doc_id", "text")
