@@ -334,6 +334,50 @@ object RelationalQueries {
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
+  // Snapshot diff (CDC classification) — the change-data-capture primitive
+  // between two table versions: full-outer join on the key, classify each
+  // key as added / removed / changed (value drift) and emit only the drift
+  // rows — what an incremental ETL feeds downstream instead of a full
+  // reload. The two "snapshots" derive deterministically from orders (keys
+  // ≡11 mod 97 exist only in the new version, ≡3 only in the old, ≡5
+  // change price), so the oracle reconstructs both sides exactly. One keyed
+  // shuffle; at 100 TB both snapshots bucket by the key and the join is
+  // co-located (Sinks.parquetBucketed — the Y8 layout).
+  private val snapshotDiff = Q(
+    (s, d) => {
+      val base = orders(s, d).select("o_orderkey", "o_totalprice")
+      val old = base.filter(col("o_orderkey") % 97 =!= 11)
+      val neu = base.filter(col("o_orderkey") % 97 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 5, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      old.as("o").join(neu.as("n"),
+          col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+        .withColumn("diff_type",
+          when(col("o.o_orderkey").isNull, "added")
+            .when(col("n.o_orderkey").isNull, "removed")
+            .when(col("o.o_totalprice") =!= col("n.o_totalprice"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("diff_type") =!= "unchanged")
+        .select(coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("o_orderkey"),
+          col("diff_type"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, diff_type FROM (
+              WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+                           WHERE o_orderkey % 97 <> 11),
+                   new AS (SELECT o_orderkey,
+                             CASE WHEN o_orderkey % 97 = 5 THEN o_totalprice + 1.0
+                                  ELSE o_totalprice END AS o_totalprice
+                           FROM orders WHERE o_orderkey % 97 <> 3)
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                          ELSE 'unchanged' END AS diff_type
+              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey) t
+            WHERE diff_type <> 'unchanged' ORDER BY o_orderkey"""))
+
   // left-anti: "requested but never scraped" analog (web_scraper.py:245-246).
   private val joinAnti = Q(
     (s, d) =>
@@ -816,6 +860,7 @@ object RelationalQueries {
     "join_override" -> joinOverride,
     "join_semi" -> joinSemi,
     "join_bloom_prefilter" -> joinBloomPrefilter,
+    "snapshot_diff" -> snapshotDiff,
     "join_anti" -> joinAnti,
     "join_multiway" -> joinMultiway,
     "row_fanout" -> rowFanout,

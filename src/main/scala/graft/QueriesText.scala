@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -859,6 +860,59 @@ object TextQueries {
             FROM (SELECT doc_id, n_tok, n_tok - n_in AS n_oov FROM sc) s
             ORDER BY doc_id"""))
 
+  // Keyed debounce dedup — the telemetry-ingest rule "drop an event that
+  // repeats its (user, type) key within 300 s of the PRECEDING raw event":
+  // one lag over a (user, type)-keyed window, a pure time comparison in
+  // integer microseconds (both engines read the same µs values — see
+  // Tables.events). One keyed shuffle+sort; the streaming twin of this
+  // rule is keyed state with a timestamp (StatefulOps.sessionize family).
+  private val eventsDedupWindow = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= lit(300000000L))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_us,
+                     epoch_us(ts) AS us
+              FROM events) t
+            WHERE prev_us IS NULL OR us - prev_us >= 300000000
+            ORDER BY event_id"""))
+
+  // Key-skew diagnostic — the measurement BEFORE the join_skew_salted
+  // decision: per-key counts, each key's traffic share in exact ppm
+  // (integer multiply-then-DIV, no double division), top-20 by share. The
+  // global-total window runs over the KEYS-SIZED aggregated frame (one row
+  // per key), never the raw events — the same bounded-frame pattern as the
+  // packing prefix sums.
+  private val skewStats = Q(
+    (s, d) => {
+      val counts = graft.Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      counts
+        .withColumn("total", sum(col("n_events")).over(Window.partitionBy(lit(1))))
+        .withColumn("share_ppm", expr("(n_events * 1000000L) DIV total"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(20)
+        .select("user_id", "n_events", "share_ppm")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, n_events, share_ppm FROM (
+              SELECT user_id, n_events,
+                     CAST((n_events * 1000000) // sum(n_events) OVER () AS BIGINT)
+                       AS share_ppm
+              FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY user_id) c
+              ORDER BY n_events DESC, user_id LIMIT 20) t
+            ORDER BY user_id"""))
+
   val all: List[(String, Q)] = List(
     "json_funcs" -> jsonFuncs,
     "ngram_topk" -> ngramTopk,
@@ -888,5 +942,7 @@ object TextQueries {
     "bpe_pair_counts" -> bpePairCounts,
     "text_decontam" -> textDecontam,
     "text_oov_rate" -> textOovRate,
+    "events_dedup_window" -> eventsDedupWindow,
+    "skew_stats" -> skewStats,
     "multimodal_meta" -> multimodalMeta)
 }
