@@ -887,6 +887,30 @@ object TextQueries {
             WHERE prev_us IS NULL OR us - prev_us >= 300000000
             ORDER BY event_id"""))
 
+  // Per-group mode (argmax) with a DETERMINISTIC tie-break — "each user's
+  // dominant event type": per-(group, value) counts, then one row per group
+  // by (count DESC, value ASC). Spark's built-in mode() leaves ties
+  // engine-defined; the explicit window makes the answer unique, so the
+  // oracle mirrors it row for row. Two shuffles: the pair-count agg and the
+  // group-keyed window over the COUNTS frame (pairs-sized, not row-sized).
+  private val aggMode = Q(
+    (s, d) => {
+      val counts = graft.Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n_events").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, mode_type, n_events FROM (
+              SELECT user_id, event_type AS mode_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type) t
+            WHERE rn = 1 ORDER BY user_id"""))
+
   // Key-skew diagnostic — the measurement BEFORE the join_skew_salted
   // decision: per-key counts, each key's traffic share in exact ppm
   // (integer multiply-then-DIV, no double division), top-20 by share. The
@@ -943,6 +967,7 @@ object TextQueries {
     "text_decontam" -> textDecontam,
     "text_oov_rate" -> textOovRate,
     "events_dedup_window" -> eventsDedupWindow,
+    "agg_mode" -> aggMode,
     "skew_stats" -> skewStats,
     "multimodal_meta" -> multimodalMeta)
 }

@@ -92,6 +92,7 @@ object CorpusPipeline {
       defaultRate: Double = 1.0,
       splitWeights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       chunkBudget: Long = 2048L,
+      maxDocsPerStratum: Int = 0,
       trainLabel: String = "train") {
     require(splitWeights.exists(_._1 == trainLabel),
       s"trainLabel '$trainLabel' is not one of splitWeights ${splitWeights.map(_._1)}")
@@ -282,9 +283,19 @@ object CorpusPipeline {
         else Dedup.bestPerCluster(labeled,
           "id", labeled.select(col("id"), col("n_tok").as("__score")), "__score")
           .drop("__score")
+      // 4d. optional per-stratum document cap (C4/Gopher "limit documents
+      // per domain"): the deterministic (hash, id)-ordered top-cap rows per
+      // stratum (Sampling.domainCap — one stratum-keyed window), AFTER
+      // dedup/canonicalization (a cap slot must not be wasted on a copy)
+      // and BEFORE the split (capped-out docs must not leak into any
+      // split). 0 = stage off.
+      val capped =
+        if (cfg.maxDocsPerStratum <= 0) canonical
+        else Sampling.domainCap(canonical, "id", "strata",
+          cfg.maxDocsPerStratum, salt = 6L).drop("rn")
       // 5. leakage-safe split (hash the CLUSTER, not the row id) then
       // 6. stratified mix — both map-side
-      val split = Sampling.groupSafeSplit(canonical, "cluster", cfg.splitWeights, salt = 2L)
+      val split = Sampling.groupSafeSplit(capped, "cluster", cfg.splitWeights, salt = 2L)
       val mixed =
         if (cfg.mixRates.isEmpty && cfg.defaultRate >= 1.0) split
         else Sampling.stratifiedSample(split, "id", "strata", cfg.mixRates,

@@ -218,6 +218,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again == gatedIds)
   }
 
+  test("per-stratum cap stage: caps hold, slots never wasted on duplicates, split stays leak-safe") {
+    val cap = 3
+    val capped = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(maxDocsPerStratum = cap))
+    val perStrata = capped.documents.groupBy("strata").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStrata.nonEmpty && perStrata.values.forall(_ <= cap),
+      s"cap $cap violated: $perStrata")
+    // the cap ran AFTER dedup: survivors are still fingerprint-unique
+    // (a capped slot held by a duplicate would betray cap-before-dedup)
+    val fps = capped.documents.select(
+      md5(graft.functions.TextFns.normalized(col("text"))).as("fp"))
+    assert(fps.distinct().count() == fps.count())
+    // and BEFORE the split: leak-safety still holds on the capped set
+    val straddlers = capped.documents.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1)
+    assert(straddlers.count() == 0)
+    // deterministic: a re-run keeps the identical survivor id set
+    val again = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(maxDocsPerStratum = cap))
+    val a = capped.documents.select("id").collect().map(_.getLong(0)).toSet
+    val b = again.documents.select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("end-to-end determinism: same corpus from any input partitioning") {
     val again = CorpusPipeline.prepare(docs.repartition(17), "doc_id", "text", "lang",
       CorpusPipeline.Config(mixRates = Map("en" -> 0.8), defaultRate = 0.5))
