@@ -914,15 +914,24 @@ object TextQueries {
   // Key-skew diagnostic — the measurement BEFORE the join_skew_salted
   // decision: per-key counts, each key's traffic share in exact ppm
   // (integer multiply-then-DIV, no double division), top-20 by share. The
-  // global-total window runs over the KEYS-SIZED aggregated frame (one row
-  // per key), never the raw events — the same bounded-frame pattern as the
-  // packing prefix sums.
+  // global total is a SCALAR aggregate broadcast back onto the per-key frame
+  // through the pmod dummy-key BroadcastHashJoin (api.Similarity.cosineTopK's
+  // shape — non-foldable so Catalyst keeps the codegen'd equi join), never a
+  // single-partition window: |distinct user_id| at 100 TB of telemetry is
+  // 10⁸–10⁹ rows, far too many to force through one task. Both join sides
+  // derive from the same groupBy, so Catalyst's ReuseExchange shares one
+  // events scan + one aggregation exchange between them — and unlike
+  // ops.Sampling.inclusiveRunningSum's __pid join, CORRECTNESS does not ride
+  // on that reuse (the total is the same under any recomputation), so the
+  // entry stays lazy/plan-inspectable instead of persist+checkpoint.
   private val skewStats = Q(
     (s, d) => {
       val counts = graft.Tables.events(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"))
       counts
-        .withColumn("total", sum(col("n_events")).over(Window.partitionBy(lit(1))))
+        .withColumn("__z", pmod(col("n_events"), lit(1L)))
+        .join(broadcast(counts.agg(sum(col("n_events")).as("total"))
+          .withColumn("__z", pmod(col("total"), lit(1L)))), Seq("__z"))
         .withColumn("share_ppm", expr("(n_events * 1000000L) DIV total"))
         .orderBy(col("n_events").desc, col("user_id")).limit(20)
         .select("user_id", "n_events", "share_ppm")

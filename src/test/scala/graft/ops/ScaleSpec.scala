@@ -10,25 +10,52 @@ import graft.SparkSpec
 class ScaleSpec extends SparkSpec {
   private val dir = sf("sf0.001")
 
-  test("plan lint: no cartesian product or accidental nested-loop join in any catalog query") {
+  test("plan lint: no cartesian product, nested-loop join, or single-partition window in any catalog query") {
     // BroadcastNestedLoopJoin evaluates its condition interpreted and cannot
     // scale past a broadcastable side; CartesianProduct is never acceptable.
     // Allowlist: fuzzy_levenshtein deliberately cross-joins a 25-row
     // dictionary side (broadcast; bounded by construction).
     val bnljOk = Set("fuzzy_levenshtein")
+    // A logical Window whose partitionSpec is empty or all-foldable funnels
+    // its ENTIRE input through one task — the classic 100 TB bottleneck
+    // (this is what made r8's skew_stats weak). Allowlist: the distributed-
+    // prefix-sum entries (ops.Sampling.inclusiveRunningSum) window over
+    // exactly ONE ROW PER SHUFFLE PARTITION — bounded by construction at
+    // ≤ spark.sql.shuffle.partitions rows regardless of data volume.
+    val globalWindowOk = Set("sample_token_budget", "pack_chunks", "pack_length_binned")
     // The clustering queries are iterative: building their DataFrames eagerly
     // EXECUTES the whole label-propagation job (per-round localCheckpoint
     // actions), and the resulting plan only shows the final round. The
     // per-round join shape — the plan that actually repeats at scale — is
     // linted separately below.
     val iterative = Set("dedup_cluster", "dedup_embedding_cluster")
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.forall(_.foldable) => w
+      }
+    // self-check: the detector must FIRE on the known-bad shape (r8's
+    // skew_stats) — otherwise a Catalyst rewrite that hides the node would
+    // turn this lint into a silent no-op
+    import org.apache.spark.sql.expressions.{Window => W}
+    val bad1 = spark.range(10).withColumn("t",
+      sum(col("id")).over(W.partitionBy(lit(1)).orderBy("id")))
+    val bad2 = spark.range(10).withColumn("t", sum(col("id")).over(W.orderBy("id")))
+    assert(globalWindows(bad1).nonEmpty, "lint failed to detect partitionBy(lit) window")
+    assert(globalWindows(bad2).nonEmpty, "lint failed to detect empty-partition window")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       if (!iterative(name)) {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$plan")
         if (!bnljOk(name))
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+        if (!globalWindowOk(name)) {
+          val bad = globalWindows(df)
+          assert(bad.isEmpty,
+            s"$name plans a single-partition window (empty/constant partitionBy):\n${bad.mkString("\n")}")
+        }
       }
     }
   }
