@@ -315,13 +315,19 @@ object RelationalQueries {
   // tunable operator (BloomSpec measures the survivor rate).
   private val joinBloomPrefilter = Q(
     (s, d) => {
+      // localCheckpoint (eager) rather than persist/unpersist: urgent is
+      // consumed three times (count, filter build, join build side) and the
+      // last consumer is the LAZY returned frame, so there is no safe point
+      // to unpersist — one keys-sized materialization serves all three and
+      // keeps the probe-on-scan plan inspectable (PLANS.md audit)
       val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey")
+        .select("o_orderkey").localCheckpoint(true)
       val n = math.max(1L, urgent.count())
       val (bits, hashes) = graft.ops.Bloom.geometry(n, fpRate = 0.01)
-      val filter = graft.ops.Bloom.build(urgent, col("o_orderkey"), bits, hashes)
+      val filter = s.sparkContext.broadcast(
+        graft.ops.Bloom.build(urgent, col("o_orderkey"), bits, hashes))
       lineitem(s, d).select("l_orderkey", "l_quantity")
-        .filter(graft.ops.Bloom.mightContain(lit(filter), col("l_orderkey"), hashes))
+        .filter(graft.ops.Bloom.mightContain(filter, col("l_orderkey"), hashes))
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"),

@@ -822,12 +822,15 @@ object TextQueries {
   // Vocabulary coverage / OOV rate: freeze the top-1000-token vocabulary by
   // (global count DESC, token) — the fixed-tokenizer-vocab stand-in — then
   // score every document's out-of-vocabulary token fraction (the coverage
-  // check run before committing a tokenizer to a corpus). The vocab agg is
-  // token-vocab-sized; scoring is ONE exploded-token pass with a broadcast
-  // vocab lookup folded into the same aggregation (no second pass, no
-  // corpus-side shuffle beyond the per-doc agg) — with a frozen vocab the
-  // scoring half is a pure map+agg, streaming-legal. One integer÷integer
-  // double division so the oracle is bit-exact.
+  // check run before committing a tokenizer to a corpus). TWO corpus passes
+  // by design: the vocab build is its own explode+agg pass, then the
+  // SCORING half is one exploded-token pass with a broadcast vocab lookup
+  // folded into the per-doc agg (no corpus-side shuffle) — with a frozen
+  // vocab that half is a pure map+agg, streaming-legal. The shared `tok`
+  // frame is deliberately NOT persisted: token-exploded rows are several
+  // times the corpus size, so at scale re-scanning the parquet twice is
+  // cheaper than caching the explosion. One integer÷integer double division
+  // so the oracle is bit-exact.
   private val textOovRate = Q(
     (s, d) => {
       val tok = documents(s, d)

@@ -286,9 +286,13 @@ object CorpusPipeline {
       // 4d. optional per-stratum document cap (C4/Gopher "limit documents
       // per domain"): the deterministic (hash, id)-ordered top-cap rows per
       // stratum (Sampling.domainCap — one stratum-keyed window), AFTER
-      // dedup/canonicalization (a cap slot must not be wasted on a copy)
-      // and BEFORE the split (capped-out docs must not leak into any
-      // split). 0 = stage off.
+      // dedup/canonicalization so a cap slot is never wasted on an EXACT/
+      // normalized copy (always removed by stage 4a); near-dup cluster
+      // members can still each take a slot under the default
+      // keepBestPerCluster=false — enabling maxDocsPerStratum pairs
+      // naturally with keepBestPerCluster=true, which collapses clusters
+      // before slots are handed out. Runs BEFORE the split (capped-out docs
+      // must not leak into any split). 0 = stage off.
       val capped =
         if (cfg.maxDocsPerStratum <= 0) canonical
         else Sampling.domainCap(canonical, "id", "strata",

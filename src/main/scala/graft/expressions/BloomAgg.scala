@@ -170,3 +170,40 @@ case class BloomContains(left: Expression, right: Expression, numHashes: Int)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomContains =
     copy(left = newLeft, right = newRight)
 }
+
+/** Membership probe against a SparkContext-broadcast filter: same semantics
+  * as [[BloomContains]], but the packed bits travel as a broadcast handle
+  * instead of a plan literal — at the documented design ceiling (2³⁰ bits =
+  * 128 MB) a literal would be re-serialized into every task binary, while
+  * the broadcast ships once per executor. The generated code hoists
+  * `bc.value()` into codegen init so the per-row probe is the same static
+  * call as the literal path. */
+case class BloomContainsBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression,
+    numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes > 0 && numHashes <= 16,
+    s"numHashes must be in 1..16, got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains_bc requires a BIGINT input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains_bc"
+
+  override protected def nullSafeEval(v: Any): Any =
+    BloomAgg.contains(bc.value, v.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomFilterBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val bytes = ctx.addMutableState("byte[]", "bloomFilterBytes",
+      v => s"$v = (byte[]) $bcRef.value();")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.BloomAgg.contains($bytes, $v, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBroadcast =
+    copy(child = newChild)
+}

@@ -28,22 +28,44 @@ object Bloom {
     GraftBridge.column(BloomAgg(GraftBridge.expression(c), numBits, numHashes)
       .toAggregateExpression())
 
-  /** Membership probe Column against a packed-filter Column (usually a
-    * broadcast literal via `lit(bytes)`). */
+  /** Membership probe Column against a packed-filter Column (a plan literal
+    * via `lit(bytes)` — fine for spec-sized filters; production callers
+    * should prefer the broadcast overload below). */
   def mightContain(filter: Column, c: Column, numHashes: Int): Column =
     GraftBridge.column(BloomContains(
       GraftBridge.expression(filter), GraftBridge.expression(c), numHashes))
 
+  /** Membership probe Column against a `SparkContext.broadcast` filter: the
+    * bits ship once per executor instead of riding inside every task's
+    * serialized expression tree — the only executable shape at the design
+    * ceiling (128 MB of filter). Probe stays whole-stage codegen. */
+  def mightContain(filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      c: Column, numHashes: Int): Column =
+    GraftBridge.column(graft.expressions.BloomContainsBroadcast(
+      filter, GraftBridge.expression(c), numHashes))
+
+  /** Hard ceiling on a single filter: 2³⁰ bits = 128 MB of packed bits —
+    * ≈ 1.1×10⁸ items at 1% FP (9.6 bits/item). [[geometry]] REFUSES sets
+    * that need more instead of silently clamping (a clamp would quietly
+    * degrade the FP rate, which for dedup means quietly dropping novel
+    * docs); beyond the ceiling, partition the corpus and build one filter
+    * per partition (the probe ORs across them), or raise `fpRate`. */
+  val MaxBits: Int = 1 << 30
+
   /** Geometry for a target false-positive rate: optimal bits/element is
-    * −ln(p)/ln(2)², k = bits/element·ln(2) — the textbook sizing. */
+    * −ln(p)/ln(2)², k = bits/element·ln(2) — the textbook sizing. Throws if
+    * the sized filter would exceed [[MaxBits]] (see there). */
   def geometry(expectedItems: Long, fpRate: Double): (Int, Int) = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpRate > 0 && fpRate < 1, s"fpRate must be in (0,1), got $fpRate")
     val bitsPerItem = -math.log(fpRate) / (math.log(2) * math.log(2))
-    val numBits = math.min((1L << 30).toDouble, math.max(64.0,
-      math.ceil(expectedItems * bitsPerItem))).toLong.toInt
+    val needed = math.max(64.0, math.ceil(expectedItems * bitsPerItem))
+    require(needed <= MaxBits.toDouble,
+      f"$expectedItems%d items at fpRate=$fpRate%g need ${needed.toLong}%d bits > " +
+        s"the $MaxBits-bit (128 MB) single-filter ceiling — partition the corpus " +
+        "into per-partition filters or raise fpRate")
     val k = math.max(1, math.round(bitsPerItem * math.log(2)).toInt)
-    (numBits, math.min(16, k))
+    (needed.toLong.toInt, math.min(16, k))
   }
 
   /** Build the packed filter over `df(col)` (BIGINT fingerprints): one
@@ -70,6 +92,9 @@ object Bloom {
     val n = math.max(1L, corpus.count())
     val (numBits, numHashes) = geometry(n, fpRate)
     val filter = build(corpus, fp(col(textCol)), numBits, numHashes)
-    batch.filter(!mightContain(lit(filter), fp(col(textCol)), numHashes))
+    // broadcast handle, not lit(filter): at the 128 MB ceiling a literal is
+    // re-serialized into every task binary; the broadcast ships per executor
+    val bc = corpus.sparkSession.sparkContext.broadcast(filter)
+    batch.filter(!mightContain(bc, fp(col(textCol)), numHashes))
   }
 }

@@ -87,6 +87,34 @@ class BloomSpec extends SparkSpec {
         "FP rate far above design")
   }
 
+  test("geometry refuses sets beyond the 128 MB single-filter ceiling instead of clamping") {
+    // at 1% FP (9.6 bits/item): 10⁸ items fit under the 2³⁰-bit cap, 2×10⁸
+    // do not — and the failure must STEER (partition the corpus / raise
+    // fpRate), because a silent clamp would quietly degrade the FP rate,
+    // i.e. quietly drop novel documents
+    assert(Bloom.geometry(100000000L, 0.01)._1 <= Bloom.MaxBits)
+    val e = intercept[IllegalArgumentException] { Bloom.geometry(200000000L, 0.01) }
+    assert(e.getMessage.contains("partition the corpus"))
+    // the documented escape hatch works: the same set sized for a looser
+    // FP rate fits
+    assert(Bloom.geometry(200000000L, 0.1)._1 <= Bloom.MaxBits)
+  }
+
+  test("broadcast probe is bit-identical to the literal probe (no false negatives)") {
+    import spark.implicits._
+    val vals = (0L until 5000L).map(_ * 2654435761L)
+    val (bits, k) = Bloom.geometry(vals.size, 0.01)
+    val filter = Bloom.build(vals.toDF("v"), col("v"), bits, k)
+    val bc = spark.sparkContext.broadcast(filter)
+    val probes = ((0L until 20000L).map(i => i * 1000003L) ++ vals).toDF("v")
+    val viaLit = probes.filter(Bloom.mightContain(lit(filter), col("v"), k))
+      .collect().map(_.getLong(0)).toSet
+    val viaBc = probes.filter(Bloom.mightContain(bc, col("v"), k))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBc == viaLit, "broadcast and literal probes disagree")
+    assert(vals.toSet.subsetOf(viaBc), "broadcast probe dropped an inserted value")
+  }
+
   test("normalization flows through: case/whitespace variants count as duplicates") {
     import spark.implicits._
     val corpus = Seq((1L, "Hello   World example")).toDF("doc_id", "text")

@@ -23,7 +23,13 @@ class LayoutSpec extends SparkSpec {
     // single-column sort (perfect on user_id, blind on cents), and Z-order.
     val byArrival = events.repartitionByRange(Files, col("event_id"))
     val byUser = events.repartitionByRange(Files, col("user_id"), col("event_id"))
-    val byZ = Layout.zorderBy(events, col("user_id"), col("cents"), Files)
+    // persisted: the soundness check below evaluates byZ twice (fileStats and
+    // the __file-tagged frame), and repartitionByRange samples its range
+    // boundaries per execution — without one materialization, boundary rows
+    // could land in different partitions across the two evaluations and the
+    // prunedRows == fullRows assert would flake (the same cross-evaluation
+    // hazard Sampling.inclusiveRunningSum persists against)
+    val byZ = Layout.zorderBy(events, col("user_id"), col("cents"), Files).persist()
 
     val sArrival = Layout.fileStats(byArrival, statCols).persist()
     val sUser = Layout.fileStats(byUser, statCols).persist()
@@ -54,7 +60,7 @@ class LayoutSpec extends SparkSpec {
         .count()
       val fullRows = events.filter(col("cents") <= 1000).count()
       assert(prunedRows == fullRows, "pruned scan must not lose rows")
-    } finally { sArrival.unpersist(); sUser.unpersist(); sZ.unpersist() }
+    } finally { sArrival.unpersist(); sUser.unpersist(); sZ.unpersist(); byZ.unpersist() }
   }
 
   test("zorderBy preserves the row multiset (layout only, never content)") {
