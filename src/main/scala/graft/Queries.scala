@@ -511,6 +511,61 @@ object RelationalQueries {
     },
     Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id"))
 
+  // ACID transaction-log table (sources/TxLog — the Delta-style commit
+  // protocol): initial load is a transactional APPEND, the refresh is a
+  // transactional MERGE (same-key rows replaced, new keys inserted — the
+  // upsert_snapshot semantics, now through a real atomic commit), and the
+  // read is the log-replayed live-file snapshot. The oracle mirrors the
+  // merged end state relationally. NOTE: like the round-trip entries, this
+  // TIMES the writes + commits + snapshot read, not a bare scan.
+  private val acidUpsert = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_tx", d)
+      deleteRecursively(tbl)
+      val base = orders(s, d).filter(col("o_orderkey") % 10 < 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(base, tbl)
+      val updates = orders(s, d).filter(col("o_orderkey") % 10 >= 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
+      graft.sources.TxLog.merge(updates, tbl, "o_orderkey")
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 10 >= 5 THEN o_totalprice * 2.0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders ORDER BY o_orderkey"""))
+
+  // Time travel on the same log: read the snapshot AS OF the initial-load
+  // version after a later merge rewrote the table — the log replays only
+  // commits ≤ v1 and the immutable v1 files still hold the original rows
+  // (TxLogSpec covers vacuum retention; here the oracle is the pre-merge
+  // relational state).
+  private val acidTimeTravel = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_tt", d)
+      deleteRecursively(tbl)
+      val base = orders(s, d).filter(col("o_orderkey") % 10 < 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v1 = graft.sources.TxLog.append(base, tbl)
+      val updates = orders(s, d).filter(col("o_orderkey") % 10 >= 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
+      graft.sources.TxLog.merge(updates, tbl, "o_orderkey")
+      graft.sources.TxLog.snapshot(tbl, asOf = v1).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""))
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // Z-order (Morton) clustering key — the multi-dimensional data-layout
   // lever beside partition pruning above: sorting a table by the bit
   // interleave of two dimension keys bounds BOTH dimensions within each
@@ -873,6 +928,8 @@ object RelationalQueries {
     "csv_roundtrip" -> csvRoundtrip,
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "partition_pruned_scan" -> partitionPrunedScan,
+    "acid_upsert" -> acidUpsert,
+    "acid_time_travel" -> acidTimeTravel,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

@@ -439,7 +439,7 @@ object VectorQueries {
             WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   // Scale-ADAPTIVE band geometry under the oracle gate: the declared 100 TB
-  // LSH shape (Similarity.adaptiveBandGeometry — bits track ⌈log₂ n⌉ so
+  // LSH shape (Similarity.adaptiveBandGeometry — bits track ⌈log₂ n⌉ − 2 so
   // bucket count tracks corpus size, bands restore recall) running the real
   // τ=0.8 near-dup over the planted-duplicate corpus. The oracle derives the
   // SAME geometry from the SAME inputs dynamically in SQL — count(wc), then
@@ -456,7 +456,7 @@ object VectorQueries {
       .orderBy("id1", "id2"),
     Some(s"""WITH $sqlWidenedCorpus,
             g AS (SELECT LEAST(30, GREATEST(8,
-                    CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT))) AS bits,
+                    CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT) - 2)) AS bits,
                     (1.0 - acos(0.8) / pi()) AS p
                   FROM wc),
             g2 AS (SELECT bits,

@@ -317,4 +317,77 @@ object CorpusPipeline {
       gateCache.foreach(_.unpersist())
     }
   }
+
+  /** The multimodal ingest→dedup stage's output:
+    * @param admitted surviving media rows (doc_id, kind, payload)
+    * @param dropped  the drop ledger — (doc_id, reason, kept_id): reason
+    *                 "exact" (byte-identical to an earlier file, any kind)
+    *                 or "near_dup_image" (within `maxDist` dHash bits of the
+    *                 cluster's kept representative)
+    */
+  final case class MediaPrepared(
+      admitted: org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow],
+      dropped: DataFrame)
+
+  /** Multimodal ingest → dedup, composed from the operators the specs verify
+    * individually: [[graft.sources.BinaryFiles.toMedia]] (magic-byte kind
+    * sniff over a binaryFile scan) → exact byte dedup across EVERY kind
+    * (xxhash64 of the payload; first copy by doc_id wins, the same
+    * deterministic winner rule as text dedup) → perceptual dHash near-dup
+    * over the surviving images ([[graft.ops.Multimodal.imageNearDup]] —
+    * decode + 64-bit difference hash + lossless pigeonhole hamming join) →
+    * one connected-components pass → smallest-id representative per cluster.
+    *
+    * Scale shape: every decision frame is NARROW (ids + 64-bit hashes) —
+    * payload bytes never enter a groupBy; they cross a shuffle only in the
+    * two anti-joins that apply the drop ledger (and Catalyst broadcasts the
+    * ledger side when it fits). The dHash pass is per-row mapPartitions over
+    * already-admitted rows; the hamming join moves 4 band keys per image,
+    * never pixels.
+    */
+  def prepareMedia(files: DataFrame, maxDist: Int = 10): MediaPrepared = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val media = graft.sources.BinaryFiles.toMedia(files).toDF().persist()
+    try {
+      // 1. exact byte dedup, all kinds: winner = lowest doc_id per payload
+      //    hash, derived entirely on the narrow (doc_id, hash) frame
+      val hashes = media.select(col("doc_id"), xxhash64(col("payload")).as("__h"))
+      val keepByHash = hashes.groupBy("__h").agg(min(col("doc_id")).as("kept_id"))
+      val exactDropped = hashes.join(keepByHash, "__h")
+        .filter(col("doc_id") =!= col("kept_id"))
+        .select(col("doc_id"), lit("exact").as("reason"), col("kept_id"))
+      val exactKept = media.join(exactDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // 2. perceptual near-dup among surviving images only (an exact copy
+      //    must not also vote in the perceptual pass)
+      val pairs = graft.ops.Multimodal.imageNearDup(
+        exactKept.filter(col("kind") === "image")
+          .as[graft.ops.Multimodal.MediaRow], maxDist)
+      val nearDropped = ConnectedComponents.labels(pairs)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"), lit("near_dup_image").as("reason"),
+          col("label").as("kept_id"))
+      val admitted = exactKept
+        .join(nearDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+        .as[graft.ops.Multimodal.MediaRow]
+      // an exact drop's winner may itself lose the perceptual pass — chase
+      // the ledger one hop so every kept_id names an ADMITTED row (one hop
+      // suffices: perceptual winners are final)
+      val exactResolved = exactDropped.as("e")
+        .join(nearDropped.select(col("doc_id").as("__nd"), col("kept_id").as("__nk")),
+          col("e.kept_id") === col("__nd"), "left")
+        .select(col("e.doc_id"), col("e.reason"),
+          coalesce(col("__nk"), col("e.kept_id")).as("kept_id"))
+      // materialize while the media cache is live, as prepareImpl does
+      MediaPrepared(
+        admitted.localCheckpoint(true),
+        exactResolved.union(nearDropped).localCheckpoint(true))
+    } finally media.unpersist()
+  }
+
+  /** [[prepareMedia]] over a directory tree: one binaryFile scan with
+    * listing-time glob pruning. */
+  def prepareMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: Option[String] = None, maxDist: Int = 10): MediaPrepared =
+    prepareMedia(graft.sources.BinaryFiles.read(spark, dir, glob), maxDist)
 }

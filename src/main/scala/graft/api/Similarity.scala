@@ -115,10 +115,11 @@ object Similarity {
     *
     *  - `narrow-reattach` (sparse candidates — the high-τ/wide-band regime
     *    real dedup runs in): the candidate join moves only (band, key, id);
-    *    embeddings re-attach per surviving pair through two id-keyed joins.
-    *    Shuffle cost ≈ 3 passes over the candidate set (distinct + 2 join
-    *    probes) ≈ 60 B/candidate, and the corpus payload crosses a shuffle
-    *    only twice (once per re-attach build side).
+    *    embeddings re-attach per candidate through two id-keyed joins and
+    *    only SURVIVORS are distinct-ed. Shuffle cost ≈ 2 passes over the
+    *    candidate multiset (the two join probes) ≈ 40 B/candidate, and the
+    *    corpus payload crosses a shuffle only twice (once per re-attach
+    *    build side).
     *  - `payload-inline` (dense candidates — borderline τ, narrow bands,
     *    skewed buckets): embeddings+norms join onto the banded index ONCE
     *    (linear, n·nBands rows), the bucket self-join computes the cosine
@@ -128,9 +129,15 @@ object Similarity {
     *    (measured r6, sf1: 44 s narrow vs ~7 s inline at (4,4), where
     *    buckets hold thousands of collisions each).
     *
-    * Decision: re-attach iff 60·candidates ≤ bandRows·(4·dim + 20) — i.e.
-    * the 3 candidate-set shuffle passes cost less than carrying the float
-    * payload (4·dim bytes + row overhead) through the linear bands join.
+    * Decision: re-attach iff 150·candidates ≤ bandRows·(4·dim + 20). The
+    * 150 B/candidate coefficient is MEASURED, not a byte count (r9
+    * `Dev lshlayout`, 220 k × 64-dim, (89,16), 82 M candidates: reattach
+    * 154–159 s vs inline 54–69 s — the two candidate joins cost ~3× their
+    * raw shuffle bytes once join machinery and sort-merge passes are in,
+    * while the inline wide exchange runs at ~raw byte cost and streams its
+    * candidates for ~1.6e-8 s each). The old 60 B/candidate estimate
+    * mis-routed exactly the adaptive-geometry regime the formula exists
+    * for.
     * Both sides are exact byte counts of the shapes' extra shuffles, from
     * one cheap agg over the cached banded index (the projections are
     * computed once and shared with the chosen path).
@@ -151,7 +158,7 @@ object Similarity {
         if (row.isNullAt(1)) (0L, 0L, 0)
         else (row.getLong(0), row.getLong(1), row.getInt(2))
       val shape = LshShape(
-        reattach = 60.0 * cands <= bandRows.toDouble * (4.0 * dim + 20.0),
+        reattach = 150.0 * cands <= bandRows.toDouble * (4.0 * dim + 20.0),
         candidates = cands, bandRows = bandRows, dim = dim)
       lastLshShape = Some(shape)
       log.info(s"lsh near-dup shape: candidates=$cands bandRows=$bandRows dim=$dim " +
@@ -168,12 +175,19 @@ object Similarity {
   private[graft] def verifiedPairs(bands: DataFrame, withNorm: DataFrame,
       tau: Double, reattach: Boolean): DataFrame =
     if (reattach) {
+      // candidate MULTISET (no pre-verify distinct): a random pair collides
+      // in ~1 band while a true duplicate collides in every band, so the
+      // multiset is only slightly larger than the distinct set — verifying a
+      // pair once per colliding band costs a few extra codegen'd dot
+      // products, while distinct-ing 10⁷–10⁸ candidate rows costs a full
+      // extra shuffle+agg pass (measured r9: the pre-distinct was the
+      // largest single stage of the adaptive-geometry verify). Survivors are
+      // deduped instead — a shuffle over the (small) result set.
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.__id") < col("b.__id"))
         .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-        .distinct()
       cands
         .join(withNorm.select(col("__id").as("id1"), col("__emb").as("__e1"),
           col("__nn").as("__n1")), "id1")
@@ -182,6 +196,7 @@ object Similarity {
         .filter(VecDot(col("__e1"), col("__e2")) /
           (sqrt(col("__n1")) * sqrt(col("__n2"))) >= tau)
         .select("id1", "id2")
+        .distinct()
     } else {
       val wide = bands.select("__id", "band", "key").join(withNorm, "__id")
       wide.as("a")
@@ -214,8 +229,17 @@ object Similarity {
     * ~n/2 — LINEAR — while recall is restored by adding bands:
     *
     *   p     = 1 − arccos(τ)/π      (per-plane agreement at exactly τ)
-    *   bits  = max(tier bits, ⌈log₂ n⌉)
+    *   bits  = max(tier bits, ⌈log₂ n⌉ − 2)
     *   bands = ⌈ln(1 − recall)/ln(1 − p^bits)⌉
+    *
+    * The −2 floor (r9, from the measured sf10 A/B): at bits = ⌈log₂ n⌉
+    * exactly, expected random collisions per band are ~n/2 — negligible next
+    * to the n·bands hashing+index cost that actually dominated the r8
+    * measurement (127 s adaptive vs 34 s fixed at 242 k vectors). Backing off
+    * two bits quadruples random collisions per band (still linear, ~2n) but
+    * shrinks p^bits' collapse, cutting the band count ~1.6× and the plane
+    * count ~1.8× — the constant the r8 verdict flagged. At 242 k vectors the
+    * geometry moves from (142, 18) / 2 556 planes to (89, 16) / 1 424 planes.
     *
     * Total cost is then ~n·bands hashing + ~n·bands/2 random candidates —
     * the classic n^(1+ρ) LSH exponent (ρ = −log₂ p · … < 1) instead of n².
@@ -226,9 +250,9 @@ object Similarity {
     * `maxBands`, trading recall below the target, and the cap is surfaced
     * in the log line).
     *
-    * Worked example, τ=0.8 / recall 0.9: n=2 000 → (28, 11);
-    * n=200 000 → (142, 18); n=10⁹ → (512-capped, 30). Candidates at
-    * n=200 000: ~142·C(n,2)/2^18 ≈ 1.1·10⁷ — vs ~1.25·10⁹ at (16,8).
+    * Worked example, τ=0.8 / recall 0.9: n=2 000 → (17, 9);
+    * n=200 000 → (89, 16); n=10⁹ → (512-capped, 28). Candidates at
+    * n=200 000: ~89·C(n,2)/2^16 ≈ 2.7·10⁷ — vs ~1.25·10⁹ at (16,8).
     */
   def adaptiveBandGeometry(tau: Double, n: Long, targetRecall: Double = 0.9,
       maxBands: Int = 512): (Int, Int) = {
@@ -238,7 +262,7 @@ object Similarity {
     val (tierBands, tierBits) = bandGeometry(tau)
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
     val bits = math.min(30, math.max(tierBits,
-      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 2))
     val pb = math.pow(p, bits)
     val bands =
       if (pb >= 1.0) 1 // τ→1: every plane agrees, one band suffices

@@ -12,7 +12,16 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
   *   runMain graft.tools.Dev geomsweep <sfDir> [τ] [reps] [bitsCsv] — end-to-end sweep over band widths
   *   runMain graft.tools.Dev ivfab <sfDir> [k] [nCells] [nProbe] — trained-IVF recall/time A/B
+  *   runMain graft.tools.Dev ivfsplit <sfDir> [reps] [nCells] — trained-IVF fit vs probe attribution
+  *   runMain graft.tools.Dev lshlayout <sfDir> [bands] [bits] [reps] — verify-layout A/B at one geometry
+  *   runMain graft.tools.Dev stream <sfDir> [batches] — streaming ops batch-parity over replayed events
   */
+
+/** Replayed events row for the `stream` subcommand's MemoryStream (field
+  * order = the events projection it is collected from). */
+case class StreamEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
 object Dev {
   def main(args: Array[String]): Unit = {
     // Optional YAML run config (S2): env beats YAML beats default.
@@ -98,6 +107,41 @@ object Dev {
         val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
         run("adaptive  ", ab, aw)
         corpus.unpersist()
+      case "lshlayout" :: sfDir :: rest =>
+        // A/B the two verify LAYOUTS (narrow-reattach vs payload-inline) at
+        // one explicit geometry over the widened planted-dup corpus, banded
+        // index persisted and shared — isolates the layout decision the
+        // byte-math formula makes from everything else.
+        import org.apache.spark.sql.functions._
+        val tau = 0.8
+        val (nb, bw) = rest match {
+          case b :: w :: _ => (b.toInt, w.toInt)
+          case _ => (89, 16)
+        }
+        val reps = rest.drop(2).headOption.map(_.toInt).getOrElse(2)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val corpus = emb.union(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .cache()
+        val n = corpus.count()
+        val bands = graft.api.Similarity.bandsOf(corpus, "vec_id", "embedding", nb, bw).persist()
+        val stats = bands.groupBy("band", "key")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("(c * (c - 1)) DIV 2")).as("cands"), sum(col("c")).as("rows")).head
+        println(s"lshlayout: n=$n geometry=($nb,$bw) candidates=${stats.getLong(0)} " +
+          s"bandRows=${stats.getLong(1)}")
+        val withNorm = corpus.select(col("vec_id").as("__id"), col("embedding").as("__emb"),
+          graft.expressions.VecDot(col("embedding"), col("embedding")).as("__nn"))
+        for (reattach <- Seq(true, false); r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val found = graft.api.Similarity.verifiedPairs(bands, withNorm, tau, reattach).count()
+          println(f"lshlayout[${if (reattach) "narrow-reattach" else "payload-inline"}][$r]: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s, pairs=$found")
+        }
+        bands.unpersist(); corpus.unpersist()
       case "geomsweep" :: sfDir :: rest =>
         // Calibration sweep for adaptiveBandGeometry's bits rule: for each
         // candidate bits width, derive the band count from the SAME recall
@@ -193,6 +237,192 @@ object Dev {
         }
         println(f"ivfab: trained recall@$k = ${recall(trained)}%.3f " +
           f"(${brute.size} queries, $nCells cells, probe $nProbe)")
+
+      case "stream" :: rest =>
+        // Streaming-family demo artifact: replay the driver's events.parquet
+        // (and the documents SimHash fingerprints) through MemoryStream
+        // micro-batches and print batch-parity results per operator — the
+        // numbers BASELINE.md's streaming section records. "Rate-limited" =
+        // fixed-size micro-batches with a blocking processAllAvailable
+        // between them, so every op crosses real batch boundaries and its
+        // state store does real carrying work. Each op's oracle is its own
+        // batch twin over the same static frame.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.functions._
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.01")
+        val nBatches = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        val ev = graft.Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+        val evRows = ev.as[StreamEv].collect()
+        val batchSize = math.max(1, evRows.length / nBatches)
+        println(s"stream: replaying ${evRows.length} events in ~$nBatches micro-batches " +
+          s"of $batchSize from $d")
+
+        // 1. watermarked tumbling-window agg (complete mode) vs batch twin
+        locally {
+          val mem = MemoryStream[StreamEv]
+          val q = graft.streaming.EventStream.hourlyByType(mem.toDF())
+            .writeStream.format("memory").queryName("dev_hourly")
+            .outputMode("complete").start()
+          try {
+            evRows.grouped(batchSize).foreach { b =>
+              mem.addData(b.toSeq: _*); q.processAllAvailable()
+            }
+            val got = spark.table("dev_hourly").collect().map(_.toSeq).toSet
+            val want = graft.streaming.EventStream.hourlyByType(ev)
+              .collect().map(_.toSeq).toSet
+            println(s"stream: hourly_window parity=${got == want} " +
+              s"rows=${got.size} batch_rows=${want.size}")
+          } finally q.stop()
+        }
+
+        // 2. watermarked STREAM-STREAM attribution join (views = even
+        //    event_id, clicks = odd), both sides fed in interleaved
+        //    micro-batches, vs the same function over static frames
+        locally {
+          val vMem = MemoryStream[StreamEv]
+          val cMem = MemoryStream[StreamEv]
+          val q = graft.streaming.EventStream.attributionJoin(vMem.toDF(), cMem.toDF())
+            .writeStream.format("memory").queryName("dev_attrib")
+            .outputMode("append").start()
+          try {
+            val (views, clicks) = evRows.partition(_.event_id % 2 == 0)
+            views.grouped(batchSize).zipAll(clicks.grouped(batchSize),
+                Array.empty[StreamEv], Array.empty[StreamEv]).foreach { case (vb, cb) =>
+              if (vb.nonEmpty) vMem.addData(vb.toSeq: _*)
+              if (cb.nonEmpty) cMem.addData(cb.toSeq: _*)
+              q.processAllAvailable()
+            }
+            val key = (r: org.apache.spark.sql.Row) => (r.getLong(1), r.getLong(2))
+            val got = spark.table("dev_attrib").collect().map(key).toSet
+            val want = graft.streaming.EventStream.attributionJoin(
+                ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1))
+              .collect().map(key).toSet
+            println(s"stream: attribution_join parity=${got == want} " +
+              s"pairs=${got.size} batch_pairs=${want.size}")
+          } finally q.stop()
+        }
+
+        // 3. online hamming near-dup over the corpus's 32-bit SimHash
+        //    fingerprints (the dedup_simhash signatures), state sharded by
+        //    pigeonhole block, vs the batch lossless band join
+        locally {
+          val (bits, maxDist) = (32, 3)
+          val fps = graft.SparkEntry.queries("dedup_simhash")(spark, d)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val mem = MemoryStream[(Long, Long)]
+          val banded = graft.ops.Hamming.bandRows(
+              mem.toDS().toDF("doc_id", "fp"), "doc_id", "fp", bits, maxDist)
+            .select(col("__id").as("doc_id"), col("__band").as("band"),
+              col("__key").as("key"), col("__fp").as("fp"))
+            .as[graft.streaming.StatefulOps.BandedFp]
+          val q = graft.streaming.StatefulOps.streamingNearDupHamming(banded, bits, maxDist)
+            .writeStream.format("memory").queryName("dev_ham")
+            .outputMode("append").start()
+          try {
+            fps.grouped(math.max(1, fps.length / nBatches)).foreach { b =>
+              mem.addData(b.toSeq: _*); q.processAllAvailable()
+            }
+            val got = spark.table("dev_ham").collect()
+              .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                math.max(r.getLong(0), r.getLong(1)))).toSet
+            val want = graft.ops.Hamming.nearDupPairs(
+                fps.toSeq.toDF("doc_id", "fp"), "doc_id", "fp", bits, maxDist)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            println(s"stream: hamming_neardup parity=${got == want} " +
+              s"pairs=${got.size} batch_pairs=${want.size} (n=${fps.length} fingerprints)")
+          } finally q.stop()
+        }
+
+        // 4. streaming token-budget admission vs the batch mixture
+        //    materialization. Parity contract (the op's doc): admission is
+        //    first-arrival per group, so the stream is fed a PREFIX of the
+        //    batch op's deterministic (hash, id) admission order, one doc
+        //    per micro-batch (a stream has no global order to lean on) —
+        //    the admitted set must equal the batch set restricted to that
+        //    prefix.
+        locally {
+          val docs = graft.Tables.documents(spark, d)
+            .select(col("doc_id"), col("lang").as("group"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          val budgets = Map("en" -> 20000L, "zh" -> 8000L)
+          val admittedBatch = graft.ops.Sampling.mixtureByBudget(
+              docs, "doc_id", "group", "n_tok", budgets)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          val fed = docs
+            .withColumn("__o", graft.ops.Sampling.bucketOf(col("doc_id"), 0L, 1000000))
+            .orderBy("__o", "doc_id")
+            .select("doc_id", "group", "n_tok").limit(200).collect()
+            .map(r => graft.streaming.StatefulOps.BudgetDoc(
+              r.getLong(0), r.getString(1), r.getLong(2)))
+          val mem = MemoryStream[graft.streaming.StatefulOps.BudgetDoc]
+          val q = graft.streaming.StatefulOps.streamingBudgetAdmission(mem.toDS(), budgets)
+            .writeStream.format("memory").queryName("dev_budget")
+            .outputMode("append").start()
+          try {
+            for (doc <- fed) { mem.addData(doc); q.processAllAvailable() }
+            val got = spark.table("dev_budget").collect().map(_.getLong(0)).toSet
+            val want = admittedBatch & fed.map(_.doc_id).toSet
+            println(s"stream: budget_admission parity=${got == want} " +
+              s"admitted=${got.size} batch_admitted_in_prefix=${want.size} " +
+              s"(${fed.length} docs fed)")
+          } finally q.stop()
+        }
+
+      case "ivfsplit" :: rest =>
+        // Fit/probe attribution for the trained-IVF path: the catalog's
+        // sim_ivf_trained number conflates the ONE-TIME index build (KMeans
+        // fit + corpus assignment) with the per-query-batch probe. This
+        // times the three stages separately with the assigned corpus
+        // persisted — the production amortized shape (build once, probe per
+        // batch). Probe runs twice per rep: all-cells (the catalog entry's
+        // exhaustive contract) and nProbe=4 (the production recall/cost
+        // point measured in BASELINE.md).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+        val nCells = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
+        val emb = spark.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count() // warm the scan so fit time is compute, not I/O
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (model, tFit) = secs(graft.ops.KMeans.fit(emb, "vec_id", "embedding", nCells))
+        val assigned = graft.ops.KMeans.assign(emb, "embedding", model)
+          .select(col("vec_id").as("nbr_id"), col("embedding").as("__ne"), col("cell"),
+            graft.expressions.VecDot(col("embedding"), col("embedding")).as("__nn"))
+          .persist()
+        val (_, tIndex) = secs(assigned.count())
+        println(f"ivfsplit: n=$n cells=$nCells fit=${tFit}%.2f s index-build=${tIndex}%.2f s (one-time)")
+        val queries = graft.ops.KMeans.assignAll(emb.filter(col("vec_id") < 10), "embedding", model)
+          .select(col("vec_id").as("q_id"), col("embedding").as("__qe"), col("cell"), col("dist2"),
+            graft.expressions.VecDot(col("embedding"), col("embedding")).as("__qn"))
+        def probe(nProbe: Int): Long = {
+          val wProbe = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("cell").asc)
+          val q = if (nProbe >= nCells) queries.drop("dist2")
+            else queries.withColumn("__pr", row_number().over(wProbe))
+              .filter(col("__pr") <= nProbe).drop("__pr", "dist2")
+          val wTop = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("nbr_id").asc)
+          q.join(assigned, Seq("cell"))
+            .filter(col("q_id") =!= col("nbr_id"))
+            .select(col("q_id"), col("nbr_id"),
+              (graft.expressions.VecDot(col("__qe"), col("__ne")) /
+                (sqrt(col("__qn")) * sqrt(col("__nn")))).as("__sim"))
+            .withColumn("rank", row_number().over(wTop))
+            .filter(col("rank") <= 3)
+            .count()
+        }
+        for (r <- 1 to reps) {
+          val (rowsAll, tAll) = secs(probe(nCells))
+          val (rows4, t4) = secs(probe(4))
+          println(f"ivfsplit[$r]: probe-all=${tAll}%.2f s ($rowsAll rows) " +
+            f"probe-4=${t4}%.2f s ($rows4 rows)")
+        }
+        assigned.unpersist()
 
       case "pqrecall" :: rest =>
         // PQ ADC recall vs exact L2 top-k at k codewords/block: how much

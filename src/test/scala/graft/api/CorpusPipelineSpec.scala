@@ -255,4 +255,74 @@ class CorpusPipelineSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(chunkKey(prepared.trainChunks) == chunkKey(again.trainChunks))
   }
+
+  /** Deterministic patterned PNG (MultimodalSpec's fixture shape): per-pixel
+    * RGB from a seed so the dHash sees real gradients; `noiseEvery` plants a
+    * near-duplicate that is NOT byte-identical. */
+  private def patternPng(w: Int, h: Int, seed: Int, noiseEvery: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 17 + seed) * 2654435761L
+      val base = ((v >>> 16) & 0xffffff).toInt
+      val px = if (noiseEvery > 0 && (x + y * w) % noiseEvery == 0) base ^ 0x030303 else base
+      img.setRGB(x, y, px)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wav(sr: Float, freq: Double, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = math.round(math.sin(2 * math.Pi * freq * i / sr) * 0.5 * 32767).toInt
+      data(2 * i) = (v & 0xff).toByte; data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal stage: written files through ingest -> exact -> perceptual dedup") {
+    // A real directory of mixed media — the ingest contract is binaryFile
+    // over written files, not in-memory rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+      val a = patternPng(64, 48, seed = 7)
+      put("img_a.png", a)                                       // kept or dropped within its trio
+      put("img_a_copy.png", a)                                  // byte-identical: exact drop
+      put("img_a_noisy.png", patternPng(64, 48, 7, noiseEvery = 97)) // near-dup: perceptual drop
+      put("img_b.png", patternPng(64, 48, seed = 900001))       // distinct image: admitted
+      put("tone.wav", wav(8000f, 440.0, 4000))                  // audio: admitted
+      put("note.txt", "plain text, not media".getBytes("UTF-8")) // other: admitted
+      val out = CorpusPipeline.prepareMediaDir(spark, dir.getAbsolutePath)
+      val admitted = out.admitted.collect()
+      val dropped = out.dropped.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // the img_a trio collapses to ONE survivor: one exact drop, one
+      // perceptual drop; everything else is admitted untouched
+      assert(admitted.length == 4, s"admitted ${admitted.toSeq.map(_.doc_id)}")
+      assert(dropped.length == 2)
+      assert(dropped.count(_._2 == "exact") == 1)
+      assert(dropped.count(_._2 == "near_dup_image") == 1)
+      // kinds survive the sniff: exactly 2 images + the audio + the other
+      val kinds = admitted.groupBy(_.kind).view.mapValues(_.length).toMap
+      assert(kinds == Map("image" -> 2, "audio" -> 1, "other" -> 1), s"kinds $kinds")
+      // every drop points at a live representative
+      val admittedIds = admitted.map(_.doc_id).toSet
+      assert(dropped.forall { case (_, _, kept) => admittedIds.contains(kept) },
+        "drop ledger must point at admitted representatives")
+      // payloads pass through byte-exact (the stage never rewrites content)
+      val aId = admitted.filter(_.kind == "audio").head
+      assert(java.util.Arrays.equals(aId.payload, wav(8000f, 440.0, 4000)))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
 }

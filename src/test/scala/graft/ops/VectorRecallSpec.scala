@@ -192,13 +192,14 @@ class VectorRecallSpec extends SparkSpec {
 
   test("adaptive band geometry: bits track log2(n), bands from the recall formula") {
     import graft.api.Similarity
-    // hand-computed against the formula (τ=0.8: p ≈ 0.79517)
-    assert(Similarity.adaptiveBandGeometry(0.8, 2000) == ((28, 11)))
-    assert(Similarity.adaptiveBandGeometry(0.8, 200000) == ((142, 18)))
+    // hand-computed against the formula (τ=0.8: p ≈ 0.79517; bits floor
+    // ⌈log₂ n⌉ − 2 — the r9 constant cut, see adaptiveBandGeometry doc)
+    assert(Similarity.adaptiveBandGeometry(0.8, 2000) == ((17, 9)))
+    assert(Similarity.adaptiveBandGeometry(0.8, 200000) == ((89, 16)))
     // small corpora keep the fixed tier's bits (bits never shrink below it)
     assert(Similarity.adaptiveBandGeometry(0.8, 100)._2 == 8)
-    // extreme n: bits stop at 30 and the band count cap binds (logged)
-    assert(Similarity.adaptiveBandGeometry(0.8, 1000000000L) == ((512, 30)))
+    // extreme n: bits stop well short of 30 and the band-count cap binds
+    assert(Similarity.adaptiveBandGeometry(0.8, 1000000000L) == ((512, 28)))
     // τ→1 degenerates to one band of wide bits
     val (b1, _) = Similarity.adaptiveBandGeometry(0.999, 2000)
     assert(b1 >= 16) // tier floor still applies
@@ -237,8 +238,8 @@ class VectorRecallSpec extends SparkSpec {
     val (candBig, okBig) = measure(4000)
     assert(okSmall && okBig, "planted exact duplicates lost")
     // 4× the data = 16× the pairs: a fixed-bits geometry grows candidates
-    // ~16×; adaptive bits (10 → 12 here) must hold the growth well below
-    // that. (Expected ~6.4× from the formula; 10× leaves margin for bucket
+    // ~16×; adaptive bits (8 → 10 here) must hold the growth well below
+    // that. (Expected ~5.5× from the formula; 10× leaves margin for bucket
     // skew while still refuting quadratic growth.)
     assert(candBig.toDouble / candSmall < 10.0,
       s"adaptive candidates grew ${candBig.toDouble / candSmall}× for 4× data " +

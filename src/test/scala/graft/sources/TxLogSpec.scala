@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The ACID contract of the transaction-log table format: atomic visibility,
+  * optimistic concurrency with no lost updates, serializable merge retry,
+  * time travel, and vacuum that never breaks a retained snapshot.
+  */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val dir = Files.createTempDirectory(s"txlog_$name")
+    // TxLog creates its own layout; hand it a non-existent child so the
+    // table starts truly empty
+    dir.resolve("t").toString
+  }
+
+  private def rows(table: String): Set[(Long, String)] =
+    TxLog.snapshot(table).read(spark) match {
+      case df if df.columns.isEmpty => Set.empty
+      case df => df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+
+  test("append then merge: upsert semantics, each commit one version") {
+    import spark.implicits._
+    val t = freshTable("merge")
+    val v1 = TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    assert(v1 == 1L)
+    val v2 = TxLog.merge(Seq((2L, "B"), (4L, "d")).toDF("k", "v"), t, "k")
+    assert(v2 == 2L)
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
+  test("time travel: an old snapshot replays exactly, immune to later rewrites") {
+    import spark.implicits._
+    val t = freshTable("tt")
+    val v1 = TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t, "k")
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    assert(rows(t) == Set((9L, "z")))
+    val asOfV1 = TxLog.snapshot(t, asOf = v1).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOfV1 == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("atomic visibility: a failed commit publishes nothing") {
+    import spark.implicits._
+    val t = freshTable("atomic")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    // claim version 2 out from under a committer, then watch its attempt
+    // at the same slot fail WITHOUT changing the visible table
+    TxLog.commit(t, 2L, Seq.empty, "squatter")
+    val before = rows(t)
+    intercept[TxLog.VersionConflict] {
+      TxLog.commit(t, 2L, Seq("""{"add":{"path":"/nonexistent.parquet"}}"""), "loser")
+    }
+    assert(rows(t) == before)
+    // and the loser's action never entered the log: replay at tip is clean
+    assert(TxLog.snapshot(t).files.forall(!_.contains("nonexistent")))
+  }
+
+  test("optimistic concurrency: racing appenders all land, no lost updates") {
+    import spark.implicits._
+    val t = freshTable("race")
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (0 until writers).map { w =>
+        scala.concurrent.Future(
+          TxLog.append(Seq((w.toLong, s"w$w")).toDF("k", "v"), t))
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration("300s"))
+      // every writer got a DISTINCT version (the hard-link claim is the
+      // mutual exclusion) and every row is visible at the tip
+      assert(versions.toSet.size == writers, s"versions $versions collided")
+      assert(versions.max == writers.toLong)
+      assert(rows(t) == (0 until writers).map(w => (w.toLong, s"w$w")).toSet)
+    } finally pool.shutdown()
+  }
+
+  test("racing merges serialize: both updates survive the retry protocol") {
+    import spark.implicits._
+    val t = freshTable("mergerace")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val f1 = scala.concurrent.Future(
+        TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t, "k"))
+      val f2 = scala.concurrent.Future(
+        TxLog.merge(Seq((2L, "B")).toDF("k", "v"), t, "k"))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(f1, f2)),
+        scala.concurrent.duration.Duration("300s"))
+      // serial history: whichever merge retried re-read the other's commit,
+      // so NEITHER update is lost (the lost-update anomaly this protocol
+      // exists to prevent)
+      assert(rows(t) == Set((1L, "A"), (2L, "B")))
+    } finally pool.shutdown()
+  }
+
+  test("vacuum removes only unreachable files; retained time travel still reads") {
+    import spark.implicits._
+    val t = freshTable("vacuum")
+    val v1 = TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    val v2 = TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)
+    val v3 = TxLog.overwrite(Seq((3L, "c")).toDF("k", "v"), t)
+    // retain the last two versions: v2's files must survive, v1's may go
+    val deleted = TxLog.vacuum(t, retainVersions = 1L)
+    assert(deleted > 0, "the v1 files are unreachable from v2/v3 and must be deleted")
+    assert(rows(t) == Set((3L, "c")))
+    val asOfV2 = TxLog.snapshot(t, asOf = v2).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOfV2 == Set((2L, "b")))
+    // v1 is outside the retention window; its files are gone from disk
+    val v1Files = TxLog.snapshot(t, asOf = v1).files
+    assert(v1Files.forall(p => !Files.exists(Paths.get(p))))
+  }
+
+  test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
+    val d = sf("sf0.001")
+    val up = graft.SparkEntry.queries("acid_upsert")(spark, d)
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val want = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 10 >= 5, col("o_totalprice") * 2.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .collect().map(_.toSeq).toSet
+    assert(up.collect().map(_.toSeq).toSet == want)
+    val tt = graft.SparkEntry.queries("acid_time_travel")(spark, d)
+    val wantTt = orders.filter(col("o_orderkey") % 10 < 8)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(tt.collect().map(_.toSeq).toSet == wantTt)
+  }
+}
