@@ -107,7 +107,18 @@ object Bench {
     val failed = failures.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"" + failures(k).replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"")
       .mkString("{", ",", "}")
-    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":"$cpus","failed":$failed"""
+    // Contention self-flag (VERDICT r9 "What's wrong" #1): the r9 driver
+    // artifact ran at loadavg 6.67 and misread a healthy 2.7 s query as a
+    // 13 s regression — a poisoned artifact that LOOKS canonical is worse
+    // than none. Any run that starts on a busy box (loadavg_before > 2 on
+    // this 32-cpu machine; pre-existing load, not load this JVM created)
+    // stamps `"contended":true` so no reader can promote it to a baseline,
+    // and says so loudly on stderr. We annotate rather than refuse because
+    // the driver's per-round invocation must still produce an artifact.
+    val contended = loadBefore > 2.0
+    if (contended)
+      System.err.println(f"[bench] WARNING: loadavg_before=$loadBefore%.2f > 2 — machine contended; artifact stamped contended:true and MUST NOT be used as a baseline")
+    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":"$cpus","failed":$failed"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
     println(json)
     // The artifact also lands in a file (SPARK_GRAFT_BENCH_OUT, default
