@@ -102,9 +102,17 @@ object TxLog {
     Snapshot(tip, live.toSeq)
   }
 
-  /** One optimistic commit attempt at `version`: write the temp file, then
-    * atomically claim the version slot. Throws [[VersionConflict]] if another
-    * writer claimed it first. */
+  /** One optimistic commit attempt at `version`: write the temp file, force
+    * it to stable storage, then atomically claim the version slot. Throws
+    * [[VersionConflict]] if another writer claimed it first.
+    *
+    * DURABILITY: the temp file is fsync'd (`FileChannel.force`) BEFORE the
+    * link publishes it, and the `_txlog` directory entry is fsync'd after —
+    * without both, a power loss after `createLink` returns could truncate
+    * the commit body or lose the directory entry, and a lost MIDDLE version
+    * would silently change what later snapshots replay. (POSIX crash
+    * consistency needs the data fsync + the parent-dir fsync pair; on an
+    * object store the conditional PUT is durable by itself.) */
   def commit(table: String, version: Long, actions: Seq[String], op: String): Unit = {
     require(version >= 1, s"versions start at 1, got $version")
     val dir = logDir(table)
@@ -112,15 +120,28 @@ object TxLog {
     val meta = s"""{"meta":{"op":${quote(op)},"version":$version}}"""
     val tmp = Files.createTempFile(dir, s".tmp-$version-", ".json")
     try {
-      Files.write(tmp, (meta +: actions).mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8))
+      scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)) { ch =>
+        ch.write(java.nio.ByteBuffer.wrap((meta +: actions).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      }
       try Files.createLink(versionPath(table, version), tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new VersionConflict(version)
       }
+      fsyncDir(dir)
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** fsync a directory so a just-published entry survives power loss. Some
+    * filesystems refuse read-channel opens on directories — best-effort by
+    * design there (the data file itself is already forced). */
+  private def fsyncDir(dir: Path): Unit =
+    try scala.util.Using.resource(java.nio.channels.FileChannel.open(dir,
+      java.nio.file.StandardOpenOption.READ))(_.force(true))
+    catch { case _: java.io.IOException => () }
 
   /** Write `df` as new immutable parquet files under the table's data area
     * and return their add-actions (nothing is visible until a commit
@@ -209,24 +230,56 @@ object TxLog {
     -1L
   }
 
+  /** Default vacuum in-flight grace: files younger than this are never
+    * deleted even if unreferenced. Delta's VACUUM default is 7 days; 15
+    * minutes fits this sandbox's job durations while still being far longer
+    * than any stage→commit gap. */
+  val DefaultVacuumGraceMs: Long = 15L * 60L * 1000L
+
   /** Delete data files no snapshot ≤ tip references anymore (files removed
     * by some commit and not re-added later), keeping every file still
-    * reachable from `retainVersions` trailing versions for time travel. */
-  def vacuum(table: String, retainVersions: Long = 0L): Long = {
+    * reachable from `retainVersions` trailing versions for time travel.
+    *
+    * SAFETY vs concurrent writers: `stageFiles` writes data files BEFORE the
+    * commit that references them claims a version, so a naive "unreferenced →
+    * delete" races an in-flight append/merge — vacuum could delete files a
+    * commit is about to publish, silently corrupting the table. Guard (the
+    * same one Delta's VACUUM uses): skip any file whose mtime is within
+    * `graceMs` of now. A writer stages and commits within seconds; only a
+    * file that has been BOTH unreferenced and untouched for the whole grace
+    * window is eligible. Pass `graceMs = 0` only when no writer can be
+    * in flight (tests, single-writer maintenance windows).
+    *
+    * Path robustness: log entries record whatever spelling the WRITER passed
+    * (relative, `./`-prefixed, …) while `Files.walk` yields the CALLER's
+    * spelling — exact string comparison between the two can miss every live
+    * file and delete the whole table. Both sides are normalized to absolute
+    * paths before the keep-set membership test. */
+  def vacuum(table: String, retainVersions: Long = 0L,
+      graceMs: Long = DefaultVacuumGraceMs): Long = {
     val tip = latestVersion(table)
     val keepFrom = math.max(1L, tip - retainVersions)
-    // union of live sets of every retained snapshot
-    val keep = (keepFrom to tip).flatMap(v => snapshot(table, v).files).toSet
+    // union of live sets of every retained snapshot, normalized
+    val keep = (keepFrom to tip).flatMap(v => snapshot(table, v).files)
+      .map(normalize).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return 0L
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     var deleted = 0L
     scala.util.Using.resource(Files.walk(dataRoot)) { s =>
       s.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && !keep.contains(p.toString))
+        .filter { p =>
+          p.toString.endsWith(".parquet") && !keep.contains(normalize(p.toString)) &&
+            (try Files.getLastModifiedTime(p).toMillis <= cutoff
+             catch { case _: java.io.IOException => false }) // raced a delete: skip
+        }
         .toList
     }.foreach { p => Files.deleteIfExists(p); deleted += 1 }
     deleted
   }
+
+  private def normalize(p: String): String =
+    Paths.get(p).toAbsolutePath.normalize.toString
 
   // -- tiny JSON helpers (actions are a fixed shape; no parser dependency) --
 

@@ -113,7 +113,8 @@ class TxLogSpec extends SparkSpec {
     val v2 = TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)
     val v3 = TxLog.overwrite(Seq((3L, "c")).toDF("k", "v"), t)
     // retain the last two versions: v2's files must survive, v1's may go
-    val deleted = TxLog.vacuum(t, retainVersions = 1L)
+    // (grace 0: this test is single-writer, no in-flight staging to protect)
+    val deleted = TxLog.vacuum(t, retainVersions = 1L, graceMs = 0L)
     assert(deleted > 0, "the v1 files are unreachable from v2/v3 and must be deleted")
     assert(rows(t) == Set((3L, "c")))
     val asOfV2 = TxLog.snapshot(t, asOf = v2).read(spark)
@@ -122,6 +123,44 @@ class TxLogSpec extends SparkSpec {
     // v1 is outside the retention window; its files are gone from disk
     val v1Files = TxLog.snapshot(t, asOf = v1).files
     assert(v1Files.forall(p => !Files.exists(Paths.get(p))))
+  }
+
+  test("vacuum grace window shields in-flight staged files from deletion") {
+    import spark.implicits._
+    val t = freshTable("grace")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    // simulate an in-flight writer: data files staged, commit NOT yet
+    // published (exactly the stageFiles-then-commit gap vacuum must respect)
+    val stage = Paths.get(t, "data", "inflight-stage")
+    Seq((9L, "z")).toDF("k", "v").write.parquet(stage.toString)
+    val staged = Files.list(stage).iterator()
+    val stagedParquet = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (staged.hasNext) { val p = staged.next(); if (p.toString.endsWith(".parquet")) stagedParquet += p }
+    assert(stagedParquet.nonEmpty)
+    // default grace: the just-written unreferenced files MUST survive
+    TxLog.vacuum(t)
+    assert(stagedParquet.forall(Files.exists(_)),
+      "vacuum deleted files staged by an in-flight commit inside the grace window")
+    // age the staged files past the window: now they are garbage and go
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
+    stagedParquet.foreach(Files.setLastModifiedTime(_, old))
+    val deleted = TxLog.vacuum(t)
+    assert(deleted == stagedParquet.size.toLong)
+    assert(stagedParquet.forall(!Files.exists(_)))
+    assert(rows(t) == Set((1L, "a")), "live table unaffected either way")
+  }
+
+  test("vacuum path spelling: relative writer + differently-spelled caller never deletes live files") {
+    import spark.implicits._
+    // writer uses a RELATIVE table path; vacuum is called with a ./-prefixed
+    // spelling of the same table — string-equality matching would miss every
+    // live file and delete the whole table
+    val abs = Paths.get(freshTable("spell"))
+    val rel = Paths.get("").toAbsolutePath.relativize(abs).toString
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), rel)
+    val deleted = TxLog.vacuum("./" + rel, graceMs = 0L)
+    assert(deleted == 0L, s"vacuum deleted $deleted LIVE files on a path-spelling mismatch")
+    assert(rows(rel) == Set((1L, "a"), (2L, "b")))
   }
 
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
