@@ -44,9 +44,11 @@ import org.apache.spark.sql.functions._
   * O(rows)); reads prune to the live file list before any byte of data is
   * scanned; writes are ordinary distributed parquet jobs into a fresh
   * directory — the single-writer critical section is ONE driver-side hard
-  * link. Log compaction (checkpoint parquet of the live set, as Delta does
-  * every N commits) is the documented next step once versions reach
-  * thousands; snapshots stay O(versions) reads until then.
+  * link. Log compaction: every [[CheckpointInterval]] commits the live set
+  * is checkpointed (as Delta does), so `snapshot` reads ONE checkpoint plus
+  * the commit suffix after it — O(1 + tip mod interval) log reads at any
+  * log length — and `vacuum` replays retained versions from the same
+  * checkpoints.
   *
   * The reference has no transactional storage at all (batch CSV re-writes,
   * web_scraper.py:1164-1183 checkpoint files); this is engine-side
@@ -66,41 +68,129 @@ object TxLog {
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def versionPath(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.json")
+  private def checkpointPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint.json")
 
-  /** Largest committed version, or 0 if the table is empty/new. */
+  /** Write a checkpoint every this-many versions (Delta's default cadence):
+    * commit N%10==0 triggers a best-effort checkpoint so `snapshot` replays
+    * latest-checkpoint + suffix instead of the whole log. */
+  val CheckpointInterval: Long = 10L
+
+  /** Commit files opened by `snapshot` since JVM start — test instrumentation
+    * proving the O(suffix) read claim of checkpoint compaction. */
+  private[sources] val commitFilesReplayed = new java.util.concurrent.atomic.AtomicLong
+
+  /** Largest committed version, or 0 if the table is empty/new. Checkpoint
+    * files (`<v>.checkpoint.json`) are derived state, not commits, and are
+    * excluded — a checkpoint must never make a version look committed. */
   def latestVersion(table: String): Long = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) 0L
     else scala.util.Using.resource(Files.list(dir)) { s =>
       s.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(f => f.endsWith(".json") && !f.startsWith("."))
+        .filter(f => f.endsWith(".json") && !f.startsWith(".") && !f.contains(".checkpoint"))
         .map(_.stripSuffix(".json").toLong)
         .foldLeft(0L)(math.max)
     }
   }
 
+  /** Largest checkpoint version ≤ `asOf`, if any. */
+  private def latestCheckpoint(table: String, asOf: Long): Option[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) None
+    else scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(f => f.endsWith(".checkpoint.json") && !f.startsWith("."))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+        .filter(_ <= asOf)
+        .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
+    }
+  }
+
   /** Replay the log up to `asOf` (default: tip). Time travel = pass an old
-    * version; the files it references are immutable so the read is exact. */
+    * version; the files it references are immutable so the read is exact.
+    * Starts from the newest checkpoint ≤ asOf when one exists, replaying
+    * only the commit suffix after it — O(1) checkpoint read + O(tip −
+    * checkpoint) commit reads instead of O(tip). */
   def snapshot(table: String, asOf: Long = Long.MaxValue): Snapshot = {
     val tip = math.min(latestVersion(table), asOf)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    var v = 1L
+    val (live, _) = replayAdds(table, tip, useCheckpoint = true)
+    Snapshot(tip, live.keysIterator.toSeq)
+  }
+
+  /** Core replay: live map of path → original add-action line (the line is
+    * preserved verbatim so checkpoints and file-stats readers keep whatever
+    * metadata the writer attached, e.g. min/max key stats). Returns the
+    * live map and the version replayed to. */
+  private[sources] def replayAdds(table: String, asOf: Long,
+      useCheckpoint: Boolean): (scala.collection.mutable.LinkedHashMap[String, String], Long) = {
+    val tip = math.min(latestVersion(table), asOf)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val from = (if (useCheckpoint) latestCheckpoint(table, tip) else None) match {
+      case Some(cv) =>
+        Files.readAllLines(checkpointPath(table, cv), StandardCharsets.UTF_8).asScala
+          .foreach { line =>
+            parseAction(line) match {
+              case Some(("add", path)) => live(path) = line
+              case _                   => ()
+            }
+          }
+        cv + 1
+      case None => 1L
+    }
+    var v = from
     while (v <= tip) {
       val p = versionPath(table, v)
       if (Files.exists(p)) {
+        commitFilesReplayed.incrementAndGet()
         Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach { line =>
           parseAction(line) match {
-            case Some(("add", path))    => live += path
-            case Some(("remove", path)) => live -= path
+            case Some(("add", path))    => live(path) = line
+            case Some(("remove", path)) => live.remove(path)
             case _                      => ()
           }
         }
       }
       v += 1
     }
-    Snapshot(tip, live.toSeq)
+    (live, tip)
   }
+
+  /** Materialize the live set at `version` (default: tip) into a checkpoint
+    * file so later snapshots replay from it. Published with the same
+    * temp-write → fsync → hard-link protocol as commits; a concurrent
+    * identical checkpoint simply wins the link race (the content is a
+    * deterministic function of the log prefix, so losing is harmless).
+    * Commit json files are NOT deleted — they still serve time travel below
+    * the checkpoint; `vacuum` owns data-file GC. */
+  def checkpoint(table: String, version: Long = Long.MaxValue): Long = {
+    val (live, tip) = replayAdds(table, version, useCheckpoint = true)
+    if (tip < 1) return 0L
+    val dir = logDir(table)
+    val meta = s"""{"meta":{"op":"checkpoint","version":$tip}}"""
+    val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
+    try {
+      scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)) { ch =>
+        ch.write(java.nio.ByteBuffer.wrap((meta +: live.valuesIterator.toSeq)
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      }
+      try Files.createLink(checkpointPath(table, tip), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      fsyncDir(dir)
+    } finally Files.deleteIfExists(tmp)
+    tip
+  }
+
+  /** Best-effort auto-checkpoint after a successful commit at `v`: on the
+    * interval boundary, compact; failures never fail the commit (the data
+    * is already durable — a checkpoint is pure read-path optimization). */
+  private def maybeCheckpoint(table: String, v: Long): Unit =
+    if (v % CheckpointInterval == 0L)
+      try { checkpoint(table, v); () } catch { case _: Exception => () }
 
   /** One optimistic commit attempt at `version`: write the temp file, force
     * it to stable storage, then atomically claim the version slot. Throws
@@ -168,7 +258,7 @@ object TxLog {
     var attempt = 0
     while (true) {
       val v = latestVersion(table) + 1
-      try { commit(table, v, actions, "append"); return v }
+      try { commit(table, v, actions, "append"); maybeCheckpoint(table, v); return v }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -189,7 +279,7 @@ object TxLog {
     while (true) {
       val snap = snapshot(table)
       val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, snap.version + 1, adds ++ removes, "overwrite"); return snap.version + 1 }
+      try { commit(table, snap.version + 1, adds ++ removes, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -218,7 +308,7 @@ object TxLog {
         .unionByName(updates)
       val adds = stageFiles(merged, table)
       val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, snap.version + 1, adds ++ removes, "merge"); return snap.version + 1 }
+      try { commit(table, snap.version + 1, adds ++ removes, "merge"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1

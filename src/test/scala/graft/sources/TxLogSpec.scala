@@ -125,6 +125,35 @@ class TxLogSpec extends SparkSpec {
     assert(v1Files.forall(p => !Files.exists(Paths.get(p))))
   }
 
+  test("checkpoint compaction: snapshot ≡ full replay and reads only the commit suffix") {
+    import spark.implicits._
+    val t = freshTable("ckpt")
+    // 23 commits with removes in the history (merges rewrite), crossing two
+    // auto-checkpoint boundaries (interval 10 → checkpoints at v10, v20)
+    (1 to 17).foreach(i => TxLog.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    TxLog.merge(Seq((1L, "V1"), (18L, "v18")).toDF("k", "v"), t, "k") // v18
+    (19 to 23).foreach(i => TxLog.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    assert(Files.exists(Paths.get(t, "_txlog", f"${10L}%020d.checkpoint.json")))
+    assert(Files.exists(Paths.get(t, "_txlog", f"${20L}%020d.checkpoint.json")))
+    // a checkpoint never makes a version look committed
+    assert(TxLog.latestVersion(t) == 23L)
+    // checkpointed snapshot ≡ full replay, exactly (same files, same order-free set)
+    val viaCkpt = TxLog.snapshot(t).files.toSet
+    val full = TxLog.replayAdds(t, Long.MaxValue, useCheckpoint = false)._1.keySet
+    assert(viaCkpt == full)
+    assert(rows(t) == ((2 to 23).map(i => (i.toLong, s"v$i")) :+ ((1L, "V1"))).toSet)
+    // O(suffix) proof: a fresh snapshot reads checkpoint@20 + commits 21..23
+    // = exactly 3 commit files, not 23
+    TxLog.commitFilesReplayed.set(0L)
+    TxLog.snapshot(t)
+    assert(TxLog.commitFilesReplayed.get == 3L,
+      s"snapshot replayed ${TxLog.commitFilesReplayed.get} commit files; compaction should leave 3")
+    // time travel BELOW the first checkpoint still replays exactly
+    val asOf5 = TxLog.snapshot(t, asOf = 5L).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOf5 == (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
   test("vacuum grace window shields in-flight staged files from deletion") {
     import spark.implicits._
     val t = freshTable("grace")
