@@ -236,11 +236,44 @@ object TxLog {
   /** Write `df` as new immutable parquet files under the table's data area
     * and return their add-actions (nothing is visible until a commit
     * references them — a crashed job leaves only unreferenced files for
-    * vacuum). */
-  private def stageFiles(df: DataFrame, table: String): Seq[String] = {
+    * vacuum).
+    *
+    * When `statsCol` is set, each add-action carries that column's per-file
+    * min/max (one column-pruned scan of the just-written files), which is
+    * what lets a later [[merge]] on the same key rewrite only the files an
+    * update can possibly touch instead of the whole table. A file whose
+    * stats column is entirely null stays stats-less (opaque — always
+    * rewritten, never wrongly skipped). */
+  private def stageFiles(df: DataFrame, table: String,
+      statsCol: Option[String] = None): Seq[String] = {
     val stage = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
     df.write.mode("error").parquet(stage.toString)
-    listParquet(stage).map(p => s"""{"add":{"path":${quote(p)}}}""")
+    val files = listParquet(stage)
+    val stats: Map[String, (String, String)] = statsCol match {
+      case Some(k) =>
+        // keyed by file NAME (unique within this fresh stage dir) because
+        // _metadata.file_path is URI-spelled while `files` is path-spelled
+        df.sparkSession.read.parquet(stage.toString)
+          .select(col("_metadata.file_path").as("__fp"), col(k).cast("string").as("__k"))
+          .groupBy("__fp").agg(min("__k").as("__mn"), max("__k").as("__mx"))
+          .collect()
+          .flatMap { r =>
+            val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+            (Option(r.getString(1)), Option(r.getString(2))) match {
+              case (Some(mn), Some(mx)) => Some(name -> (mn, mx))
+              case _                    => None
+            }
+          }.toMap
+      case None => Map.empty
+    }
+    files.map { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      (statsCol, stats.get(name)) match {
+        case (Some(k), Some((mn, mx))) =>
+          s"""{"add":{"path":${quote(p)},"stats":{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}}}"""
+        case _ => s"""{"add":{"path":${quote(p)}}}"""
+      }
+    }
   }
 
   private def listParquet(dir: Path): Seq[String] =
@@ -252,9 +285,11 @@ object TxLog {
   /** Blind transactional append: stage files once, then claim the next
     * version slot, retrying past concurrent committers (an append conflicts
     * with nothing — its actions are version-independent). Returns the
-    * committed version. */
-  def append(df: DataFrame, table: String, maxRetries: Int = 64): Long = {
-    val actions = stageFiles(df, table)
+    * committed version. `statsCol` records per-file min/max of that column
+    * in the add-actions so later merges on it can prune their rewrite set. */
+  def append(df: DataFrame, table: String, maxRetries: Int = 64,
+      statsCol: Option[String] = None): Long = {
+    val actions = stageFiles(df, table, statsCol)
     var attempt = 0
     while (true) {
       val v = latestVersion(table) + 1
@@ -273,8 +308,9 @@ object TxLog {
     * snapshot it replaces out, one commit. On conflict the remove-set is
     * re-derived against the new tip (optimistic retry), so a concurrent
     * append is never silently dropped from the removal list. */
-  def overwrite(df: DataFrame, table: String, maxRetries: Int = 64): Long = {
-    val adds = stageFiles(df, table)
+  def overwrite(df: DataFrame, table: String, maxRetries: Int = 64,
+      statsCol: Option[String] = None): Long = {
+    val adds = stageFiles(df, table, statsCol)
     var attempt = 0
     while (true) {
       val snap = snapshot(table)
@@ -292,23 +328,79 @@ object TxLog {
 
   /** Transactional upsert (MERGE semantics of the `upsert_snapshot` catalog
     * entry): rows of `updates` replace same-key rows of the current
-    * snapshot, new keys insert. Implemented as read-snapshot → anti-join →
-    * union → full rewrite + one commit; on a version conflict the WHOLE
-    * merge re-derives against the new tip, so the committed history is
-    * serializable. (File-level row rewrite — partition/file pruning of the
-    * rewrite set, as production formats do, layers on the same log.) */
+    * snapshot, new keys insert. On a version conflict the WHOLE merge
+    * re-derives against the new tip, so the committed history is
+    * serializable.
+    *
+    * FILE-SCOPED REWRITE (the production MERGE shape — Delta/Iceberg do the
+    * same two-phase find-touched-files dance): instead of rewriting the
+    * entire table per upsert (a 1-row update on a 100 TB table must not
+    * rewrite 100 TB), the rewrite set is narrowed to files an update key can
+    * actually live in:
+    *   1. stats prune (log metadata only, no data I/O): drop every file
+    *      whose recorded [min,max] of `keyCol` lies wholly outside the
+    *      update keys' [min,max] envelope;
+    *   2. touch scan (distributed, column-pruned): equi-join the surviving
+    *      candidates' key column against the distinct update keys via
+    *      `_metadata.file_path` — only files holding an ACTUAL update key
+    *      are rewritten.
+    * Files without `keyCol` stats (older writers, all-null key files) stay
+    * opaque and are conservatively rewritten; untouched files keep their
+    * add-actions — no remove, no data movement. Null-keyed update rows
+    * match nothing (SQL join semantics) and are appended as inserts. The
+    * rewritten output re-records stats on `keyCol`, so merges keep pruning
+    * against merged output. */
   def merge(updates: DataFrame, table: String, keyCol: String,
       maxRetries: Int = 16): Long = {
     val spark = updates.sparkSession
     var attempt = 0
     while (true) {
-      val snap = snapshot(table)
-      val current = if (snap.files.isEmpty) updates.limit(0) else snap.read(spark)
+      val (liveMap, tip) = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val withStats = liveMap.toSeq.flatMap { case (path, line) =>
+        parseStats(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+      }
+      val opaque = liveMap.keysIterator.toSet -- withStats.map(_._1)
+      val touched: Seq[String] =
+        if (withStats.isEmpty) liveMap.keysIterator.toSeq
+        else {
+          val keyType = updates.schema(keyCol).dataType
+          import spark.implicits._
+          val updKeys = updates.select(col(keyCol).as("__k"))
+            .where(col("__k").isNotNull).distinct()
+          // phase 1: envelope prune — one row of typed bounds against the
+          // (small, O(files)) ranges frame; comparisons happen in the key's
+          // own type, never as strings
+          val ranges = withStats.toDF("__path", "__mns", "__mxs")
+            .select(col("__path"), col("__mns").cast(keyType).as("__mn"),
+              col("__mxs").cast(keyType).as("__mx"))
+          val bounds = updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx"))
+          val candidates = ranges.crossJoin(broadcast(bounds))
+            .where(col("__mx") >= col("__bmn") && col("__mn") <= col("__bmx"))
+            .select("__path").collect().map(_.getString(0)).toSeq
+          // phase 2: touch scan — read ONLY the candidates' key column and
+          // equi-join (hash, shuffle-or-broadcast — never a nested loop)
+          // against the update keys to find files holding a real hit
+          val hit: Set[String] =
+            if (candidates.isEmpty) Set.empty
+            else {
+              val byAbs = candidates.map(p => normalize(p) -> p).toMap
+              spark.read.parquet(candidates: _*)
+                .select(col("_metadata.file_path").as("__fp"), col(keyCol).as("__k"))
+                .join(updKeys, "__k")
+                .select("__fp").distinct().collect()
+                .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+                .toSet
+            }
+          (hit ++ opaque).toSeq
+        }
+      val current =
+        if (touched.isEmpty) updates.limit(0)
+        else spark.read.parquet(touched: _*)
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(updates)
-      val adds = stageFiles(merged, table)
-      val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, snap.version + 1, adds ++ removes, "merge"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
+      val adds = stageFiles(merged, table, statsCol = Some(keyCol))
+      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      try { commit(table, tip + 1, adds ++ removes, "merge"); maybeCheckpoint(table, tip + 1); return tip + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -376,10 +468,24 @@ object TxLog {
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private val AddRe = """\{"(add|remove)":\{"path":"(.*)"\}\}""".r
+  private def unquote(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // path capture stops at the first unescaped quote so an optional trailing
+  // `"stats":{...}` object never bleeds into it
+  private val ActRe = """\{"(add|remove)":\{"path":"((?:[^"\\]|\\.)*)".*""".r
+  private val StatsRe = """.*"stats":\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"\}.*""".r
 
   private def parseAction(line: String): Option[(String, String)] = line match {
-    case AddRe(kind, path) => Some((kind, path.replace("\\\"", "\"").replace("\\\\", "\\")))
+    case ActRe(kind, path) => Some((kind, unquote(path)))
     case _                 => None
+  }
+
+  /** Per-file key stats attached to an add-action, if the writer recorded
+    * them: (stats column, min, max) as strings in the column's cast-to-string
+    * form. Absent stats mean the file is opaque to pruning. */
+  private[sources] def parseStats(line: String): Option[(String, String, String)] = line match {
+    case StatsRe(c, mn, mx) => Some((unquote(c), unquote(mn), unquote(mx)))
+    case _                  => None
   }
 }

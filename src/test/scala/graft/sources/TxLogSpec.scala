@@ -125,6 +125,37 @@ class TxLogSpec extends SparkSpec {
     assert(v1Files.forall(p => !Files.exists(Paths.get(p))))
   }
 
+  test("file-scoped merge: untouched files survive by path identity, results exact") {
+    import spark.implicits._
+    val t = freshTable("filescope")
+    // 100 keys range-partitioned into 4 files with disjoint key ranges and
+    // per-file min/max stats recorded in the add-actions
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TxLog.append(base, t, statsCol = Some("k"))
+    val before = TxLog.snapshot(t).files
+    assert(before.size == 4, s"expected 4 range files, got ${before.size}")
+    // update keys 95..97 (one file's range) + insert 200 (outside every range)
+    TxLog.merge(Seq((95L, "X"), (96L, "Y"), (200L, "new")).toDF("k", "v"), t, "k")
+    val after = TxLog.snapshot(t).files.toSet
+    val survivors = before.filter(after.contains)
+    // exactly one of the four files held keys 95/96 → exactly three survive
+    // IN PLACE (same path, no rewrite); a full-rewrite merge would leave zero
+    assert(survivors.size == 3,
+      s"expected 3 untouched files to survive by path identity, got ${survivors.size}")
+    assert(rows(t) == ((1 to 100).map {
+      case 95 => (95L, "X"); case 96 => (96L, "Y"); case i => (i.toLong, s"v$i")
+    }.toSet + ((200L, "new"))))
+    // a second merge prunes against the MERGED output's re-recorded stats:
+    // updating key 1 must not rewrite the files holding 26..100
+    val before2 = TxLog.snapshot(t).files
+    TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t, "k")
+    val after2 = TxLog.snapshot(t).files.toSet
+    assert(before2.count(after2.contains) >= 2,
+      "stats were not re-recorded by merge: second merge rewrote everything")
+    assert(rows(t).contains((1L, "A")) && rows(t).contains((100L, "v100")))
+  }
+
   test("checkpoint compaction: snapshot ≡ full replay and reads only the commit suffix") {
     import spark.implicits._
     val t = freshTable("ckpt")
