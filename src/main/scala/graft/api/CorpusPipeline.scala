@@ -351,11 +351,26 @@ object CorpusPipeline {
     val media = graft.sources.BinaryFiles.toMedia(files).toDF().persist()
     try {
       // 1. exact byte dedup, all kinds: winner = lowest doc_id per payload
-      //    hash, derived entirely on the narrow (doc_id, hash) frame
+      //    hash, derived entirely on the narrow (doc_id, hash) frame. A
+      //    64-bit hash match is EVIDENCE, not proof — at billions of files
+      //    a birthday collision silently discarding distinct content is a
+      //    material risk — so candidate drops are byte-confirmed against
+      //    their winner's payload before entering the ledger. Only rows in
+      //    multi-member hash groups (the duplicates themselves, a small
+      //    slice of the corpus) ever move payload bytes for this check.
+      //    (doc_id itself is xxhash64(path): ids are collision-free to the
+      //    same 64-bit birthday bound, which the caller owns — detect with
+      //    a groupBy(doc_id).count > 1 assertion at ingest if the corpus
+      //    approaches that regime.)
       val hashes = media.select(col("doc_id"), xxhash64(col("payload")).as("__h"))
       val keepByHash = hashes.groupBy("__h").agg(min(col("doc_id")).as("kept_id"))
-      val exactDropped = hashes.join(keepByHash, "__h")
+      val candDropped = hashes.join(keepByHash, "__h")
         .filter(col("doc_id") =!= col("kept_id"))
+      val exactDropped = candDropped
+        .join(media.select(col("doc_id"), col("payload")), Seq("doc_id"))
+        .join(media.select(col("doc_id").as("kept_id"), col("payload").as("__kp")),
+          Seq("kept_id"))
+        .filter(col("payload") === col("__kp"))
         .select(col("doc_id"), lit("exact").as("reason"), col("kept_id"))
       val exactKept = media.join(exactDropped.select("doc_id"), Seq("doc_id"), "left_anti")
       // 2. perceptual near-dup among surviving images only (an exact copy

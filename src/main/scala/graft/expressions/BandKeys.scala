@@ -59,13 +59,24 @@ object BandKeys {
     * loop's stride. Values are exactly the ±1.0 the inline mod produced, so
     * results stay bit-identical to the HOF form and the SQL oracle. A racing
     * fill computes an identical table — last write wins harmlessly.
+    *
+    * BOUNDED: a table is cap×planes doubles (high-dim wide geometries reach
+    * hundreds of MB), and geometry sweeps would otherwise accumulate one
+    * per distinct plane count per executor JVM with no eviction. The cache
+    * holds at most [[SignCacheMaxEntries]] plane counts; when full, it is
+    * cleared wholesale before the new fill — tables are pure functions of
+    * (planes, dim), so eviction only costs a deterministic recompute, and a
+    * steady-state workload uses one geometry anyway.
     */
+  private val SignCacheMaxEntries = 4
   private val signCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
 
   private def signTable(planes: Int, dim: Int): Array[Double] = {
     val cur = signCache.get(planes)
     if (cur != null && cur.length >= dim * planes) cur
     else {
+      if (signCache.size >= SignCacheMaxEntries && !signCache.containsKey(planes))
+        signCache.clear()
       val cap = math.max(dim, 128)
       val t = new Array[Double](cap * planes)
       var i = 1L

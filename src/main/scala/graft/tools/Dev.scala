@@ -247,6 +247,10 @@ object Dev {
         // between them, so every op crosses real batch boundaries and its
         // state store does real carrying work. Each op's oracle is its own
         // batch twin over the same static frame.
+        // MemoryStream is Spark-private API with no public equivalent in
+        // 4.1.2 (it moved packages in 4.1: …execution.streaming.runtime);
+        // acceptable ONLY here and in tests — never in library code — and
+        // this import is the one place a Spark upgrade may need to touch.
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import org.apache.spark.sql.functions._
         val d = rest.headOption.getOrElse("/root/testdata/sf0.01")
