@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev ivfsplit <sfDir> [reps] [nCells] — trained-IVF fit vs probe attribution
   *   runMain graft.tools.Dev lshlayout <sfDir> [bands] [bits] [reps] — verify-layout A/B at one geometry
   *   runMain graft.tools.Dev stream <sfDir> [batches] — streaming ops batch-parity over replayed events
+  *   runMain graft.tools.Dev media [families] — multimodal ingest→dedup stage over generated files
   */
 
 /** Replayed events row for the `stream` subcommand's MemoryStream (field
@@ -547,6 +548,83 @@ object Dev {
             f"exactJoin=$viaJoin (${tJoin}%.2f s)")
         }
         batch.unpersist()
+      case "media" :: rest =>
+        // Recorded run of the composed multimodal stage (CorpusPipeline.
+        // prepareMedia): generate a deterministic media corpus on disk —
+        // per family one base PNG, one byte-identical copy (exact-dup) and
+        // one pixel-noised variant (perceptual near-dup), plus audio and
+        // non-media files — then drive binaryFile ingest → exact byte dedup
+        // (byte-confirmed) → dHash near-dup → ledger, and print the
+        // admit/drop counts + wall time BASELINE.md's multimodal row cites.
+        // Expected exactly: families exact drops, families near-dup drops,
+        // families+2 admitted (one image per family + 1 audio + 1 other).
+        val fams = rest.headOption.map(_.toInt).getOrElse(64)
+        val dir = java.nio.file.Files.createTempDirectory("graft_dev_media")
+        def put(name: String, bytes: Array[Byte]): Unit = {
+          java.nio.file.Files.write(dir.resolve(name), bytes); ()
+        }
+        // Family images must be DISTINCT under dHash (a 9×8 downscaled
+        // gradient-sign hash): per-pixel pseudo-random noise averages out in
+        // the downscale and collides across families, so each family gets a
+        // structured sine field with its own frequency pair + phase — the
+        // low-frequency gradient signs differ family to family. `noiseEvery`
+        // plants the not-byte-identical perceptual near-duplicate.
+        def png(w: Int, h: Int, fam: Int, noiseEvery: Int = 0): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val fx = 1 + fam % 8; val fy = 1 + (fam / 8) % 8
+          val ph = 2 * math.Pi * ((fam * 37) % 101) / 101.0
+          for (y <- 0 until h; x <- 0 until w) {
+            val g = 128 + (127 * math.sin(2 * math.Pi * (fx * x.toDouble / w
+              + fy * y.toDouble / h) + ph)).toInt
+            val base = (g << 16) | (g << 8) | g
+            val px = if (noiseEvery > 0 && (x + y * w) % noiseEvery == 0) base ^ 0x030303 else base
+            img.setRGB(x, y, px)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        def wavTone(freq: Double): Array[Byte] = {
+          val sr = 8000f; val n = 4000
+          val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+          val data = new Array[Byte](n * 2)
+          for (i <- 0 until n) {
+            val v = math.round(math.sin(2 * math.Pi * freq * i / sr) * 0.5 * 32767).toInt
+            data(2 * i) = (v & 0xff).toByte; data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        try {
+          for (f <- 0 until fams) {
+            val base = png(64, 48, fam = f)
+            put(f"img_${f}%04d.png", base)
+            put(f"img_${f}%04d_copy.png", base)
+            put(f"img_${f}%04d_noisy.png", png(64, 48, f, noiseEvery = 97))
+          }
+          put("tone.wav", wavTone(440.0))
+          put("note.txt", "plain text, not media".getBytes("UTF-8"))
+          val t0 = System.nanoTime()
+          val out = graft.api.CorpusPipeline.prepareMediaDir(spark, dir.toString)
+          val admitted = out.admitted.count()
+          val byReason = out.dropped.groupBy("reason").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"MEDIA: files=${3 * fams + 2} admitted=$admitted " +
+            f"exact=${byReason.getOrElse("exact", 0L)} " +
+            f"near_dup_image=${byReason.getOrElse("near_dup_image", 0L)} " +
+            f"secs=$secs%.2f expect admitted=${fams + 2} exact=$fams near=$fams")
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
       case "sqlfns" :: rest =>
         // native expressions through the spark.sql surface
         graft.expressions.GraftFunctions.register(spark)
