@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // Optional YAML run config (S2): env beats YAML beats default, so the
     // driver's env-driven contract is unchanged.
+    // Capture pre-existing system load FIRST — before the Spark session,
+    // warmup catalog pass, or anything else this process does drives the
+    // 1-min loadavg up on its own. The contended flag must reflect what was
+    // running on the box when the bench STARTED, not the bench itself.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
     val yml = graft.sources.YamlConfig.fromEnv()
     val res = graft.sources.YamlConfig.resolve(sys.env.get, yml) _
     val sfDir = res("SPARK_GRAFT_SF_DIR", "data.sf_dir", "/root/testdata/sf0.1")
@@ -64,8 +70,6 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_RUNS"))
       .orElse(yml.flatMap(_.get("bench.runs")))
       .map(_.trim.toInt).getOrElse(3))
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadBefore = osBean.getSystemLoadAverage
     val names = SparkEntry.queries.keys.filter(!skip(_)).toVector
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     // A failed pass must be VISIBLE in the artifact, not recorded as a
