@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Emit the canonical per-query baseline table from quiet bench artifacts.
+
+Usage: python3 tools/mk_baseline_table.py
+Reads bench/BENCH_r10_final130_* and prints the markdown table BASELINE.md
+embeds: per-query median across the sf0.1 runs, median across sf1 runs, the
+sf10-comparable value, and the scaling ratios. Queries excluded at sf10
+(quadratic-by-contract skip list) show an em-dash.
+"""
+import json, statistics, sys
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+sf01 = [load(f"bench/BENCH_r10_final130_sf0.1_run{i}.json") for i in (1, 2, 3)]
+sf1 = [load(f"bench/BENCH_r10_final130_sf1_run{i}.json") for i in (1, 2)]
+sf10 = load("bench/BENCH_r10_final130_sf10_comparable_run1.json")
+
+for a in sf01 + sf1 + [sf10]:
+    assert not a["failed"], a["failed"]
+    assert not a.get("contended"), "contended artifact must not be canonical"
+
+names = sorted(sf01[0]["queries"])
+rows = []
+for n in names:
+    v01 = statistics.median(a["queries"][n] for a in sf01)
+    v1 = statistics.median(a["queries"][n] for a in sf1)
+    v10 = sf10["queries"].get(n)
+    rows.append((n, v01, v1, v10))
+
+rows.sort(key=lambda r: -(r[3] / r[1] if r[3] else -1 / r[1]))
+print("| query | sf0.1 (s) | sf1 (s) | sf10 (s) | sf1/sf0.1 (10x) | sf10/sf0.1 (100x) |")
+print("|---|---|---|---|---|---|")
+t01 = t1 = t10 = 0.0
+for n, v01, v1, v10 in rows:
+    t01 += v01; t1 += v1; t10 += v10 or 0.0
+    s10 = f"{v10:.2f}" if v10 is not None else "—"
+    r10 = f"{v10 / v01:.1f}" if v10 is not None else "—"
+    print(f"| {n} | {v01:.2f} | {v1:.2f} | {s10} | {v1 / v01:.2f} | {r10} |")
+print(f"| **total** | **{t01:.1f}** | **{t1:.1f}** | **{t10:.1f}** | | |")
+shared01 = sum(v01 for n, v01, v1, v10 in rows if v10 is not None)
+shared1 = sum(v1 for n, v01, v1, v10 in rows if v10 is not None)
+n10 = sum(1 for r in rows if r[3] is not None)
+print(f"\nshared {n10}-query subtotal: sf0.1 {shared01:.1f} s, sf1 {shared1:.1f} s, "
+      f"sf10 {t10:.1f} s — {t10 / shared01:.1f}x over 100x the data", file=sys.stderr)
