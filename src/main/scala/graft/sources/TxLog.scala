@@ -78,7 +78,7 @@ object TxLog {
 
   /** Commit files opened by `snapshot` since JVM start — test instrumentation
     * proving the O(suffix) read claim of checkpoint compaction. */
-  private[sources] val commitFilesReplayed = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val commitFilesReplayed = new java.util.concurrent.atomic.AtomicLong
 
   /** Largest committed version, or 0 if the table is empty/new. Checkpoint
     * files (`<v>.checkpoint.json`) are derived state, not commits, and are
@@ -116,27 +116,40 @@ object TxLog {
     * checkpoint) commit reads instead of O(tip). */
   def snapshot(table: String, asOf: Long = Long.MaxValue): Snapshot = {
     val tip = math.min(latestVersion(table), asOf)
-    val (live, _) = replayAdds(table, tip, useCheckpoint = true)
-    Snapshot(tip, live.keysIterator.toSeq)
+    val r = replayAdds(table, tip, useCheckpoint = true)
+    Snapshot(tip, r.live.keysIterator.toSeq)
   }
 
-  /** Core replay: live map of path → original add-action line (the line is
-    * preserved verbatim so checkpoints and file-stats readers keep whatever
-    * metadata the writer attached, e.g. min/max key stats). Returns the
-    * live map and the version replayed to. */
+  /** Replayed log state at some version: live file map of path → original
+    * add-action line (the line is preserved verbatim so checkpoints and
+    * file-stats readers keep whatever metadata the writer attached, e.g.
+    * min/max key stats), the latest streaming-transaction version per
+    * application id (see [[appendIdempotent]]), and the version replayed
+    * to. */
+  private[sources] final case class Replay(
+      live: scala.collection.mutable.LinkedHashMap[String, String],
+      txns: scala.collection.mutable.LinkedHashMap[String, Long],
+      tip: Long)
+
+  /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
   private[sources] def replayAdds(table: String, asOf: Long,
-      useCheckpoint: Boolean): (scala.collection.mutable.LinkedHashMap[String, String], Long) = {
+      useCheckpoint: Boolean): Replay = {
     val tip = math.min(latestVersion(table), asOf)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def take(line: String): Unit = parseAction(line) match {
+      case Some(("add", path))    => live(path) = line
+      case Some(("remove", path)) => live.remove(path)
+      case _ => parseTxn(line) match {
+        case Some((app, ver)) =>
+          txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
+        case None => ()
+      }
+    }
     val from = (if (useCheckpoint) latestCheckpoint(table, tip) else None) match {
       case Some(cv) =>
         Files.readAllLines(checkpointPath(table, cv), StandardCharsets.UTF_8).asScala
-          .foreach { line =>
-            parseAction(line) match {
-              case Some(("add", path)) => live(path) = line
-              case _                   => ()
-            }
-          }
+          .foreach(take)
         cv + 1
       case None => 1L
     }
@@ -145,17 +158,11 @@ object TxLog {
       val p = versionPath(table, v)
       if (Files.exists(p)) {
         commitFilesReplayed.incrementAndGet()
-        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach { line =>
-          parseAction(line) match {
-            case Some(("add", path))    => live(path) = line
-            case Some(("remove", path)) => live.remove(path)
-            case _                      => ()
-          }
-        }
+        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach(take)
       }
       v += 1
     }
-    (live, tip)
+    Replay(live, txns, tip)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -166,16 +173,22 @@ object TxLog {
     * Commit json files are NOT deleted — they still serve time travel below
     * the checkpoint; `vacuum` owns data-file GC. */
   def checkpoint(table: String, version: Long = Long.MaxValue): Long = {
-    val (live, tip) = replayAdds(table, version, useCheckpoint = true)
+    val r = replayAdds(table, version, useCheckpoint = true)
+    val tip = r.tip
     if (tip < 1) return 0L
     val dir = logDir(table)
     val meta = s"""{"meta":{"op":"checkpoint","version":$tip}}"""
+    // txn lines are carried forward so idempotent-append dedup survives log
+    // compaction: lastTxnVersion must see an app's watermark even when every
+    // commit that carried it sits below the checkpoint
+    val txnLines = r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
     try {
       scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
           java.nio.file.StandardOpenOption.WRITE)) { ch =>
-        ch.write(java.nio.ByteBuffer.wrap((meta +: live.valuesIterator.toSeq)
-          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)))
+        ch.write(java.nio.ByteBuffer.wrap(
+          (meta +: (txnLines ++ r.live.valuesIterator.toSeq))
+            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)))
         ch.force(true)
       }
       try Files.createLink(checkpointPath(table, tip), tmp)
@@ -355,7 +368,8 @@ object TxLog {
     val spark = updates.sparkSession
     var attempt = 0
     while (true) {
-      val (liveMap, tip) = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val (liveMap, tip) = (replay.live, replay.tip)
       val withStats = liveMap.toSeq.flatMap { case (path, line) =>
         parseStats(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
       }
@@ -410,6 +424,55 @@ object TxLog {
       }
     }
     -1L
+  }
+
+  /** Latest committed streaming-transaction version for `appId`, or None if
+    * this application never committed to the table. O(checkpoint + suffix)
+    * log reads — checkpoints carry txn watermarks forward. */
+  def lastTxnVersion(table: String, appId: String): Option[Long] =
+    replayAdds(table, Long.MaxValue, useCheckpoint = true).txns.get(appId)
+
+  /** Transactional idempotent append — the commit primitive behind
+    * exactly-once streaming writes (the published Delta-log `txn` action:
+    * Armbrust et al. VLDB 2020, §3.3 "Transaction identifiers"). Each commit
+    * carries `{"txn":{"app":appId,"version":txnVersion}}`; a replayed
+    * micro-batch (same appId + version, e.g. Structured Streaming re-running
+    * the last uncommitted batch after a crash) is detected against the log
+    * and skipped as a metadata no-op — no partition-overwrite trick, no
+    * duplicate rows, and readers keep full snapshot isolation + time travel.
+    *
+    * ZOMBIE-DRIVER SAFETY: the txn check and the version claim are bound to
+    * the SAME replayed log state — the commit targets exactly `tip + 1` of
+    * the replay that passed the check, so a concurrent duplicate writer
+    * (two drivers of one restarted streaming query) lands on the same slot
+    * and exactly one hard-link wins; the loser re-replays, sees the txn
+    * watermark, and returns None. A check against a stale tip with a commit
+    * at a fresher slot would let both writers commit the same batch.
+    *
+    * Returns Some(committedVersion), or None if `txnVersion` was already
+    * committed for `appId` (the staged files of a skipped attempt stay
+    * unreferenced and are vacuum's to collect, like any failed writer). */
+  def appendIdempotent(df: DataFrame, table: String, appId: String,
+      txnVersion: Long, maxRetries: Int = 64,
+      statsCol: Option[String] = None): Option[Long] = {
+    if (lastTxnVersion(table, appId).exists(_ >= txnVersion)) return None
+    val actions = stageFiles(df, table, statsCol) :+ txnLine(appId, txnVersion)
+    var attempt = 0
+    while (true) {
+      val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (r.txns.get(appId).exists(_ >= txnVersion)) return None
+      try {
+        commit(table, r.tip + 1, actions, "append")
+        maybeCheckpoint(table, r.tip + 1)
+        return Some(r.tip + 1)
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"idempotent append lost $maxRetries version races on $table")
+      }
+    }
+    None // unreachable
   }
 
   /** Default vacuum in-flight grace: files younger than this are never
@@ -479,6 +542,16 @@ object TxLog {
   private def parseAction(line: String): Option[(String, String)] = line match {
     case ActRe(kind, path) => Some((kind, unquote(path)))
     case _                 => None
+  }
+
+  private val TxnRe = """\{"txn":\{"app":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r
+
+  private def txnLine(appId: String, version: Long): String =
+    s"""{"txn":{"app":${quote(appId)},"version":$version}}"""
+
+  private def parseTxn(line: String): Option[(String, Long)] = line match {
+    case TxnRe(app, ver) => Some((unquote(app), ver.toLong))
+    case _               => None
   }
 
   /** Per-file key stats attached to an add-action, if the writer recorded

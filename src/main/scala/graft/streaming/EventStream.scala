@@ -65,6 +65,32 @@ object EventStream {
     }
   }
 
+  /** Exactly-once TRANSACTIONAL sink: foreachBatch into a [[graft.sources.
+    * TxLog]] ACID table, batch id = the log's streaming-transaction version
+    * (the Delta-log `txn` pattern). Stronger than [[exactlyOnceParquet]]:
+    * replaying the last uncommitted micro-batch after a crash is detected
+    * against the table's OWN commit log (not the layout of a partition
+    * directory) and skipped as a metadata no-op, concurrent zombie drivers
+    * of a restarted query cannot double-commit (slot-bound optimistic
+    * concurrency in `appendIdempotent`), and readers of the table get
+    * snapshot isolation + time travel over the stream's whole history.
+    * Scale posture: each micro-batch is one ordinary distributed parquet
+    * job + one driver-side hard-link commit; the log grows O(batches) and
+    * compacts on the checkpoint cadence.
+    *
+    * `appId` must be stable across restarts of the same logical query (and
+    * distinct between different queries writing the same table) — reusing
+    * the Spark checkpoint location string is the natural choice. */
+  def exactlyOnceTxLog(df: DataFrame, table: String, checkpoint: String,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.TxLog.appendIdempotent(batch.toDF(), table, appId, id)
+        ()
+      }
+      .start()
+
   /** Session windows per user: events within `gap` of each other merge into
     * one session (declarative session_window — no manual state needed). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -170,7 +170,7 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.latestVersion(t) == 23L)
     // checkpointed snapshot ≡ full replay, exactly (same files, same order-free set)
     val viaCkpt = TxLog.snapshot(t).files.toSet
-    val full = TxLog.replayAdds(t, Long.MaxValue, useCheckpoint = false)._1.keySet
+    val full = TxLog.replayAdds(t, Long.MaxValue, useCheckpoint = false).live.keySet
     assert(viaCkpt == full)
     assert(rows(t) == ((2 to 23).map(i => (i.toLong, s"v$i")) :+ ((1L, "V1"))).toSet)
     // O(suffix) proof: a fresh snapshot reads checkpoint@20 + commits 21..23
