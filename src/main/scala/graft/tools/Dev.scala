@@ -323,7 +323,12 @@ object Dev {
             .select(col("__id").as("doc_id"), col("__band").as("band"),
               col("__key").as("key"), col("__fp").as("fp"))
             .as[graft.streaming.StatefulOps.BandedFp]
-          val q = graft.streaming.StatefulOps.streamingNearDupHamming(banded, bits, maxDist)
+          // parity needs the state cap lifted: this corpus's simhash top byte
+          // is near-constant (~96% of fps share band 3 key 0), so one bucket
+          // exceeds the 4096 production default and capped state would shed
+          // pairs by design — the demo asserts losslessness GIVEN enough state
+          val q = graft.streaming.StatefulOps.streamingNearDupHamming(
+              banded, bits, maxDist, maxPerBucket = fps.length)
             .writeStream.format("memory").queryName("dev_ham")
             .outputMode("append").start()
           try {
@@ -337,7 +342,8 @@ object Dev {
                 fps.toSeq.toDF("doc_id", "fp"), "doc_id", "fp", bits, maxDist)
               .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
             println(s"stream: hamming_neardup parity=${got == want} " +
-              s"pairs=${got.size} batch_pairs=${want.size} (n=${fps.length} fingerprints)")
+              s"pairs=${got.size} batch_pairs=${want.size} (n=${fps.length} fingerprints, " +
+              s"maxPerBucket=${fps.length})")
           } finally q.stop()
         }
 
