@@ -475,6 +475,37 @@ object TxLog {
     None // unreachable
   }
 
+  /** One replayed commit for log tailing: the version, the operation that
+    * produced it (`append` / `overwrite` / `merge`), and the data files it
+    * added. Removals are not surfaced — a streaming reader of an
+    * append-style table never sees them, and a rewrite commit is exactly
+    * one whose op is not `append` (see [[TxLogStreamSource]]). */
+  final case class Commit(version: Long, op: String, added: Seq[String])
+
+  /** The commits in version range (`fromExclusive`, `toInclusive`], oldest
+    * first — the batch change-feed behind the streaming source. O(range)
+    * commit-file reads, no checkpoint involvement (checkpoints compact the
+    * LIVE SET; a change feed needs the per-version actions, which is why
+    * commit json files are never deleted). Missing versions (never
+    * committed) are skipped. */
+  def changes(table: String, fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
+    val tip = math.min(latestVersion(table), toInclusive)
+    (math.max(1L, fromExclusive + 1) to tip).flatMap { v =>
+      val p = versionPath(table, v)
+      if (!Files.exists(p)) None
+      else {
+        val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        val op = lines.iterator.flatMap(parseMeta).collectFirst {
+          case (o, _) => o
+        }.getOrElse("append")
+        val added = lines.iterator.flatMap(parseAction).collect {
+          case ("add", path) => path
+        }.toSeq
+        Some(Commit(v, op, added))
+      }
+    }
+  }
+
   /** Default vacuum in-flight grace: files younger than this are never
     * deleted even if unreferenced. Delta's VACUUM default is 7 days; 15
     * minutes fits this sandbox's job durations while still being far longer
@@ -542,6 +573,13 @@ object TxLog {
   private def parseAction(line: String): Option[(String, String)] = line match {
     case ActRe(kind, path) => Some((kind, unquote(path)))
     case _                 => None
+  }
+
+  private val MetaRe = """\{"meta":\{"op":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r
+
+  private def parseMeta(line: String): Option[(String, Long)] = line match {
+    case MetaRe(op, ver) => Some((unquote(op), ver.toLong))
+    case _               => None
   }
 
   private val TxnRe = """\{"txn":\{"app":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r

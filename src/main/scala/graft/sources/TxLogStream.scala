@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SOURCE over a [[TxLog]] ACID table — tail the commit log as
+  * micro-batches, the Delta streaming-source shape (Armbrust et al. VLDB
+  * 2020, §4.3 "Streaming reads"): the stream OFFSET is the log version, so
+  * progress tracking, restart, and replay all ride the table's own commit
+  * protocol rather than directory listings.
+  *
+  *   spark.readStream.format("txlog").load(tablePath)
+  *
+  * Batch semantics (deterministic in the offset range, which is what makes
+  * checkpoint replay exact):
+  *  - the INITIAL batch (no start offset) is the table SNAPSHOT at the
+  *    first observed version — the live file set, i.e. full history with
+  *    removals already folded in, so a table whose past contains
+  *    overwrites/merges streams cleanly from scratch;
+  *  - every later batch (start, end] is the union of files ADDED by the
+  *    commits in that version range. Append commits are pure new data. A
+  *    rewrite commit (`overwrite`/`merge`) does not mean new data — its adds
+  *    are rewritten old rows — so by default the source FAILS on one
+  *    (`ignoreChanges=false`), naming the version; with `ignoreChanges=true`
+  *    the rewrite's added files are emitted instead (re-emission of
+  *    untouched rows in rewritten files is the documented caveat, exactly
+  *    Delta's `ignoreChanges` contract — downstream must key-dedup, e.g.
+  *    via [[TxLog.merge]] or `appendIdempotent` + window_latest).
+  *
+  * Exactly-once END TO END: this source + [[graft.streaming.EventStream
+  * .exactlyOnceTxLog]] gives table→table pipelines where a crash at any
+  * point (mid-batch, between commit and checkpoint, zombie driver) neither
+  * drops nor duplicates rows — the source replays a deterministic version
+  * range and the sink's txn action dedups the replayed commit.
+  *
+  * Options: `ignoreChanges` (above); `maxVersionsPerTrigger` (cap versions
+  * consumed per micro-batch — best-effort per driver JVM, the first batch
+  * after a restart is uncapped because V1 sources learn the committed
+  * offset only from the engine's first getBatch call).
+  *
+  * SCALE posture: getOffset is one directory listing of `_txlog` (O(log
+  * suffix) names, no data I/O); a batch plans a vanilla parquet scan over
+  * exactly the named files — pushdown/pruning/AQE all apply; nothing on the
+  * driver is O(rows). Commit json files are never deleted, so any
+  * historical range stays replayable (vacuum only collects data files
+  * outside the retained snapshots).
+  *
+  * API note: this implements the V1 `Source` contract
+  * (`execution.streaming.Source`, the interface Spark's own
+  * FileStreamSource implements, stable across 2.x–4.x) because it is the
+  * one streaming-source API where a micro-batch is served as a file-backed
+  * DataFrame; the public DSv2 MicroBatchStream would require hand-rolling
+  * parquet `InternalRow` partition readers for no behavioral gain.
+  */
+class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      TxLogStreamSource.inferSchema(sqlContext, TxLogStreamSource.tableOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = TxLogStreamSource.tableOf(parameters)
+    // defensively case-fold: the engine passes a case-insensitive map on
+    // current versions, but that is an implementation detail
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new TxLogStreamSource(sqlContext, table,
+      schema.getOrElse(TxLogStreamSource.inferSchema(sqlContext, table)),
+      ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong))
+  }
+}
+
+object TxLogStreamSource {
+
+  private[sources] def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog source needs a table path: .load(<tablePath>)"))
+
+  /** Schema = the parquet schema of the current snapshot's files. An empty
+    * table cannot self-describe — pass `.schema(...)` explicitly there. */
+  private[sources] def inferSchema(sqlContext: SQLContext, table: String): StructType = {
+    val files = TxLog.snapshot(table).files
+    require(files.nonEmpty,
+      s"cannot infer schema of empty txlog table $table — pass .schema(...) explicitly")
+    sqlContext.sparkSession.read.parquet(files: _*).schema
+  }
+}
+
+class TxLogStreamSource(sqlContext: SQLContext, table: String,
+    override val schema: StructType, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  /** Last version handed to the engine (from getOffset or getBatch) — the
+    * base the per-trigger cap advances from. -1 = unknown (fresh source;
+    * the first answer is uncapped). Driver-side only, like every V1
+    * source's internal progress state. */
+  private var lastEnd: Long = -1L
+
+  override def getOffset: Option[Offset] = synchronized {
+    val tip = TxLog.latestVersion(table)
+    if (tip < 1) None
+    else {
+      val end = maxVersionsPerTrigger match {
+        case Some(cap) if lastEnd >= 0 => math.min(tip, lastEnd + math.max(1L, cap))
+        case _                         => tip
+      }
+      lastEnd = math.max(lastEnd, end)
+      Some(LongOffset(end))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = versionOf(end)
+    synchronized { lastEnd = math.max(lastEnd, hi) }
+    val files = start match {
+      case None =>
+        // initial batch: the snapshot AT hi — removals folded in, exact on
+        // replay because hi is pinned in the stream's offset log
+        TxLog.snapshot(table, hi).files
+      case Some(lo) =>
+        TxLog.changes(table, versionOf(lo), hi).flatMap { c =>
+          if (c.op == "append") c.added
+          else if (ignoreChanges) c.added
+          else throw new IllegalStateException(
+            s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +
+              "a rewrite's adds are rewritten old rows, not new data. Set " +
+              "ignoreChanges=true to emit them (downstream must key-dedup).")
+        }
+    }
+    // getBatch must hand the engine an isStreaming-tagged plan; the shim
+    // re-tags the ordinary parquet scan (see StreamingFrames' scaladoc)
+    if (files.isEmpty)
+      org.apache.spark.sql.graftshim.StreamingFrames.emptyStreaming(
+        sqlContext.sparkSession, schema)
+    else org.apache.spark.sql.graftshim.StreamingFrames.asStreaming(
+      sqlContext.sparkSession.read.schema(schema).parquet(files: _*))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.toString.toLong // engine-deserialized json
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxLogStreamSource[$table]"
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** The txlog streaming SOURCE: offset = commit-log version, initial batch =
+  * snapshot, later batches = appended files; rewrite commits are refused by
+  * default (ignoreChanges opts into Delta-style re-emission). The flagship
+  * contract is source + transactional sink composing into an exactly-once
+  * table→table pipeline that survives restart. */
+class TxSourceSpec extends SparkSpec {
+
+  private def freshTable(name: String): String =
+    Files.createTempDirectory(s"txsrc_$name").resolve("t").toString
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def pairs(d: DataFrame): Set[(Long, String)] =
+    d.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("initial batch is the snapshot (rewrites folded in); appends tail on") {
+    val t = freshTable("tail")
+    TxLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t, statsCol = Some("k"))
+    TxLog.merge(df(2L -> "B"), t, "k") // pre-history rewrite: must NOT trip strict mode
+    TxLog.append(df(4L -> "d"), t)
+    val q = spark.readStream.format("txlog").load(t)
+      .writeStream.format("memory").queryName("txsrc_tail")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_tail_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(pairs(spark.table("txsrc_tail")) ==
+        Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+      TxLog.append(df(5L -> "e"), t)
+      TxLog.append(df(6L -> "f"), t)
+      q.processAllAvailable()
+      assert(pairs(spark.table("txsrc_tail")) ==
+        Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f"))
+    } finally q.stop()
+  }
+
+  test("exactly-once table-to-table pipeline survives restart") {
+    val src = freshTable("pipe_src")
+    val dst = freshTable("pipe_dst")
+    val ckpt = Files.createTempDirectory("txsrc_pipe_ck").toString
+    TxLog.append(df(1L -> "a", 2L -> "b"), src)
+    def run() = EventStream.exactlyOnceTxLog(
+      spark.readStream.format("txlog").load(src)
+        .withColumn("v", upper(col("v"))),
+      dst, ckpt, appId = "pipe")
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(pairs(TxLog.snapshot(dst).read(spark)) == Set(1L -> "A", 2L -> "B"))
+
+    // crash/redeploy: new data lands, old batches are not re-landed
+    TxLog.append(df(3L -> "c"), src)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(pairs(TxLog.snapshot(dst).read(spark)) ==
+      Set(1L -> "A", 2L -> "B", 3L -> "C"))
+    // a third restart with nothing new is a pure no-op
+    val q3 = run()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(pairs(TxLog.snapshot(dst).read(spark)) ==
+      Set(1L -> "A", 2L -> "B", 3L -> "C"))
+  }
+
+  test("mid-stream rewrite fails strict mode; ignoreChanges re-emits its adds") {
+    val t = freshTable("rewrite")
+    TxLog.append(df(1L -> "a", 2L -> "b"), t, statsCol = Some("k"))
+    val strict = spark.readStream.format("txlog").load(t)
+      .writeStream.format("memory").queryName("txsrc_strict")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_strict_ck").toString)
+      .outputMode("append").start()
+    try {
+      strict.processAllAvailable()
+      TxLog.merge(df(2L -> "B"), t, "k")
+      val e = intercept[StreamingQueryException] { strict.processAllAvailable() }
+      def causes(x: Throwable): List[Throwable] =
+        if (x == null) Nil else x :: causes(x.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("merge commit")),
+        s"expected the rewrite refusal, got: ${causes(e).map(_.getMessage)}")
+    } finally {
+      // stop() rethrows the terminal failure of an already-failed query
+      try strict.stop() catch { case _: StreamingQueryException => () }
+    }
+
+    // ignoreChanges: the merge's added files are emitted; untouched rows in
+    // rewritten files re-emit (the documented Delta-ignoreChanges caveat)
+    val loose = spark.readStream.format("txlog")
+      .option("ignoreChanges", "true").load(t)
+      .writeStream.format("memory").queryName("txsrc_loose")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_loose_ck").toString)
+      .outputMode("append").start()
+    try {
+      loose.processAllAvailable() // initial snapshot: (1,a) (2,B)
+      TxLog.merge(df(1L -> "A"), t, "k")
+      loose.processAllAvailable()
+      val got = spark.table("txsrc_loose").select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.contains(1L -> "A"), s"merge's new row must stream through, got $got")
+      assert(TxLog.snapshot(t).read(spark).count() == 2)
+    } finally loose.stop()
+  }
+
+  test("strict stream fails ignoreChanges message names the option") {
+    // the refusal message must tell the operator the escape hatch
+    val t = freshTable("msg")
+    TxLog.append(df(1L -> "a"), t)
+    TxLog.overwrite(df(1L -> "A"), t)
+    val e = intercept[IllegalStateException] {
+      new graft.sources.TxLogStreamSource(spark.sqlContext, t,
+        TxLog.snapshot(t).read(spark).schema, ignoreChanges = false,
+        maxVersionsPerTrigger = None)
+        .getBatch(
+          Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L)),
+          org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L))
+    }
+    assert(e.getMessage.contains("ignoreChanges=true"))
+  }
+
+  test("maxVersionsPerTrigger bounds versions consumed per micro-batch") {
+    val t = freshTable("cap")
+    TxLog.append(df(1L -> "a"), t)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txlog")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_cap_ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // initial snapshot batch
+      TxLog.append(df(2L -> "b"), t)
+      TxLog.append(df(3L -> "c"), t)
+      TxLog.append(df(4L -> "d"), t)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val counts = batches.asScala.toSeq
+      assert(counts.sum == 4, s"all rows exactly once, got $counts")
+      // capped: the three appended versions arrive as three 1-row batches
+      assert(counts.count(_ == 1L) >= 3, s"expected per-version batches, got $counts")
+    } finally q.stop()
+  }
+}
