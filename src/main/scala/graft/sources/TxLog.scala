@@ -426,6 +426,65 @@ object TxLog {
     -1L
   }
 
+  /** Compact small live files into target-size files — the lakehouse
+    * OPTIMIZE command (Delta's OPTIMIZE / Iceberg's rewrite_data_files),
+    * and the necessary companion of the streaming sink: every micro-batch
+    * commit lands a handful of small parquet files, and a few thousand
+    * batches later the table is a small-file swamp whose scan cost is
+    * dominated by per-file open/footer overhead. One optimize commit
+    * rewrites the small files into ~`targetBytes` files and removes them.
+    *
+    * CONTENT-NEUTRALITY: the table's ROWS are unchanged — op is recorded as
+    * `"optimize"` and [[TxLogStreamSource]] SKIPS such commits (Delta's
+    * `dataChange=false` semantics), so a live tailing stream neither fails
+    * nor re-emits. Time travel below the optimize still reads the old
+    * files (they stay on disk until `vacuum`).
+    *
+    * Mechanics: candidates = live files smaller than `targetBytes`; they
+    * are read in one distributed scan, optionally Z-ordered (2-column
+    * [[graft.ops.Layout.zorderBy]] clustering so later range predicates on
+    * either column prune files), written as ceil(totalBytes/targetBytes)
+    * files, and swapped in a single optimistic commit (re-derived against
+    * the fresh tip on conflict, like merge). `statsCol` re-records per-file
+    * min/max so file-scoped MERGE keeps pruning against compacted output.
+    * Returns the committed version, or 0 if fewer than `minFiles`
+    * candidates made compaction worthwhile. */
+  def optimize(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
+      zorder: Option[(String, String)] = None, statsCol: Option[String] = None,
+      maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (true) {
+      val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val candidates = replay.live.keysIterator.filter { p =>
+        try Files.size(Paths.get(p)) < targetBytes
+        catch { case _: java.io.IOException => false }
+      }.toSeq
+      if (candidates.size < math.max(2, minFiles)) return 0L
+      val totalBytes = candidates.map(p => Files.size(Paths.get(p))).sum
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(candidates: _*)
+      val packed = zorder match {
+        case Some((x, y)) => graft.ops.Layout.zorderBy(df, col(x), col(y), nOut)
+        case None         => df.repartition(nOut)
+      }
+      val adds = stageFiles(packed, table, statsCol)
+      val removes = candidates.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      try {
+        commit(table, replay.tip + 1, adds ++ removes, "optimize")
+        maybeCheckpoint(table, replay.tip + 1)
+        return replay.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"optimize lost $maxRetries version races on $table")
+        // staged files of the failed attempt stay unreferenced → vacuum
+      }
+    }
+    -1L
+  }
+
   /** Latest committed streaming-transaction version for `appId`, or None if
     * this application never committed to the table. O(checkpoint + suffix)
     * log reads — checkpoints carry txn watermarks forward. */

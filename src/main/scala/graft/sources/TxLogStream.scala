@@ -21,14 +21,23 @@ import org.apache.spark.sql.types.StructType
   *    removals already folded in, so a table whose past contains
   *    overwrites/merges streams cleanly from scratch;
   *  - every later batch (start, end] is the union of files ADDED by the
-  *    commits in that version range. Append commits are pure new data. A
-  *    rewrite commit (`overwrite`/`merge`) does not mean new data — its adds
-  *    are rewritten old rows — so by default the source FAILS on one
-  *    (`ignoreChanges=false`), naming the version; with `ignoreChanges=true`
-  *    the rewrite's added files are emitted instead (re-emission of
-  *    untouched rows in rewritten files is the documented caveat, exactly
-  *    Delta's `ignoreChanges` contract — downstream must key-dedup, e.g.
-  *    via [[TxLog.merge]] or `appendIdempotent` + window_latest).
+  *    commits in that version range. Append commits are pure new data.
+  *    `optimize` commits (file compaction) are SKIPPED — they rewrite
+  *    bytes, not rows (Delta's `dataChange=false`), so skipping is exact.
+  *    Any other rewrite commit (`overwrite`/`merge`) does not mean new
+  *    data — its adds are rewritten old rows — so by default the source
+  *    FAILS on one (`ignoreChanges=false`), naming the version; with
+  *    `ignoreChanges=true` the rewrite's added files are emitted instead
+  *    (re-emission of untouched rows in rewritten files is the documented
+  *    caveat, exactly Delta's `ignoreChanges` contract — downstream must
+  *    key-dedup, e.g. via [[TxLog.merge]] or `appendIdempotent` +
+  *    window_latest).
+  *
+  *  VACUUM HORIZON: a batch reads the data files its version range named
+  *  at commit time; `TxLog.vacuum` must not collect below a lagging
+  *  stream's committed offset (same operational rule as Delta — retain at
+  *  least the slowest reader's horizon via `retainVersions`/the grace
+  *  window).
   *
   * Exactly-once END TO END: this source + [[graft.streaming.EventStream
   * .exactlyOnceTxLog]] gives table→table pipelines where a crash at any
@@ -129,6 +138,9 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       case Some(lo) =>
         TxLog.changes(table, versionOf(lo), hi).flatMap { c =>
           if (c.op == "append") c.added
+          // optimize commits rewrite bytes, not rows (dataChange=false):
+          // skipping them is exact, never a caveat
+          else if (c.op == "optimize") Seq.empty
           else if (ignoreChanges) c.added
           else throw new IllegalStateException(
             s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +

@@ -129,6 +129,56 @@ class TxSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("ignoreChanges=true"))
   }
 
+  test("optimize compacts the streaming sink's small files; strict streams skip it") {
+    val t = freshTable("opt")
+    // the small-file swamp a micro-batch sink leaves behind: 6 tiny commits
+    for (b <- 0L until 6L)
+      TxLog.appendIdempotent(df(b -> s"v$b"), t, "writer", b, statsCol = Some("k"))
+    val before = TxLog.snapshot(t)
+    assert(before.files.size >= 6, s"expected one+ file per batch, got ${before.files.size}")
+
+    // a strict tailing stream is live across the optimize
+    val q = spark.readStream.format("txlog").load(t)
+      .writeStream.format("memory").queryName("txsrc_opt")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_opt_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_opt").count() == 6)
+
+      val v = TxLog.optimize(spark, t, targetBytes = 1L << 30, statsCol = Some("k"))
+      assert(v == before.version + 1, "optimize must commit one new version")
+      // rows unchanged, file count collapsed
+      val after = TxLog.snapshot(t)
+      assert(after.files.size < before.files.size)
+      assert(pairs(after.read(spark)) == pairs(before.read(spark)))
+      // content-neutral for the stream: no failure, no re-emission
+      q.processAllAvailable()
+      assert(spark.table("txsrc_opt").count() == 6)
+      // and appends keep flowing afterwards
+      TxLog.append(df(100L -> "new"), t)
+      q.processAllAvailable()
+      assert(spark.table("txsrc_opt").count() == 7)
+    } finally q.stop()
+
+    // time travel below the optimize still reads the pre-compaction files
+    assert(pairs(TxLog.snapshot(t, before.version).read(spark)) ==
+      (0L until 6L).map(b => b -> s"v$b").toSet)
+    // compacted output keeps file stats, so file-scoped merge still prunes
+    assert(TxLog.merge(df(0L -> "V0"), t, "k") > 0)
+    assert(pairs(TxLog.snapshot(t).read(spark)) ==
+      ((1L until 6L).map(b => b -> s"v$b").toSet + (0L -> "V0") + (100L -> "new")))
+  }
+
+  test("optimize below minFiles or target is a no-op") {
+    val t = freshTable("optnoop")
+    TxLog.append(df(1L -> "a"), t)
+    assert(TxLog.optimize(spark, t) == 0L) // one file: nothing to compact
+    TxLog.append(df(2L -> "b"), t)
+    assert(TxLog.optimize(spark, t, targetBytes = 1L) == 0L) // none under target
+    assert(TxLog.latestVersion(t) == 2L)
+  }
+
   test("maxVersionsPerTrigger bounds versions consumed per micro-batch") {
     val t = freshTable("cap")
     TxLog.append(df(1L -> "a"), t)
