@@ -557,6 +557,28 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""))
 
+  // OPTIMIZE on the same log: four small transactional appends leave the
+  // small-file layout a micro-batch sink produces; one content-neutral
+  // optimize commit (op:"optimize" — a tailing stream skips it) compacts
+  // them into target-size files with per-file key stats re-recorded, and
+  // the snapshot read proves the rows came through the rewrite unchanged.
+  // The oracle is simply the union of the appends. NOTE: TIMES 4 writes +
+  // the compaction rewrite + the read.
+  private val acidOptimize = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_opt", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(src.filter(col("o_orderkey") % 4 === slice),
+          tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.optimize(s, tbl, targetBytes = 1L << 30,
+        statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey"))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -930,6 +952,7 @@ object RelationalQueries {
     "partition_pruned_scan" -> partitionPrunedScan,
     "acid_upsert" -> acidUpsert,
     "acid_time_travel" -> acidTimeTravel,
+    "acid_optimize" -> acidOptimize,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
