@@ -15,19 +15,26 @@ import graft.expressions.{Bigrams, BloomAgg, BloomContains, GramHashes, MortonCo
   *    (applies at session build — the standard deployment path);
   *  - [[GraftExtensions.register]] on a live session (tests, notebooks).
   *
-  * No custom optimizer rules or strategies are injected: every graft
-  * operator plans through Catalyst's existing rules, and the native
-  * expressions carry their own codegen. Extension scope stays minimal on
-  * purpose — the declarative plans are the optimization surface.
+  * Besides the functions, ONE parser is injected ([[GraftSqlParser]]) for
+  * the TXLOG maintenance statements; it delegates everything that is not a
+  * TXLOG statement to Spark's parser verbatim. No custom optimizer rules or
+  * strategies: every graft operator plans through Catalyst's existing
+  * rules, and the native expressions carry their own codegen. Extension
+  * scope stays minimal on purpose — the declarative plans are the
+  * optimization surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(builder.getClass.getName, name),
         builder))
     }
+    // TXLOG maintenance statements (OPTIMIZE/VACUUM/DESCRIBE HISTORY) — a
+    // delegating parser, so standard SQL is never reinterpreted
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,138 @@
+package graft.plans
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.sources.TxLog
+
+/** SQL surface for the ACID table format — the maintenance commands an
+  * operator types at a console, grafted onto Spark's parser the way Delta
+  * does it (a delegating `ParserInterface`: our statements parse to custom
+  * `LeafRunnableCommand` plans, everything else falls through verbatim to
+  * Spark's own parser, injected via `SparkSessionExtensions.injectParser`).
+  *
+  * Grammar (case-insensitive keywords; `TXLOG` disambiguates from any
+  * current or future Spark statement of the same head):
+  *
+  *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [STATS <col>]
+  *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
+  *   DESCRIBE HISTORY TXLOG '<path>'
+  *
+  * Each command is a driver-side metadata/maintenance action wrapping the
+  * corresponding [[TxLog]] API (which holds the concurrency story); the
+  * distributed work inside (compaction scan/write) is ordinary Spark jobs.
+  */
+object TxLogSql {
+
+  private def re(p: String): Pattern =
+    Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  // path is a single-quoted SQL string literal ('' escapes a quote)
+  private val P = "'((?:[^']|'')*)'"
+  private val OptimizeRe = re(
+    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+STATS\\s+(\\w+))?\\s*;?\\s*""")
+  private val VacuumRe = re(
+    s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?\\s*;?\\s*""")
+  private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
+
+  private def unq(s: String): String = s.replace("''", "'")
+
+  /** Parse one of the TXLOG statements, or None for anything else. */
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    val o = OptimizeRe.matcher(sqlText)
+    if (o.matches()) {
+      return Some(OptimizeTxLogCommand(
+        unq(o.group(1)),
+        Option(o.group(2)).map(_.toLong).getOrElse(128L * 1024 * 1024),
+        (Option(o.group(3)), Option(o.group(4))) match {
+          case (Some(x), Some(y)) => Some((x, y))
+          case _                  => None
+        },
+        Option(o.group(5))))
+    }
+    val v = VacuumRe.matcher(sqlText)
+    if (v.matches()) {
+      return Some(VacuumTxLogCommand(
+        unq(v.group(1)),
+        Option(v.group(2)).map(_.toLong).getOrElse(0L),
+        Option(v.group(3)).map(_.toLong).getOrElse(TxLog.DefaultVacuumGraceMs)))
+    }
+    val h = HistoryRe.matcher(sqlText)
+    if (h.matches()) return Some(DescribeHistoryTxLogCommand(unq(h.group(1))))
+    None
+  }
+}
+
+case class OptimizeTxLogCommand(table: String, targetBytes: Long,
+    zorder: Option[(String, String)], statsCol: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = TxLog.snapshot(table).files.size
+    val v = TxLog.optimize(spark, table, targetBytes,
+      zorder = zorder, statsCol = statsCol)
+    Seq(Row(v, before, TxLog.snapshot(table).files.size))
+  }
+}
+
+case class VacuumTxLogCommand(table: String, retainVersions: Long, graceMs: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.vacuum(table, retainVersions, graceMs)))
+}
+
+case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("adds", IntegerType, nullable = false)(),
+    AttributeReference("removes", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.history(table).map { c =>
+      Row(c.version, c.op, new java.sql.Timestamp(c.committedAtMs), c.adds, c.removes)
+    }
+}
+
+/** Delegating parser: TXLOG statements parse here, all other text — plans,
+  * expressions, identifiers, schemas — falls through to Spark's parser
+  * untouched, so the extension can never change the meaning of standard
+  * SQL. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    TxLogSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

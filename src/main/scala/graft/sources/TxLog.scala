@@ -426,6 +426,28 @@ object TxLog {
     -1L
   }
 
+  /** One commit's descriptive record for `DESCRIBE HISTORY`: version, the
+    * operation that produced it, the commit file's publication time, and
+    * its action counts. */
+  final case class CommitInfo(version: Long, op: String, committedAtMs: Long,
+      adds: Int, removes: Int)
+
+  /** The table's commit history, newest first (the Delta DESCRIBE HISTORY
+    * surface). O(versions) commit-file reads — history is an operator
+    * console command, not a hot path; `snapshot` stays checkpointed. */
+  def history(table: String): Seq[CommitInfo] =
+    (1L to latestVersion(table)).reverseIterator.flatMap { v =>
+      val p = versionPath(table, v)
+      if (!Files.exists(p)) None
+      else {
+        val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        val op = lines.iterator.flatMap(parseMeta).map(_._1).nextOption().getOrElse("append")
+        val acts = lines.iterator.flatMap(parseAction).map(_._1).toSeq
+        Some(CommitInfo(v, op, Files.getLastModifiedTime(p).toMillis,
+          acts.count(_ == "add"), acts.count(_ == "remove")))
+      }
+    }.toSeq
+
   /** Compact small live files into target-size files — the lakehouse
     * OPTIMIZE command (Delta's OPTIMIZE / Iceberg's rewrite_data_files),
     * and the necessary companion of the streaming sink: every micro-batch

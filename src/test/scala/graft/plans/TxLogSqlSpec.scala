@@ -1,0 +1,109 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** The TXLOG SQL maintenance surface: statements parse to the command
+  * plans, run against a real log, and everything that is not a TXLOG
+  * statement reaches Spark's own parser untouched. */
+class TxLogSqlSpec extends SparkSpec {
+
+  /** A session on the shared SparkContext with GraftExtensions ACTUALLY
+    * injected at build time (parser injection cannot be retrofitted onto a
+    * live session). The default session is restored afterwards. */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = spark // force the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(ext)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  private def freshTable(name: String): String =
+    Files.createTempDirectory(s"txsql_$name").resolve("t").toString
+
+  test("OPTIMIZE / DESCRIBE HISTORY / VACUUM run end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("e2e")
+      for (b <- 0 until 4)
+        TxLog.append(Seq((b.toLong, s"v$b")).toDF("k", "v"), t, statsCol = Some("k"))
+      val filesBefore = TxLog.snapshot(t).files.size
+
+      val opt = s.sql(s"OPTIMIZE TXLOG '$t' TARGET 1073741824 STATS k").head()
+      assert(opt.getLong(0) == 5L, "optimize must commit version 5")
+      assert(opt.getInt(1) == filesBefore)
+      assert(opt.getInt(2) < filesBefore, "compaction must shrink the live file set")
+      assert(TxLog.snapshot(t).read(s).count() == 4)
+
+      val hist = s.sql(s"DESCRIBE HISTORY TXLOG '$t'")
+      assert(hist.columns.toSeq ==
+        Seq("version", "op", "committed_at", "adds", "removes"))
+      val ops = hist.select("version", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(ops == Seq(5L -> "optimize", 4L -> "append", 3L -> "append",
+        2L -> "append", 1L -> "append"), s"newest-first history, got $ops")
+
+      // vacuum with zero grace (no in-flight writers here) collects the
+      // compacted-away originals; the live snapshot is untouched
+      val deleted = s.sql(s"VACUUM TXLOG '$t' RETAIN 0 VERSIONS GRACE 0").head().getLong(0)
+      assert(deleted >= filesBefore.toLong, s"originals must be collected, got $deleted")
+      assert(TxLog.snapshot(t).read(s).count() == 4)
+    }
+  }
+
+  test("ZORDER BY clause compacts through Layout clustering") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("zorder")
+      for (b <- 0 until 3)
+        TxLog.append((0 until 50).map(i => (b * 50L + i, i.toLong)).toDF("x", "y"), t)
+      val r = s.sql(s"OPTIMIZE TXLOG '$t' ZORDER BY (x, y)").head()
+      assert(r.getLong(0) == 4L)
+      assert(TxLog.snapshot(t).read(s).count() == 150)
+    }
+  }
+
+  test("path literals with quotes unescape; standard SQL still parses") {
+    withExtSession { s =>
+      // non-TXLOG text must fall through to Spark's parser and behave
+      assert(s.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+      // graft SQL functions injected by the same extensions class coexist
+      assert(s.sql("SELECT graft_vec_dot(array(1.0F), array(2.0F)) AS d")
+        .head().getDouble(0) == 2.0)
+      // a malformed TXLOG statement is NOT half-parsed: it falls through and
+      // fails in Spark's parser like any other bad SQL
+      intercept[Exception](s.sql("OPTIMIZE TXLOG missing_quotes"))
+    }
+  }
+
+  test("statement parsing covers the optional clauses") {
+    assert(TxLogSql.parse("OPTIMIZE TXLOG '/a/b'") ==
+      Some(OptimizeTxLogCommand("/a/b", 128L * 1024 * 1024, None, None)))
+    assert(TxLogSql.parse("optimize txlog '/a''s' target 42 zorder by (x , y) stats k") ==
+      Some(OptimizeTxLogCommand("/a's", 42L, Some(("x", "y")), Some("k"))))
+    assert(TxLogSql.parse("VACUUM TXLOG '/t' RETAIN 3 VERSIONS") ==
+      Some(VacuumTxLogCommand("/t", 3L, TxLog.DefaultVacuumGraceMs)))
+    assert(TxLogSql.parse("vacuum txlog '/t' grace 0;") ==
+      Some(VacuumTxLogCommand("/t", 0L, 0L)))
+    assert(TxLogSql.parse("DESCRIBE HISTORY TXLOG '/t'") ==
+      Some(DescribeHistoryTxLogCommand("/t")))
+    assert(TxLogSql.parse("SELECT * FROM t") == None)
+    assert(TxLogSql.parse("OPTIMIZE TXLOG unquoted") == None)
+  }
+}
