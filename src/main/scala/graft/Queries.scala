@@ -579,6 +579,31 @@ object RelationalQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey"))
 
+  // Read-side data skipping on the log's per-file key stats: four appends
+  // land four disjoint o_orderkey ranges (stats recorded per file), and the
+  // ranged read scans ONLY the files whose [min,max] intersect the ask —
+  // TxLogSpec proves the file count, this entry proves the answer is
+  // exactly the relational range filter. NOTE: TIMES 4 writes + the pruned
+  // read.
+  private val acidPrunedScan = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_prune", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // contiguous key quarters → disjoint per-file [min,max] stats
+      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(
+          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice)
+            .repartition(1), // one file per slice → slice-tight stats
+          tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.readPruned(s, tbl, "o_orderkey", 100L, 1000L)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey BETWEEN 100 AND 1000 ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -953,6 +978,7 @@ object RelationalQueries {
     "acid_upsert" -> acidUpsert,
     "acid_time_travel" -> acidTimeTravel,
     "acid_optimize" -> acidOptimize,
+    "acid_pruned_scan" -> acidPrunedScan,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

@@ -426,6 +426,51 @@ object TxLog {
     -1L
   }
 
+  /** Read-side DATA SKIPPING — the scan counterpart of merge's stats prune
+    * (what Delta/Iceberg do with their file-level column stats before
+    * handing files to the scan): restrict the live file list to files whose
+    * recorded [min,max] of `keyCol` can intersect [lo, hi], then scan only
+    * those. Files without stats on `keyCol` are conservatively kept (opaque
+    * — never wrongly skipped). The residual predicate is still applied —
+    * stats bound files, rows inside a kept file are filtered by the scan's
+    * own pushdown — so the result is EXACTLY the range filter, just with
+    * O(files-hit) instead of O(files) I/O. Comparisons happen in the key's
+    * own type via a cast of the recorded strings (the same discipline as
+    * merge's phase 1), never as raw strings.
+    *
+    * At 100 TB this is the difference between a point lookup touching one
+    * file and touching every file of the table; combined with
+    * [[optimize]]'s Z-order clause, 2-D box predicates prune on both
+    * dimensions. Returns the pruned DataFrame; `prunedFiles` exposes the
+    * file list for tests/diagnostics. */
+  def readPruned(spark: SparkSession, table: String, keyCol: String,
+      lo: Any, hi: Any, asOf: Long = Long.MaxValue): DataFrame = {
+    val files = prunedFiles(spark, table, keyCol, lo, hi, asOf)
+    if (files.isEmpty)
+      snapshot(table, asOf).read(spark).limit(0).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  private[graft] def prunedFiles(spark: SparkSession, table: String,
+      keyCol: String, lo: Any, hi: Any, asOf: Long = Long.MaxValue): Seq[String] = {
+    val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
+    val withStats = r.live.toSeq.flatMap { case (path, line) =>
+      parseStats(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+    }
+    val opaque = r.live.keysIterator.toSet -- withStats.map(_._1)
+    if (withStats.isEmpty) return r.live.keysIterator.toSeq
+    // typed envelope test on the O(files) driver-side list — same cast
+    // discipline as merge's phase-1 prune, no data I/O
+    import spark.implicits._
+    val keyType = org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType
+    val hit = withStats.toDF("__path", "__mns", "__mxs")
+      .where(col("__mxs").cast(keyType) >= lit(lo) &&
+        col("__mns").cast(keyType) <= lit(hi))
+      .select("__path").collect().map(_.getString(0))
+    (hit ++ opaque).toSeq
+  }
+
   /** One commit's descriptive record for `DESCRIBE HISTORY`: version, the
     * operation that produced it, the commit file's publication time, and
     * its action counts. */

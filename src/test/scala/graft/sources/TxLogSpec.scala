@@ -223,6 +223,30 @@ class TxLogSpec extends SparkSpec {
     assert(rows(rel) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("readPruned skips files by stats, keeps opaque files, answers exactly") {
+    import spark.implicits._
+    val t = freshTable("prune")
+    // three stats-bearing files with disjoint key ranges + one opaque file
+    for (slice <- 0 until 3)
+      TxLog.append((0 until 10).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.append(Seq((999L, "opaque")).toDF("k", "v").repartition(1), t) // no stats
+    assert(TxLog.snapshot(t).files.size == 4)
+
+    // ask for the middle slice: 1 stats hit + 1 opaque conservative keep
+    val files = TxLog.prunedFiles(spark, t, "k", 100L, 109L)
+    assert(files.size == 2, s"expected middle file + opaque, got ${files.size}: $files")
+    val got = TxLog.readPruned(spark, t, "k", 100L, 109L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (100L until 110L).toSet, "residual filter still applies inside kept files")
+
+    // a miss range touches only the opaque file and returns nothing
+    assert(TxLog.prunedFiles(spark, t, "k", 5000L, 6000L).size == 1)
+    assert(TxLog.readPruned(spark, t, "k", 5000L, 6000L).count() == 0)
+    // the opaque row is reachable when asked for
+    assert(TxLog.readPruned(spark, t, "k", 999L, 999L).count() == 1)
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)
