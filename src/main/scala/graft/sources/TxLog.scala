@@ -56,11 +56,28 @@ import org.apache.spark.sql.functions._
   */
 object TxLog {
 
-  final case class Snapshot(version: Long, files: Seq[String]) {
-    def read(spark: SparkSession): DataFrame =
-      if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(files: _*)
+  final case class Snapshot(version: Long, files: Seq[String],
+      schemaJson: Option[String] = None) {
+    /** Read the snapshot. When the log recorded a table schema (every table
+      * created since schema tracking), the read is pinned to it: files
+      * written BEFORE a schema evolution lack the later columns and are
+      * null-filled by the scan — the standard lakehouse read-time fill —
+      * and column order is the log's, not an arbitrary file's. Legacy
+      * tables without a recorded schema read by file inference as before. */
+    def read(spark: SparkSession): DataFrame = schemaJson match {
+      case _ if files.isEmpty => spark.emptyDataFrame
+      case Some(j)            => spark.read.schema(schemaOf(j)).parquet(files: _*)
+      case None               => spark.read.parquet(files: _*)
+    }
   }
+
+  private[sources] def schemaOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** A write's schema is incompatible with the table's (type conflict, or
+    * new columns without `mergeSchema = true`) — Delta-style enforcement. */
+  final class SchemaMismatch(msg: String) extends RuntimeException(msg)
 
   final class VersionConflict(version: Long)
     extends RuntimeException(s"version $version was committed concurrently")
@@ -117,7 +134,7 @@ object TxLog {
   def snapshot(table: String, asOf: Long = Long.MaxValue): Snapshot = {
     val tip = math.min(latestVersion(table), asOf)
     val r = replayAdds(table, tip, useCheckpoint = true)
-    Snapshot(tip, r.live.keysIterator.toSeq)
+    Snapshot(tip, r.live.keysIterator.toSeq, r.schema)
   }
 
   /** Replayed log state at some version: live file map of path → original
@@ -129,6 +146,7 @@ object TxLog {
   private[sources] final case class Replay(
       live: scala.collection.mutable.LinkedHashMap[String, String],
       txns: scala.collection.mutable.LinkedHashMap[String, Long],
+      var schema: Option[String],
       tip: Long)
 
   /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
@@ -137,13 +155,14 @@ object TxLog {
     val tip = math.min(latestVersion(table), asOf)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var schema: Option[String] = None
     def take(line: String): Unit = parseAction(line) match {
       case Some(("add", path))    => live(path) = line
       case Some(("remove", path)) => live.remove(path)
       case _ => parseTxn(line) match {
         case Some((app, ver)) =>
           txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
-        case None => ()
+        case None => parseSchema(line).foreach(j => schema = Some(j)) // latest wins
       }
     }
     val from = (if (useCheckpoint) latestCheckpoint(table, tip) else None) match {
@@ -162,7 +181,7 @@ object TxLog {
       }
       v += 1
     }
-    Replay(live, txns, tip)
+    Replay(live, txns, schema, tip)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -181,7 +200,8 @@ object TxLog {
     // txn lines are carried forward so idempotent-append dedup survives log
     // compaction: lastTxnVersion must see an app's watermark even when every
     // commit that carried it sits below the checkpoint
-    val txnLines = r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq
+    val txnLines = r.schema.map(schemaLine).toSeq ++
+      r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
     try {
       scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
@@ -301,12 +321,14 @@ object TxLog {
     * committed version. `statsCol` records per-file min/max of that column
     * in the add-actions so later merges on it can prune their rewrite set. */
   def append(df: DataFrame, table: String, maxRetries: Int = 64,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, mergeSchema: Boolean = false): Long = {
     val actions = stageFiles(df, table, statsCol)
     var attempt = 0
     while (true) {
-      val v = latestVersion(table) + 1
-      try { commit(table, v, actions, "append"); maybeCheckpoint(table, v); return v }
+      val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val v = r.tip + 1
+      val schemaActs = schemaActions(r, df, mergeSchema, "append")
+      try { commit(table, v, actions ++ schemaActs, "append"); maybeCheckpoint(table, v); return v }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -328,7 +350,13 @@ object TxLog {
     while (true) {
       val snap = snapshot(table)
       val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, snap.version + 1, adds ++ removes, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
+      // an overwrite replaces every row, so it ADOPTS the writer's schema
+      // outright (Delta's overwriteSchema shape) — no null-filling risk
+      val schemaActs =
+        if (snap.schemaJson.contains(df.schema.json) ||
+            (snap.schemaJson.isEmpty && snap.version > 0)) Seq.empty
+        else Seq(schemaLine(df.schema.json))
+      try { commit(table, snap.version + 1, adds ++ removes ++ schemaActs, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -364,7 +392,7 @@ object TxLog {
     * rewritten output re-records stats on `keyCol`, so merges keep pruning
     * against merged output. */
   def merge(updates: DataFrame, table: String, keyCol: String,
-      maxRetries: Int = 16): Long = {
+      maxRetries: Int = 16, mergeSchema: Boolean = false): Long = {
     val spark = updates.sparkSession
     var attempt = 0
     while (true) {
@@ -407,14 +435,20 @@ object TxLog {
             }
           (hit ++ opaque).toSeq
         }
+      val schemaActs = schemaActions(replay, updates, mergeSchema, "merge")
+      // rewritten files read under the LOG schema (touched files may
+      // predate an evolution and null-fill the later columns)
       val current =
         if (touched.isEmpty) updates.limit(0)
-        else spark.read.parquet(touched: _*)
+        else replay.schema match {
+          case Some(j) => spark.read.schema(schemaOf(j)).parquet(touched: _*)
+          case None    => spark.read.parquet(touched: _*)
+        }
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = mergeSchema)
       val adds = stageFiles(merged, table, statsCol = Some(keyCol))
       val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, tip + 1, adds ++ removes, "merge"); maybeCheckpoint(table, tip + 1); return tip + 1 }
+      try { commit(table, tip + 1, adds ++ removes ++ schemaActs, "merge"); maybeCheckpoint(table, tip + 1); return tip + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -530,7 +564,10 @@ object TxLog {
       if (candidates.size < math.max(2, minFiles)) return 0L
       val totalBytes = candidates.map(p => Files.size(Paths.get(p))).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-      val df = spark.read.parquet(candidates: _*)
+      val df = replay.schema match {
+        case Some(j) => spark.read.schema(schemaOf(j)).parquet(candidates: _*)
+        case None    => spark.read.parquet(candidates: _*)
+      }
       val packed = zorder match {
         case Some((x, y)) => graft.ops.Layout.zorderBy(df, col(x), col(y), nOut)
         case None         => df.repartition(nOut)
@@ -580,7 +617,7 @@ object TxLog {
     * unreferenced and are vacuum's to collect, like any failed writer). */
   def appendIdempotent(df: DataFrame, table: String, appId: String,
       txnVersion: Long, maxRetries: Int = 64,
-      statsCol: Option[String] = None): Option[Long] = {
+      statsCol: Option[String] = None, mergeSchema: Boolean = false): Option[Long] = {
     if (lastTxnVersion(table, appId).exists(_ >= txnVersion)) return None
     val actions = stageFiles(df, table, statsCol) :+ txnLine(appId, txnVersion)
     var attempt = 0
@@ -588,7 +625,7 @@ object TxLog {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (r.txns.get(appId).exists(_ >= txnVersion)) return None
       try {
-        commit(table, r.tip + 1, actions, "append")
+        commit(table, r.tip + 1, actions ++ schemaActions(r, df, mergeSchema, "append"), "append")
         maybeCheckpoint(table, r.tip + 1)
         return Some(r.tip + 1)
       } catch {
@@ -706,6 +743,57 @@ object TxLog {
   private def parseMeta(line: String): Option[(String, Long)] = line match {
     case MetaRe(op, ver) => Some((unquote(op), ver.toLong))
     case _               => None
+  }
+
+  private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r
+
+  private def schemaLine(json: String): String = s"""{"schema":${quote(json)}}"""
+
+  private def parseSchema(line: String): Option[String] = line match {
+    case SchemaRe(j) => Some(unquote(j))
+    case _           => None
+  }
+
+  /** Schema ENFORCEMENT + EVOLUTION for a write against the replayed table
+    * state (the Delta metaData-action discipline):
+    *  - a column whose type differs from the table's is refused always
+    *    (silent type drift corrupts every downstream reader);
+    *  - NEW columns are refused unless `mergeSchema = true`, in which case
+    *    the evolved schema (table columns, then the new ones) is recorded
+    *    in this commit and old files null-fill on read;
+    *  - a write MISSING table columns is fine — its files simply lack them
+    *    and read as null (enforce non-null contracts upstream);
+    *  - a legacy table that never recorded a schema stays legacy (we cannot
+    *    know its schema without reading footers); new tables always record.
+    * Returns the schema action lines to append to the commit (empty when
+    * the recorded schema already covers the write). Evaluated per retry
+    * attempt against the FRESH replay, so racing evolutions serialize like
+    * every other commit. */
+  private def schemaActions(replay: Replay, df: DataFrame,
+      mergeSchema: Boolean, op: String): Seq[String] = {
+    val w = df.schema
+    replay.schema match {
+      case None =>
+        if (replay.tip == 0L && replay.live.isEmpty) Seq(schemaLine(w.json))
+        else Seq.empty // legacy table: keep inference semantics
+      case Some(curJson) =>
+        val cur = schemaOf(curJson)
+        val curTypes = cur.map(f => f.name -> f.dataType).toMap
+        w.foreach { f =>
+          curTypes.get(f.name).foreach { t =>
+            if (t != f.dataType) throw new SchemaMismatch(
+              s"$op: column ${f.name} is ${f.dataType.simpleString} but the table " +
+                s"recorded ${t.simpleString} — type changes are never merged")
+          }
+        }
+        val extras = w.filterNot(f => curTypes.contains(f.name))
+        if (extras.isEmpty) Seq.empty
+        else if (!mergeSchema) throw new SchemaMismatch(
+          s"$op: new column(s) ${extras.map(_.name).mkString(", ")} not in the table " +
+            "schema — pass mergeSchema = true to evolve it")
+        else Seq(schemaLine(
+          org.apache.spark.sql.types.StructType(cur.fields ++ extras).json))
+    }
   }
 
   private val TxnRe = """\{"txn":\{"app":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r

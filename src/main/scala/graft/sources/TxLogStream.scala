@@ -94,13 +94,21 @@ object TxLogStreamSource {
       throw new IllegalArgumentException(
         "txlog source needs a table path: .load(<tablePath>)"))
 
-  /** Schema = the parquet schema of the current snapshot's files. An empty
-    * table cannot self-describe — pass `.schema(...)` explicitly there. */
+  /** Schema = the log-recorded table schema when present (tables created
+    * since schema tracking; a mid-stream evolution does NOT retype a
+    * running stream — it keeps its at-start schema, and files carrying
+    * later columns project them away), else the parquet schema of the
+    * current snapshot's files (legacy tables). An empty legacy table
+    * cannot self-describe — pass `.schema(...)` explicitly there. */
   private[sources] def inferSchema(sqlContext: SQLContext, table: String): StructType = {
-    val files = TxLog.snapshot(table).files
-    require(files.nonEmpty,
-      s"cannot infer schema of empty txlog table $table — pass .schema(...) explicitly")
-    sqlContext.sparkSession.read.parquet(files: _*).schema
+    val snap = TxLog.snapshot(table)
+    snap.schemaJson match {
+      case Some(j) => TxLog.schemaOf(j)
+      case None =>
+        require(snap.files.nonEmpty,
+          s"cannot infer schema of empty txlog table $table — pass .schema(...) explicitly")
+        sqlContext.sparkSession.read.parquet(snap.files: _*).schema
+    }
   }
 }
 
