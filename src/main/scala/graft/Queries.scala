@@ -786,6 +786,42 @@ object RelationalQueries {
                   FROM lineitem GROUP BY l_returnflag) t
             ORDER BY l_returnflag"""))
 
+  // Exact-component Pearson correlation per group (the profiling companion
+  // of agg_var_stats): every raw moment — Σx, Σy, Σx², Σy², Σxy — is an
+  // exact decimal sum cast to double, and the correlation formula is
+  // written with the identical association on both engines, so each double
+  // op is bit-identical. The column pair (quantity, discount) keeps every
+  // product ≤ 2500, which holds the scale-4 unscaled sums below 2^53 far
+  // past sf10 — corr is scale-invariant, so small-magnitude columns are
+  // the RIGHT choice, not a compromise. One hash aggregation, no joins.
+  private val aggCorr = Q(
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_discount")).as("sy"),
+          dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+          dsumProd(col("l_discount"), col("l_discount")).as("syy"),
+          dsumProd(col("l_quantity"), col("l_discount")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, n,
+            (CAST(n AS DOUBLE) * sxy - sx * sy) /
+              (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+               sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_disc
+            FROM (SELECT l_returnflag, count(*) AS n,
+                  ${sqlDsum("l_quantity")} AS sx, ${sqlDsum("l_discount")} AS sy,
+                  ${sqlDsumProd("l_quantity", "l_quantity")} AS sxx,
+                  ${sqlDsumProd("l_discount", "l_discount")} AS syy,
+                  ${sqlDsumProd("l_quantity", "l_discount")} AS sxy
+                  FROM lineitem GROUP BY l_returnflag) t
+            ORDER BY l_returnflag"""))
+
   // Fuzzy string matching: Levenshtein distance over the nation-name pair
   // space (integer edit distance — deterministic in both engines). The tiny
   // side is broadcast; at scale one side is always a bounded dictionary.
@@ -983,6 +1019,7 @@ object RelationalQueries {
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
     "agg_var_stats" -> aggVarStats,
+    "agg_corr" -> aggCorr,
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q3" -> sqlTpchQ3,
     "join_skew_salted" -> joinSkewSalted,
