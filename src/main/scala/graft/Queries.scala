@@ -604,6 +604,29 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey BETWEEN 100 AND 1000 ORDER BY o_orderkey"""))
 
+  // Row-level change feed: three appends land the table thirds as versions
+  // 1..3, and readChanges stamps every row with the commit that added it —
+  // one scan + a broadcast file→version attribution join, oracle-mirrored
+  // by reconstructing the slice→version arithmetic relationally. NOTE:
+  // TIMES 3 writes + the stamped read.
+  private val acidCdf = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_cdf", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      for (slice <- 0 until 3)
+        graft.sources.TxLog.append(src.filter(col("o_orderkey") % 3 === slice), tbl)
+      graft.sources.TxLog.readChanges(s, tbl, 0L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("_commit_version"), col("_commit_op"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(o_orderkey % 3 + 1 AS BIGINT) AS _commit_version,
+              'append' AS _commit_op
+            FROM orders ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -1015,6 +1038,7 @@ object RelationalQueries {
     "acid_time_travel" -> acidTimeTravel,
     "acid_optimize" -> acidOptimize,
     "acid_pruned_scan" -> acidPrunedScan,
+    "acid_cdf" -> acidCdf,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

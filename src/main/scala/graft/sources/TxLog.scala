@@ -460,6 +460,60 @@ object TxLog {
     -1L
   }
 
+  /** Row-level CHANGE FEED over a version range — the batch CDF read that
+    * completes the log-tailing story ([[changes]] gives files, this gives
+    * ROWS): every row added by the commits in (`fromExclusive`,
+    * `toInclusive`] stamped with `_commit_version` and `_commit_op`. For an
+    * append-style range this is the exact row-level change history.
+    * `optimize` commits are skipped (bytes rewritten, no row change);
+    * `overwrite`/`merge` commits are refused unless `includeRewrites =
+    * true`, which re-emits their added files (rewritten rows stamp the
+    * rewrite's version — the same caveat as the streaming source's
+    * `ignoreChanges`).
+    *
+    * SCALE shape: ONE parquet scan over the union of the range's files —
+    * not a per-version union plan — with the file→version attribution done
+    * by a broadcast-sized join on `_metadata.file_path` (O(files) rows).
+    * Reads under the log schema, so pre-evolution files null-fill. */
+  def readChanges(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long = Long.MaxValue,
+      includeRewrites: Boolean = false): DataFrame = {
+    val cs = changes(table, fromExclusive, toInclusive).filter { c =>
+      c.op match {
+        case "append"   => true
+        case "optimize" => false
+        case other =>
+          if (includeRewrites) true
+          else throw new IllegalStateException(
+            s"readChanges on $table hit a $other commit at version ${c.version}: " +
+              "its adds are rewritten old rows. Pass includeRewrites = true to " +
+              "emit them stamped with the rewrite's version.")
+      }
+    }
+    val fileVer: Seq[(String, Long, String)] =
+      cs.flatMap(c => c.added.map(p => (normalize(p), c.version, c.op)))
+    val schemaOpt = replayAdds(table, math.min(latestVersion(table), toInclusive),
+      useCheckpoint = true).schema
+    if (fileVer.isEmpty) {
+      val base = schemaOpt match {
+        case Some(j) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schemaOf(j))
+        case None    => spark.emptyDataFrame
+      }
+      return base.withColumn("_commit_version", lit(null).cast("long"))
+        .withColumn("_commit_op", lit(null).cast("string"))
+    }
+    import spark.implicits._
+    val reader = schemaOpt.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+    val data = reader.parquet(fileVer.map(_._1): _*)
+      // _metadata.file_path is URI-spelled (file:///abs/…); reduce both
+      // sides to the plain absolute path (POSIX sandbox — documented)
+      .withColumn("__fp",
+        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+    data.join(broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
+      .drop("__fp")
+  }
+
   /** Read-side DATA SKIPPING — the scan counterpart of merge's stats prune
     * (what Delta/Iceberg do with their file-level column stats before
     * handing files to the scan): restrict the live file list to files whose

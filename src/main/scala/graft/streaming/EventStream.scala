@@ -91,6 +91,26 @@ object EventStream {
       }
       .start()
 
+  /** Streaming MERGE (upsert) sink: foreachBatch → [[graft.sources.TxLog
+    * .merge]] on `keyCol` — the CDC-ingestion shape (Delta's foreachBatch-
+    * merge recipe): each micro-batch's rows replace same-key rows of the
+    * table and insert new keys, with the file-scoped rewrite bounding the
+    * I/O to files an update key can live in. Replay safety here comes from
+    * SEMANTIC idempotence rather than the txn action: re-merging the same
+    * batch maps every key to the same final row, so a crash-replayed batch
+    * leaves the table bit-identical (duplicate VERSIONS may appear in
+    * history; rows never duplicate). Batches carrying several rows per key
+    * should pre-reduce (e.g. window_latest) — merge applies a batch as one
+    * set. */
+  def upsertTxLog(df: DataFrame, table: String, checkpoint: String,
+      keyCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { graft.sources.TxLog.merge(batch.toDF(), table, keyCol); () }
+      }
+      .start()
+
   /** Session windows per user: events within `gap` of each other merge into
     * one session (declarative session_window — no manual state needed). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

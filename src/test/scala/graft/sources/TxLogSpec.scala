@@ -290,6 +290,35 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(t).read(spark).columns.toSeq == Seq("k", "v", "extra"))
   }
 
+  test("readChanges stamps rows with their commit; optimize invisible, rewrites gated") {
+    import spark.implicits._
+    val t = freshTable("cdf")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.optimize(spark, t, targetBytes = 1L << 30) // v3: byte shuffle, no row change
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)   // v4
+
+    def stamped(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("k", "v", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // the full feed: appends stamped with their version, optimize invisible
+    assert(stamped(TxLog.readChanges(spark, t, 0L)) ==
+      Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 4L)))
+    // a suffix range
+    assert(stamped(TxLog.readChanges(spark, t, 2L)) == Set((4L, "d", 4L)))
+    // an empty range carries the schema, zero rows
+    assert(TxLog.readChanges(spark, t, 4L).count() == 0)
+
+    // a merge in range is refused by default, emitted with includeRewrites
+    TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t, "k") // v5 (rewrites all: no stats)
+    val e = intercept[IllegalStateException](TxLog.readChanges(spark, t, 4L))
+    assert(e.getMessage.contains("includeRewrites"))
+    val re = stamped(TxLog.readChanges(spark, t, 4L, includeRewrites = true))
+    assert(re.contains((1L, "A", 5L)), s"the merged row must appear, got $re")
+    assert(re.forall(_._3 == 5L))
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)

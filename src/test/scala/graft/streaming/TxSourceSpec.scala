@@ -179,6 +179,43 @@ class TxSourceSpec extends SparkSpec {
     assert(TxLog.latestVersion(t) == 2L)
   }
 
+  test("upsertTxLog: streaming CDC merge keeps latest per key across restart") {
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("txup_in")
+    val ckpt = Files.createTempDirectory("txup_ck").toString
+    val t = freshTable("upsert")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def arrive(name: String, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      val stage = Files.createTempDirectory("txup_stage").resolve("d")
+      rows.toDF("k", "v").coalesce(1).write.parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(Files.list(stage))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      Files.move(part, in.resolve(s"$name.parquet")); ()
+    }
+    def run() = EventStream.upsertTxLog(
+      spark.readStream.schema(schema).parquet(in.toString), t, ckpt, "k")
+
+    arrive("c1", Seq(1L -> "a", 2L -> "b"))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(pairs(TxLog.snapshot(t).read(spark)) == Set(1L -> "a", 2L -> "b"))
+
+    // an update batch + an insert, across a restart: latest per key wins
+    arrive("c2", Seq(1L -> "A", 3L -> "c"))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(pairs(TxLog.snapshot(t).read(spark)) ==
+      Set(1L -> "A", 2L -> "b", 3L -> "c"))
+    // replaying the same update by hand is semantically idempotent
+    import spark.implicits._
+    TxLog.merge(Seq(1L -> "A", 3L -> "c").toDF("k", "v"), t, "k")
+    assert(pairs(TxLog.snapshot(t).read(spark)) ==
+      Set(1L -> "A", 2L -> "b", 3L -> "c"))
+  }
+
   test("maxVersionsPerTrigger bounds versions consumed per micro-batch") {
     val t = freshTable("cap")
     TxLog.append(df(1L -> "a"), t)
