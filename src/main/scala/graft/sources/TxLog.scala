@@ -282,29 +282,45 @@ object TxLog {
     val stage = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
     df.write.mode("error").parquet(stage.toString)
     val files = listParquet(stage)
-    val stats: Map[String, (String, String)] = statsCol match {
-      case Some(k) =>
+    // `statsCol` is a comma-separated column LIST ("k" or "k,ts"): one
+    // column-pruned scan of the just-written files computes min/max for
+    // every requested column, and the add-action records them all, so
+    // merge can prune on its key while readPruned skips on any recorded
+    // column (the Delta multi-column stats shape)
+    val cols: Seq[String] =
+      statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val stats: Map[String, Seq[(String, String, String)]] =
+      if (cols.isEmpty) Map.empty
+      else {
         // keyed by file NAME (unique within this fresh stage dir) because
         // _metadata.file_path is URI-spelled while `files` is path-spelled
+        val aggs = cols.flatMap(k => Seq(
+          min(col(k).cast("string")).as(s"__mn_$k"),
+          max(col(k).cast("string")).as(s"__mx_$k")))
         df.sparkSession.read.parquet(stage.toString)
-          .select(col("_metadata.file_path").as("__fp"), col(k).cast("string").as("__k"))
-          .groupBy("__fp").agg(min("__k").as("__mn"), max("__k").as("__mx"))
+          .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
+          .groupBy("__fp").agg(aggs.head, aggs.tail: _*)
           .collect()
-          .flatMap { r =>
+          .map { r =>
             val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-            (Option(r.getString(1)), Option(r.getString(2))) match {
-              case (Some(mn), Some(mx)) => Some(name -> (mn, mx))
-              case _                    => None
+            // an all-null column stays opaque for that file, never 0-range
+            name -> cols.flatMap { k =>
+              (Option(r.getAs[String](s"__mn_$k")), Option(r.getAs[String](s"__mx_$k"))) match {
+                case (Some(mn), Some(mx)) => Some((k, mn, mx))
+                case _                    => None
+              }
             }
           }.toMap
-      case None => Map.empty
-    }
+      }
     files.map { p =>
       val name = p.substring(p.lastIndexOf('/') + 1)
-      (statsCol, stats.get(name)) match {
-        case (Some(k), Some((mn, mx))) =>
-          s"""{"add":{"path":${quote(p)},"stats":{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}}}"""
-        case _ => s"""{"add":{"path":${quote(p)}}}"""
+      stats.getOrElse(name, Seq.empty) match {
+        case Seq() => s"""{"add":{"path":${quote(p)}}}"""
+        case entries =>
+          val body = entries.map { case (k, mn, mx) =>
+            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
+          }.mkString(",")
+          s"""{"add":{"path":${quote(p)},"stats":[$body]}}"""
       }
     }
   }
@@ -399,7 +415,7 @@ object TxLog {
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       val (liveMap, tip) = (replay.live, replay.tip)
       val withStats = liveMap.toSeq.flatMap { case (path, line) =>
-        parseStats(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+        parseStatsAll(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
       }
       val opaque = liveMap.keysIterator.toSet -- withStats.map(_._1)
       val touched: Seq[String] =
@@ -544,7 +560,7 @@ object TxLog {
       keyCol: String, lo: Any, hi: Any, asOf: Long = Long.MaxValue): Seq[String] = {
     val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
     val withStats = r.live.toSeq.flatMap { case (path, line) =>
-      parseStats(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+      parseStatsAll(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
     }
     val opaque = r.live.keysIterator.toSet -- withStats.map(_._1)
     if (withStats.isEmpty) return r.live.keysIterator.toSeq
@@ -768,6 +784,21 @@ object TxLog {
         }
         .toList
     }.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    // a writer that crashed between createTempFile and its finally block
+    // leaves .tmp-*/.ckpt-* litter in _txlog; published commits/checkpoints
+    // never start with '.', so age-guarded dot-file deletion is safe
+    val ld = logDir(table)
+    if (Files.isDirectory(ld)) {
+      scala.util.Using.resource(Files.list(ld)) { s =>
+        s.iterator().asScala
+          .filter { p =>
+            p.getFileName.toString.startsWith(".") &&
+              (try Files.getLastModifiedTime(p).toMillis <= cutoff
+               catch { case _: java.io.IOException => false })
+          }
+          .toList
+      }.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    }
     deleted
   }
 
@@ -785,7 +816,9 @@ object TxLog {
   // path capture stops at the first unescaped quote so an optional trailing
   // `"stats":{...}` object never bleeds into it
   private val ActRe = """\{"(add|remove)":\{"path":"((?:[^"\\]|\\.)*)".*""".r
-  private val StatsRe = """.*"stats":\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"\}.*""".r
+  // one per-column stats ENTRY — matches inside both the modern array form
+  // ("stats":[{...},{...}]) and the legacy single-object form ("stats":{...})
+  private val StatsEntryRe = """\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"\}""".r
 
   private def parseAction(line: String): Option[(String, String)] = line match {
     case ActRe(kind, path) => Some((kind, unquote(path)))
@@ -860,11 +893,13 @@ object TxLog {
     case _               => None
   }
 
-  /** Per-file key stats attached to an add-action, if the writer recorded
-    * them: (stats column, min, max) as strings in the column's cast-to-string
-    * form. Absent stats mean the file is opaque to pruning. */
-  private[sources] def parseStats(line: String): Option[(String, String, String)] = line match {
-    case StatsRe(c, mn, mx) => Some((unquote(c), unquote(mn), unquote(mx)))
-    case _                  => None
-  }
+  /** Per-file column stats attached to an add-action, if the writer
+    * recorded them: one (column, min, max) triple per recorded column, as
+    * strings in each column's cast-to-string form. Matches both the modern
+    * array form and legacy single-object lines. An absent column means the
+    * file is opaque to pruning ON THAT COLUMN. */
+  private[sources] def parseStatsAll(line: String): Seq[(String, String, String)] =
+    StatsEntryRe.findAllMatchIn(line).map { m =>
+      (unquote(m.group(1)), unquote(m.group(2)), unquote(m.group(3)))
+    }.toSeq
 }

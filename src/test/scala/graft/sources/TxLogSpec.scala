@@ -247,6 +247,25 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readPruned(spark, t, "k", 999L, 999L).count() == 1)
   }
 
+  test("multi-column stats: one comma-separated statsCol prunes on either column") {
+    import spark.implicits._
+    val t = freshTable("prune2")
+    // two files with disjoint ranges on BOTH k and ts
+    TxLog.append((0 until 10).map(i => (i.toLong, 1000L + i)).toDF("k", "ts")
+      .repartition(1), t, statsCol = Some("k,ts"))
+    TxLog.append((100 until 110).map(i => (i.toLong, 5000L + i)).toDF("k", "ts")
+      .repartition(1), t, statsCol = Some("k, ts"))
+    // prune on the FIRST column…
+    assert(TxLog.prunedFiles(spark, t, "k", 0L, 9L).size == 1)
+    // …and independently on the SECOND
+    assert(TxLog.prunedFiles(spark, t, "ts", 5000L, 5999L).size == 1)
+    assert(TxLog.readPruned(spark, t, "ts", 5000L, 5999L)
+      .select("k").collect().map(_.getLong(0)).toSet == (100L until 110L).toSet)
+    // merge still prunes by its key against the multi-stats lines
+    TxLog.merge(Seq((0L, 9999L)).toDF("k", "ts"), t, "k")
+    assert(TxLog.snapshot(t).read(spark).count() == 20)
+  }
+
   test("schema enforcement refuses drift; evolution null-fills and survives every path") {
     import spark.implicits._
     val t = freshTable("schema")
@@ -288,6 +307,26 @@ class TxLogSpec extends SparkSpec {
     for (b <- 0 until 10)
       TxLog.append(Seq((100L + b, s"x$b")).toDF("k", "v"), t)
     assert(TxLog.snapshot(t).read(spark).columns.toSeq == Seq("k", "v", "extra"))
+  }
+
+  test("vacuum sweeps aged crash litter from _txlog, never published files") {
+    import spark.implicits._
+    val t = freshTable("litter")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    // simulate a writer that crashed before its finally: stale dot-files
+    val log = Paths.get(t, "_txlog")
+    val tmp = Files.createTempFile(log, ".tmp-99-", ".json")
+    val ck = Files.createTempFile(log, ".ckpt-99-", ".json")
+    // young litter survives the grace window
+    assert(TxLog.vacuum(t) == 0L)
+    assert(Files.exists(tmp) && Files.exists(ck))
+    // aged litter goes; the published commit and data are untouched
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
+    Files.setLastModifiedTime(tmp, old); Files.setLastModifiedTime(ck, old)
+    assert(TxLog.vacuum(t) == 2L)
+    assert(!Files.exists(tmp) && !Files.exists(ck))
+    assert(TxLog.latestVersion(t) == 1L)
+    assert(rows(t) == Set((1L, "a")))
   }
 
   test("readChanges stamps rows with their commit; optimize invisible, rewrites gated") {
