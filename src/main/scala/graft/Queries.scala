@@ -627,6 +627,30 @@ object RelationalQueries {
               'append' AS _commit_op
             FROM orders ORDER BY o_orderkey"""))
 
+  // Schema evolution under the oracle: version 1 lands two columns,
+  // version 2 adds a third with mergeSchema — the snapshot read pins to
+  // the LOG schema, so v1 rows null-fill the new column and column order
+  // is the log's. The oracle reconstructs the same null-fill arithmetic
+  // relationally. NOTE: TIMES 2 writes + the read.
+  private val acidSchemaEvolution = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_evo", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+      graft.sources.TxLog.append(
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey")), tbl)
+      graft.sources.TxLog.append(
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price")),
+        tbl, mergeSchema = true)
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS price
+            FROM orders ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -1039,6 +1063,7 @@ object RelationalQueries {
     "acid_optimize" -> acidOptimize,
     "acid_pruned_scan" -> acidPrunedScan,
     "acid_cdf" -> acidCdf,
+    "acid_schema_evolution" -> acidSchemaEvolution,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev ivfsplit <sfDir> [reps] [nCells] — trained-IVF fit vs probe attribution
   *   runMain graft.tools.Dev lshlayout <sfDir> [bands] [bits] [reps] — verify-layout A/B at one geometry
   *   runMain graft.tools.Dev stream <sfDir> [batches] — streaming ops batch-parity over replayed events
+  *   runMain graft.tools.Dev txpipe <sfDir> [chunks] — exactly-once txlog table→table pipeline timing
   *   runMain graft.tools.Dev media [families] — multimodal ingest→dedup stage over generated files
   */
 
@@ -381,6 +382,57 @@ object Dev {
               s"(${fed.length} docs fed)")
           } finally q.stop()
         }
+
+      case "txpipe" :: rest =>
+        // End-to-end exactly-once TABLE→TABLE pipeline over the ACID log —
+        // the recorded number for BASELINE.md's streaming section: ingest
+        // events.parquet into txlog table A in chunked transactional
+        // appends, stream A → transform → exactlyOnceTxLog into B, then
+        // land one more chunk across a RESTART (new driver, same
+        // checkpoint) and verify exactly-once parity against the batch
+        // twin. Prints ingest rate, stream wall/rows/s, incremental batch
+        // latency, and the parity booleans.
+        import org.apache.spark.sql.functions._
+        val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val nChunks = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val base = java.nio.file.Files.createTempDirectory("txpipe")
+        val (a, b) = (base.resolve("a").toString, base.resolve("b").toString)
+        val ckpt = base.resolve("ck").toString
+        val ev = graft.Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+        val n = ev.count()
+        val t0 = System.nanoTime()
+        for (c <- 0 until nChunks)
+          graft.sources.TxLog.append(ev.filter(pmod(col("event_id"), lit(nChunks)) === c), a)
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        println(f"txpipe: ingest $n rows in $nChunks appends: $tIngest%.2f s " +
+          f"(${n / tIngest}%.0f rows/s)")
+        def pipe() = graft.streaming.EventStream.exactlyOnceTxLog(
+          spark.readStream.format("txlog").load(a)
+            .withColumn("value", col("value") * 2), b, ckpt, "txpipe")
+        val t1 = System.nanoTime()
+        val q1 = pipe()
+        try q1.processAllAvailable() finally q1.stop()
+        val tStream = (System.nanoTime() - t1) / 1e9
+        val got = graft.sources.TxLog.snapshot(b).read(spark)
+        println(f"txpipe: stream A->B $tStream%.2f s (${n / tStream}%.0f rows/s), " +
+          s"B rows=${got.count()}")
+        // one more chunk lands ACROSS A RESTART (new query, same checkpoint)
+        val extra = ev.limit(10000)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+        val t2 = System.nanoTime()
+        graft.sources.TxLog.append(extra, a)
+        val q2 = pipe()
+        try q2.processAllAvailable() finally q2.stop()
+        val tInc = (System.nanoTime() - t2) / 1e9
+        // parity vs the batch twin: same rows exactly once, doubled values
+        val want = graft.sources.TxLog.snapshot(a).read(spark)
+          .withColumn("value", col("value") * 2)
+        val fin = graft.sources.TxLog.snapshot(b).read(spark)
+        val parity = fin.count() == want.count() &&
+          fin.exceptAll(want).isEmpty && want.exceptAll(fin).isEmpty
+        println(f"txpipe: incremental 10000-row chunk across restart: $tInc%.2f s; " +
+          s"exactly-once parity=$parity (${fin.count()} rows)")
 
       case "ivfsplit" :: rest =>
         // Fit/probe attribution for the trained-IVF path: the catalog's
