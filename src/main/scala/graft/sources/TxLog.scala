@@ -294,9 +294,15 @@ object TxLog {
       else {
         // keyed by file NAME (unique within this fresh stage dir) because
         // _metadata.file_path is URI-spelled while `files` is path-spelled
+        // min/max MUST aggregate in the column's own type and cast only the
+        // RESULT to string for storage: aggregating the string cast orders
+        // numerics lexicographically ("9" > "2000"), which records a file
+        // spanning 0..3001 as envelope [0,3] — and a too-narrow envelope
+        // makes merge's stats prune SKIP a file it must rewrite (a silent
+        // lost remove; caught by TxChaosSpec's racing-writers model check)
         val aggs = cols.flatMap(k => Seq(
-          min(col(k).cast("string")).as(s"__mn_$k"),
-          max(col(k).cast("string")).as(s"__mx_$k")))
+          min(col(k)).cast("string").as(s"__mn_$k"),
+          max(col(k)).cast("string").as(s"__mx_$k")))
         df.sparkSession.read.parquet(stage.toString)
           .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
           .groupBy("__fp").agg(aggs.head, aggs.tail: _*)

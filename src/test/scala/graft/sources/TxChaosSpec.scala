@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import graft.SparkSpec
+
+/** Concurrency chaos test for the ACID log: several writer threads race
+  * interleaved appends, merges, and optimizes against ONE table with no
+  * coordination beyond the commit protocol itself. Each thread owns a
+  * disjoint key range, so while the COMMIT interleaving is nondeterministic,
+  * every serial order yields the same final state — which is exactly the
+  * guarantee serializability owes us. The assertions:
+  *  - the final table equals the union of each thread's locally-computed
+  *    expected state (no lost update, no duplicate, no resurrection);
+  *  - every version 1..tip is a readable snapshot whose files all exist
+  *    (no commit ever references a file another writer's retry orphaned);
+  *  - the version count equals the number of successful commits (slots are
+  *    never skipped or double-claimed).
+  */
+class TxChaosSpec extends SparkSpec {
+
+  test("racing appends, merges, and optimizes serialize without loss") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("txchaos").resolve("t").toString
+    val nThreads = 4
+    val committed = new ConcurrentLinkedQueue[Long]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+
+    // thread i owns keys [i*1000, i*1000+999]; ops per thread:
+    //   append {k0,k1} → merge {k0→B, k2 new} → append {k3} → merge {k1→C}
+    // plus thread 0 racing two optimizes into the middle of the storm
+    def expect(i: Int): Set[(Long, String)] = {
+      val b = i * 1000L
+      Set(b -> s"t${i}B", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n", (b + 3) -> s"t${i}a")
+    }
+    val threads = (0 until nThreads).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          val b = i * 1000L
+          committed.add(TxLog.append(
+            Seq(b -> s"t${i}a", (b + 1) -> s"t${i}a").toDF("k", "v"), t,
+            statsCol = Some("k")))
+          committed.add(TxLog.merge(
+            Seq(b -> s"t${i}B", (b + 2) -> s"t${i}n").toDF("k", "v"), t, "k"))
+          if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
+            statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
+          committed.add(TxLog.append(
+            Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
+          committed.add(TxLog.merge(
+            Seq((b + 1) -> s"t${i}C").toDF("k", "v"), t, "k"))
+          if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
+            statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString("; ")}")
+
+    import scala.jdk.CollectionConverters._
+    val versions = committed.asScala.toSeq
+    val tip = TxLog.latestVersion(t)
+    // every successful commit claimed a distinct slot; slots are contiguous
+    assert(versions.distinct.size == versions.size, "a version slot was double-claimed")
+    assert(tip == versions.size.toLong, s"tip $tip != ${versions.size} commits")
+
+    // the final state is the union of per-thread serial expectations
+    val got = TxLog.snapshot(t).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (0 until nThreads).map(expect).reduce(_ ++ _)
+    if (got != want) {
+      // dump the raw commit log so a failure names the guilty interleaving
+      val log = java.nio.file.Paths.get(t, "_txlog")
+      scala.util.Using.resource(Files.list(log))(_.iterator().asScala.toSeq)
+        .sortBy(_.getFileName.toString).foreach { p =>
+          println(s"===== ${p.getFileName} =====")
+          Files.readAllLines(p).asScala.foreach(println)
+        }
+    }
+    import scala.jdk.CollectionConverters._
+    assert(got == want, s"final state diverged from the serial model")
+
+    // every historical version is a consistent, fully-materialized snapshot
+    for (v <- 1L to tip) {
+      val snap = TxLog.snapshot(t, v)
+      assert(snap.files.forall(p => Files.exists(java.nio.file.Paths.get(p))),
+        s"version $v references a missing file")
+      TxLog.snapshot(t, v).read(spark).count() // must not throw
+    }
+  }
+}
