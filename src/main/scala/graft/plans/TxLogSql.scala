@@ -22,7 +22,7 @@ import graft.sources.TxLog
   * Grammar (case-insensitive keywords; `TXLOG` disambiguates from any
   * current or future Spark statement of the same head):
   *
-  *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [STATS <col>]
+  *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [STATS <col[,col...]>]
   *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   DESCRIBE HISTORY TXLOG '<path>'
   *
@@ -38,7 +38,7 @@ object TxLogSql {
   // path is a single-quoted SQL string literal ('' escapes a quote)
   private val P = "'((?:[^']|'')*)'"
   private val OptimizeRe = re(
-    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+STATS\\s+(\\w+))?\\s*;?\\s*""")
+    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
   private val VacuumRe = re(
     s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?\\s*;?\\s*""")
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")

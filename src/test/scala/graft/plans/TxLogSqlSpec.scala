@@ -97,6 +97,9 @@ class TxLogSqlSpec extends SparkSpec {
       Some(OptimizeTxLogCommand("/a/b", 128L * 1024 * 1024, None, None)))
     assert(TxLogSql.parse("optimize txlog '/a''s' target 42 zorder by (x , y) stats k") ==
       Some(OptimizeTxLogCommand("/a's", 42L, Some(("x", "y")), Some("k"))))
+    // multi-column stats list flows through to the comma-list statsCol form
+    assert(TxLogSql.parse("OPTIMIZE TXLOG '/t' STATS k,ts") ==
+      Some(OptimizeTxLogCommand("/t", 128L * 1024 * 1024, None, Some("k,ts"))))
     assert(TxLogSql.parse("VACUUM TXLOG '/t' RETAIN 3 VERSIONS") ==
       Some(VacuumTxLogCommand("/t", 3L, TxLog.DefaultVacuumGraceMs)))
     assert(TxLogSql.parse("vacuum txlog '/t' grace 0;") ==
