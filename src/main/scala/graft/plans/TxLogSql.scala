@@ -24,6 +24,7 @@ import graft.sources.TxLog
   *
   *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [STATS <col[,col...]>]
   *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
+  *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
   *
   * Each command is a driver-side metadata/maintenance action wrapping the
@@ -42,6 +43,8 @@ object TxLogSql {
   private val VacuumRe = re(
     s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?\\s*;?\\s*""")
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
+  private val RestoreRe = re(
+    s"""\\s*RESTORE\\s+TXLOG\\s+$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -67,6 +70,9 @@ object TxLogSql {
     }
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) return Some(DescribeHistoryTxLogCommand(unq(h.group(1))))
+    val r = RestoreRe.matcher(sqlText)
+    if (r.matches())
+      return Some(RestoreTxLogCommand(unq(r.group(1)), r.group(2).toLong))
     None
   }
 }
@@ -96,6 +102,17 @@ case class VacuumTxLogCommand(table: String, retainVersions: Long, graceMs: Long
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.vacuum(table, retainVersions, graceMs)))
+}
+
+case class RestoreTxLogCommand(table: String, version: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(version, TxLog.restore(table, version)))
 }
 
 case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableCommand {

@@ -581,6 +581,44 @@ object TxLog {
     (hit ++ opaque).toSeq
   }
 
+  /** Roll the table BACK to the state of `version` as a NEW commit (Delta's
+    * RESTORE): the restored snapshot's files are re-added (their original
+    * add-action lines verbatim, so stats survive), every other currently
+    * live file is removed, and history is preserved — the rollback is
+    * itself a versioned, time-travelable event, not a rewind. No data is
+    * copied or rewritten: both file sets already exist immutably, so
+    * restore is a pure O(files) metadata commit. Fails if `version` is in
+    * the future, and is a metadata no-op commit when the states already
+    * agree. The restored-to files must not have been vacuumed (same
+    * retention rule as time travel). Returns the new version. */
+  def restore(table: String, version: Long, maxRetries: Int = 16): Long = {
+    require(version >= 1, s"cannot restore to version $version")
+    var attempt = 0
+    while (true) {
+      val cur = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      require(version <= cur.tip,
+        s"cannot restore $table to future version $version (tip ${cur.tip})")
+      val target = replayAdds(table, version, useCheckpoint = true)
+      val adds = target.live.valuesIterator.toSeq
+      val removes = (cur.live.keySet -- target.live.keySet)
+        .map(p => s"""{"remove":{"path":${quote(p)}}}""").toSeq
+      // the restored schema rides along: readers of the new tip must see
+      // the OLD shape again (a post-restore append re-enforces against it)
+      val schemaActs = target.schema.filterNot(cur.schema.contains).map(schemaLine).toSeq
+      try {
+        commit(table, cur.tip + 1, adds ++ removes ++ schemaActs, "restore")
+        maybeCheckpoint(table, cur.tip + 1)
+        return cur.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"restore lost $maxRetries version races on $table")
+      }
+    }
+    -1L
+  }
+
   /** One commit's descriptive record for `DESCRIBE HISTORY`: version, the
     * operation that produced it, the commit file's publication time, and
     * its action counts. */

@@ -48,7 +48,11 @@ import org.apache.spark.sql.types.StructType
   * Options: `ignoreChanges` (above); `maxVersionsPerTrigger` (cap versions
   * consumed per micro-batch — best-effort per driver JVM, the first batch
   * after a restart is uncapped because V1 sources learn the committed
-  * offset only from the engine's first getBatch call).
+  * offset only from the engine's first getBatch call); `startingVersion`
+  * (tail-only mode: skip the initial snapshot and consume only commits
+  * AFTER the given version — `startingVersion=latest-at-start` is the
+  * "new data only" stream; the pinned start rides the offset log, so a
+  * restart replays identically).
   *
   * SCALE posture: getOffset is one directory listing of `_txlog` (O(log
   * suffix) names, no data I/O); a batch plans a vanilla parquet scan over
@@ -83,7 +87,11 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     new TxLogStreamSource(sqlContext, table,
       schema.getOrElse(TxLogStreamSource.inferSchema(sqlContext, table)),
       ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
-      maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong))
+      maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong),
+      startingVersion = lower.get("startingversion").map {
+        case "latest" => TxLog.latestVersion(table)
+        case n        => n.toLong
+      })
   }
 }
 
@@ -114,7 +122,8 @@ object TxLogStreamSource {
 
 class TxLogStreamSource(sqlContext: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long],
+    startingVersion: Option[Long] = None) extends Source {
 
   /** Last version handed to the engine (from getOffset or getBatch) — the
     * base the per-trigger cap advances from. -1 = unknown (fresh source;
@@ -124,7 +133,9 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
 
   override def getOffset: Option[Offset] = synchronized {
     val tip = TxLog.latestVersion(table)
-    if (tip < 1) None
+    // tail-only mode: nothing to emit until a commit lands PAST the start
+    if (startingVersion.exists(tip <= _)) None
+    else if (tip < 1) None
     else {
       val end = maxVersionsPerTrigger match {
         case Some(cap) if lastEnd >= 0 => math.min(tip, lastEnd + math.max(1L, cap))
@@ -139,22 +150,15 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
     val hi = versionOf(end)
     synchronized { lastEnd = math.max(lastEnd, hi) }
     val files = start match {
+      case None if startingVersion.isDefined =>
+        // tail-only: the first batch is the commits AFTER the pinned start,
+        // no snapshot — deterministic on replay for the same (start, hi)
+        changesIn(startingVersion.get, hi)
       case None =>
         // initial batch: the snapshot AT hi — removals folded in, exact on
         // replay because hi is pinned in the stream's offset log
         TxLog.snapshot(table, hi).files
-      case Some(lo) =>
-        TxLog.changes(table, versionOf(lo), hi).flatMap { c =>
-          if (c.op == "append") c.added
-          // optimize commits rewrite bytes, not rows (dataChange=false):
-          // skipping them is exact, never a caveat
-          else if (c.op == "optimize") Seq.empty
-          else if (ignoreChanges) c.added
-          else throw new IllegalStateException(
-            s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +
-              "a rewrite's adds are rewritten old rows, not new data. Set " +
-              "ignoreChanges=true to emit them (downstream must key-dedup).")
-        }
+      case Some(lo) => changesIn(versionOf(lo), hi)
     }
     // getBatch must hand the engine an isStreaming-tagged plan; the shim
     // re-tags the ordinary parquet scan (see StreamingFrames' scaladoc)
@@ -164,6 +168,19 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
     else org.apache.spark.sql.graftshim.StreamingFrames.asStreaming(
       sqlContext.sparkSession.read.schema(schema).parquet(files: _*))
   }
+
+  private def changesIn(lo: Long, hi: Long): Seq[String] =
+    TxLog.changes(table, lo, hi).flatMap { c =>
+      if (c.op == "append") c.added
+      // optimize commits rewrite bytes, not rows (dataChange=false):
+      // skipping them is exact, never a caveat
+      else if (c.op == "optimize") Seq.empty
+      else if (ignoreChanges) c.added
+      else throw new IllegalStateException(
+        s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +
+          "a rewrite's adds are rewritten old rows, not new data. Set " +
+          "ignoreChanges=true to emit them (downstream must key-dedup).")
+    }
 
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v

@@ -59,11 +59,17 @@ class TxLogSqlSpec extends SparkSpec {
       assert(ops == Seq(5L -> "optimize", 4L -> "append", 3L -> "append",
         2L -> "append", 1L -> "append"), s"newest-first history, got $ops")
 
-      // vacuum with zero grace (no in-flight writers here) collects the
-      // compacted-away originals; the live snapshot is untouched
+      // RESTORE through SQL: roll back to the 2-row state as a new commit
+      // (BEFORE vacuum — a vacuumed-away version is unrestorable by design)
+      val res = s.sql(s"RESTORE TXLOG '$t' VERSION AS OF 2").head()
+      assert(res.getLong(0) == 2L && res.getLong(1) == 6L)
+      assert(TxLog.snapshot(t).read(s).count() == 2)
+
+      // vacuum with zero grace (no in-flight writers here) collects every
+      // file outside the restored tip; the live snapshot is untouched
       val deleted = s.sql(s"VACUUM TXLOG '$t' RETAIN 0 VERSIONS GRACE 0").head().getLong(0)
-      assert(deleted >= filesBefore.toLong, s"originals must be collected, got $deleted")
-      assert(TxLog.snapshot(t).read(s).count() == 4)
+      assert(deleted >= 2L, s"non-tip files must be collected, got $deleted")
+      assert(TxLog.snapshot(t).read(s).count() == 2)
     }
   }
 
@@ -106,6 +112,8 @@ class TxLogSqlSpec extends SparkSpec {
       Some(VacuumTxLogCommand("/t", 0L, 0L)))
     assert(TxLogSql.parse("DESCRIBE HISTORY TXLOG '/t'") ==
       Some(DescribeHistoryTxLogCommand("/t")))
+    assert(TxLogSql.parse("restore txlog '/t' version as of 7") ==
+      Some(RestoreTxLogCommand("/t", 7L)))
     assert(TxLogSql.parse("SELECT * FROM t") == None)
     assert(TxLogSql.parse("OPTIMIZE TXLOG unquoted") == None)
   }

@@ -358,6 +358,36 @@ class TxLogSpec extends SparkSpec {
     assert(re.forall(_._3 == 5L))
   }
 
+  test("restore rolls back as a new versioned commit without copying data") {
+    import spark.implicits._
+    val t = freshTable("restore")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, statsCol = Some("k")) // v1
+    TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t, "k")                              // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                                  // v3
+    val dataFilesBefore = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(Paths.get(t, "data")))(
+        _.iterator().asScala.count(_.toString.endsWith(".parquet")))
+    }
+    val v = TxLog.restore(t, 1L)
+    assert(v == 4L, "restore must be a NEW commit")
+    assert(rows(t) == Set((1L, "a"), (2L, "b")), "tip reads the v1 state")
+    // history preserved: the rolled-back states are still time-travelable
+    assert(TxLog.snapshot(t, 3L).read(spark).count() == 3)
+    // pure metadata: no data file was written by the rollback
+    val dataFilesAfter = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(Paths.get(t, "data")))(
+        _.iterator().asScala.count(_.toString.endsWith(".parquet")))
+    }
+    assert(dataFilesAfter == dataFilesBefore, "restore must not copy or write data")
+    // restored add-actions keep their stats: a merge still prunes
+    assert(TxLog.merge(Seq((2L, "B")).toDF("k", "v"), t, "k") == 5L)
+    assert(rows(t) == Set((1L, "a"), (2L, "B")))
+    // future version refused
+    intercept[IllegalArgumentException](TxLog.restore(t, 99L))
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)

@@ -179,6 +179,25 @@ class TxSourceSpec extends SparkSpec {
     assert(TxLog.latestVersion(t) == 2L)
   }
 
+  test("startingVersion=latest streams only commits after stream start") {
+    val t = freshTable("tail_only")
+    TxLog.append(df(1L -> "old"), t)
+    TxLog.append(df(2L -> "old"), t)
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "latest").load(t)
+      .writeStream.format("memory").queryName("txsrc_tailonly")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_to_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_tailonly").count() == 0,
+        "history before the start must not be emitted")
+      TxLog.append(df(3L -> "new"), t)
+      q.processAllAvailable()
+      assert(pairs(spark.table("txsrc_tailonly")) == Set(3L -> "new"))
+    } finally q.stop()
+  }
+
   test("upsertTxLog: streaming CDC merge keeps latest per key across restart") {
     import org.apache.spark.sql.types._
     val in = Files.createTempDirectory("txup_in")
