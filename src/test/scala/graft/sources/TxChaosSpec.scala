@@ -56,8 +56,28 @@ class TxChaosSpec extends SparkSpec {
         } catch { case e: Throwable => errors.add(e) }
       })
     }
+    // a READER races the whole storm: every loop takes a fresh snapshot and
+    // materializes it — this must never throw (snapshot isolation) even
+    // while commits land and checkpoints publish mid-replay, and each read
+    // must see a consistent prefix (row count never exceeds the final state)
+    @volatile var writersDone = false
+    val readerReads = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      try {
+        start.await()
+        while (!writersDone) {
+          val c = TxLog.snapshot(t).read(spark).count()
+          assert(c <= (nThreads * 4).toLong, s"read an impossible state of $c rows")
+          TxLog.history(t) // concurrent history read over in-flight commits
+          readerReads.incrementAndGet()
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    reader.start()
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
-    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString("; ")}")
+    writersDone = true; reader.join()
+    assert(errors.isEmpty, s"writer/reader errors: ${errors.toArray.mkString("; ")}")
+    assert(readerReads.get >= 1L, "the racing reader must have actually read")
 
     import scala.jdk.CollectionConverters._
     val versions = committed.asScala.toSeq
