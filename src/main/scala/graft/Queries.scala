@@ -1021,6 +1021,30 @@ object RelationalQueries {
                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND INTERVAL 30 DAY FOLLOWING)
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Distribution-position window functions: percent_rank + cume_dist per
+  // group under a TOTAL order (quantity with the unique line key as
+  // tiebreak), so ranks are unique, every peer group is a singleton, and
+  // both functions reduce to ratios of the same integers on both engines —
+  // bit-equal doubles with no FP caveat. One partitioned sort, no joins.
+  private val windowCumeDist = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+            percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)
+            ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
+
   // scan_project leads so the one-time JVM/codegen warmup in Bench lands on
   // the cheapest query instead of a random one (queries is insertion-ordered).
   val all: List[(String, Q)] = List(
@@ -1075,5 +1099,6 @@ object RelationalQueries {
     "upsert_snapshot" -> upsertSnapshot,
     "scd2_history" -> scd2History,
     "grouping_sets" -> groupingSets,
-    "window_range_frame" -> windowRangeFrame)
+    "window_range_frame" -> windowRangeFrame,
+    "window_cume_dist" -> windowCumeDist)
 }
