@@ -979,6 +979,34 @@ object RelationalQueries {
     },
     Some(tpchQ3Text))
 
+  private val tpchQ5Text =
+    """SELECT n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
+  // Local-supplier volume (TPC-H Q5 adapted to this schema): a 6-way join —
+  // two broadcast-sized dimension chains (nation→region, supplier) hanging
+  // off the customer⋈orders⋈lineitem fact spine, with the local-supplier
+  // constraint (c_nationkey = s_nationkey) folded into the supplier join —
+  // then grouped decimal revenue per nation. One SQL text on both engines;
+  // Catalyst broadcasts every dimension and reorders the spine.
+  private val sqlTpchQ5 = Q(
+    (s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ5Text)
+    },
+    Some(tpchQ5Text))
+
   /** GROUPING SETS text shared verbatim by spark.sql and DuckDB (both
     * support the explicit form; completes the rollup/cube family). */
   private val groupingSetsText =
@@ -1095,6 +1123,7 @@ object RelationalQueries {
     "agg_corr" -> aggCorr,
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q5" -> sqlTpchQ5,
     "join_skew_salted" -> joinSkewSalted,
     "upsert_snapshot" -> upsertSnapshot,
     "scd2_history" -> scd2History,
