@@ -570,14 +570,25 @@ object TxLog {
     }
     val opaque = r.live.keysIterator.toSet -- withStats.map(_._1)
     if (withStats.isEmpty) return r.live.keysIterator.toSeq
-    // typed envelope test on the O(files) driver-side list — same cast
-    // discipline as merge's phase-1 prune, no data I/O
-    import spark.implicits._
-    val keyType = org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType
-    val hit = withStats.toDF("__path", "__mns", "__mxs")
-      .where(col("__mxs").cast(keyType) >= lit(lo) &&
-        col("__mns").cast(keyType) <= lit(hi))
-      .select("__path").collect().map(_.getString(0))
+    // typed envelope test, evaluated DRIVER-SIDE via interpreted Catalyst
+    // expressions (Cast + comparison on literals): same type semantics as
+    // the SQL cast discipline merge's phase-1 uses, but with zero Spark
+    // jobs — a point lookup must not pay a job just to pick its file list,
+    // and at 100k files a local O(files) loop beats planning a local
+    // relation. A cast that yields null (malformed stat) keeps the file —
+    // conservative, never wrongly skipped.
+    import org.apache.spark.sql.catalyst.expressions.{And, Cast, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val keyType = Literal(lo).dataType
+    val tz = Some("UTC")
+    def intersects(mn: String, mx: String): Boolean =
+      And(
+        GreaterThanOrEqual(Cast(Literal(mx), keyType, tz), Literal(lo)),
+        LessThanOrEqual(Cast(Literal(mn), keyType, tz), Literal(hi)))
+        .eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _                    => true // null compare ⇒ conservative keep
+      }
+    val hit = withStats.collect { case (path, mn, mx) if intersects(mn, mx) => path }
     (hit ++ opaque).toSeq
   }
 

@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev lshlayout <sfDir> [bands] [bits] [reps] — verify-layout A/B at one geometry
   *   runMain graft.tools.Dev stream <sfDir> [batches] — streaming ops batch-parity over replayed events
   *   runMain graft.tools.Dev txpipe <sfDir> [chunks] — exactly-once txlog table→table pipeline timing
+  *   runMain graft.tools.Dev prune <sfDir> [files] — data-skipping A/B: snapshot scan vs readPruned
   *   runMain graft.tools.Dev media [families] — multimodal ingest→dedup stage over generated files
   */
 
@@ -433,6 +434,49 @@ object Dev {
           fin.exceptAll(want).isEmpty && want.exceptAll(fin).isEmpty
         println(f"txpipe: incremental 10000-row chunk across restart: $tInc%.2f s; " +
           s"exactly-once parity=$parity (${fin.count()} rows)")
+
+      case "prune" :: rest =>
+        // Data-skipping A/B for BASELINE.md: a txlog table of orders laid
+        // out as contiguous-key files with recorded stats; time the same
+        // narrow range read (a) as a plain snapshot scan + filter (parquet
+        // row-group skipping only) vs (b) through readPruned's file-list
+        // skipping. Prints wall times, files touched, and the row-count
+        // equality check.
+        import org.apache.spark.sql.functions._
+        val d = rest.headOption.getOrElse("/root/repo/target/sf1")
+        val nFiles = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+        val t = java.nio.file.Files.createTempDirectory("devprune").resolve("t").toString
+        val src = spark.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // contiguous EQUAL-ROW slices via ntile (key space is strided at
+        // sf>0.1 — GenScale offsets replicas — so uniform key slicing
+        // would leave most slices empty); single-partition window is fine
+        // in a one-shot dev layout job
+        import org.apache.spark.sql.expressions.Window
+        val sliced = src.withColumn("__slice",
+          ntile(nFiles).over(Window.orderBy("o_orderkey"))).cache()
+        for (slice <- 1 to nFiles)
+          graft.sources.TxLog.append(
+            sliced.filter(col("__slice") === slice).drop("__slice").repartition(1),
+            t, statsCol = Some("o_orderkey"))
+        sliced.unpersist()
+        // probe a ~1%-of-rows key range strictly inside one slice
+        val qs = src.stat.approxQuantile("o_orderkey", Array(0.40, 0.41), 0.0)
+        val (lo, hi) = (qs(0).toLong, qs(1).toLong)
+        val total = graft.sources.TxLog.snapshot(t).files.size
+        for (r <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val full = graft.sources.TxLog.snapshot(t).read(spark)
+            .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+          val tFull = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val pruned = graft.sources.TxLog.readPruned(spark, t, "o_orderkey", lo, hi).count()
+          val tPruned = (System.nanoTime() - t1) / 1e9
+          val touched = graft.sources.TxLog.prunedFiles(spark, t, "o_orderkey", lo, hi).size
+          println(f"prune[$r]: full-scan $tFull%.2f s ($total files) vs " +
+            f"readPruned $tPruned%.2f s ($touched files), rows $full/$pruned " +
+            s"equal=${full == pruned}")
+        }
 
       case "ivfsplit" :: rest =>
         // Fit/probe attribution for the trained-IVF path: the catalog's
