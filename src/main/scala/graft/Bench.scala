@@ -125,7 +125,7 @@ object Bench {
     // value is stamped alongside for readers with stricter standards.
     val contended = loadBefore > 4.0
     if (contended)
-      System.err.println(f"[bench] WARNING: loadavg_before=$loadBefore%.2f > 2 — machine contended; artifact stamped contended:true and MUST NOT be used as a baseline")
+      System.err.println(f"[bench] WARNING: loadavg_before=$loadBefore%.2f > 4 — machine contended; artifact stamped contended:true and MUST NOT be used as a baseline")
     val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":"$cpus","failed":$failed"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
     println(json)

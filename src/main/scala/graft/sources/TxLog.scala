@@ -433,13 +433,19 @@ object TxLog {
             .where(col("__k").isNotNull).distinct()
           // phase 1: envelope prune — one row of typed bounds against the
           // (small, O(files)) ranges frame; comparisons happen in the key's
-          // own type, never as strings
+          // own type, never as strings. try_cast, because a stat string that
+          // does not parse as the key type (older writer, type drift) must
+          // yield null — and a null-cast file must stay a CANDIDATE: it has
+          // stats, so it is not in `opaque`, and dropping it here would mean
+          // it is never rewritten — a silent lost update (plain cast is just
+          // as wrong: under ANSI it aborts the whole merge instead)
           val ranges = withStats.toDF("__path", "__mns", "__mxs")
-            .select(col("__path"), col("__mns").cast(keyType).as("__mn"),
-              col("__mxs").cast(keyType).as("__mx"))
+            .select(col("__path"), col("__mns").try_cast(keyType).as("__mn"),
+              col("__mxs").try_cast(keyType).as("__mx"))
           val bounds = updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx"))
           val candidates = ranges.crossJoin(broadcast(bounds))
-            .where(col("__mx") >= col("__bmn") && col("__mn") <= col("__bmx"))
+            .where((col("__mx") >= col("__bmn") && col("__mn") <= col("__bmx")) ||
+              col("__mn").isNull || col("__mx").isNull)
             .select("__path").collect().map(_.getString(0)).toSeq
           // phase 2: touch scan — read ONLY the candidates' key column and
           // equi-join (hash, shuffle-or-broadcast — never a nested loop)
@@ -527,11 +533,21 @@ object TxLog {
     }
     import spark.implicits._
     val reader = schemaOpt.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+    // _metadata.file_path is URI-spelled (file:///a%20b/…) and
+    // percent-encodes specials; the broadcast side holds plain decoded
+    // paths, so the join key must DECODE, not just strip the scheme — a
+    // table path with a space would otherwise silently drop every row from
+    // the feed. java.net.URI does exactly the %XX decode the encoder did
+    // (the same discipline as merge's touch-scan attribution); the fallback
+    // covers a raw unencoded path, where stripping the scheme suffices.
+    val uriPath = udf { (s: String) =>
+      if (s == null) null
+      else try new java.net.URI(s).getPath
+      catch { case _: java.net.URISyntaxException =>
+        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
+    }
     val data = reader.parquet(fileVer.map(_._1): _*)
-      // _metadata.file_path is URI-spelled (file:///abs/…); reduce both
-      // sides to the plain absolute path (POSIX sandbox — documented)
-      .withColumn("__fp",
-        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .withColumn("__fp", uriPath(col("_metadata.file_path")))
     data.join(broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
       .drop("__fp")
   }
@@ -555,16 +571,28 @@ object TxLog {
     * file list for tests/diagnostics. */
   def readPruned(spark: SparkSession, table: String, keyCol: String,
       lo: Any, hi: Any, asOf: Long = Long.MaxValue): DataFrame = {
-    val files = prunedFiles(spark, table, keyCol, lo, hi, asOf)
+    val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
+    val files = prunedFrom(spark, r, keyCol, lo, hi)
     if (files.isEmpty)
       snapshot(table, asOf).read(spark).limit(0).filter(lit(false))
-    else spark.read.parquet(files: _*)
-      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    else {
+      // pinned to the LOG schema like Snapshot.read and merge's rewrite
+      // read: pre-evolution files in the pruned set must null-fill the
+      // later columns, not narrow the output schema by footer inference
+      val reader = r.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+      reader.parquet(files: _*)
+        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    }
   }
 
   private[graft] def prunedFiles(spark: SparkSession, table: String,
-      keyCol: String, lo: Any, hi: Any, asOf: Long = Long.MaxValue): Seq[String] = {
-    val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
+      keyCol: String, lo: Any, hi: Any, asOf: Long = Long.MaxValue): Seq[String] =
+    prunedFrom(spark,
+      replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true),
+      keyCol, lo, hi)
+
+  private def prunedFrom(spark: SparkSession, r: Replay,
+      keyCol: String, lo: Any, hi: Any): Seq[String] = {
     val withStats = r.live.toSeq.flatMap { case (path, line) =>
       parseStatsAll(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
     }
@@ -575,15 +603,20 @@ object TxLog {
     // the SQL cast discipline merge's phase-1 uses, but with zero Spark
     // jobs — a point lookup must not pay a job just to pick its file list,
     // and at 100k files a local O(files) loop beats planning a local
-    // relation. A cast that yields null (malformed stat) keeps the file —
-    // conservative, never wrongly skipped.
-    import org.apache.spark.sql.catalyst.expressions.{And, Cast, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    // relation. TRY eval mode: a cast that yields null (malformed stat)
+    // keeps the file — conservative, never wrongly skipped (and under ANSI
+    // a plain cast would throw instead). The timezone is the SESSION's,
+    // matching stageFiles' SQL cast-to-string on the write side — a
+    // hardcoded zone would shift re-parsed timestamp envelopes by the
+    // session offset and silently skip files holding matching rows.
+    import org.apache.spark.sql.catalyst.expressions.{And, Cast, EvalMode, GreaterThanOrEqual, LessThanOrEqual, Literal}
     val keyType = Literal(lo).dataType
-    val tz = Some("UTC")
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def cast(s: String) = Cast(Literal(s), keyType, tz, EvalMode.TRY)
     def intersects(mn: String, mx: String): Boolean =
       And(
-        GreaterThanOrEqual(Cast(Literal(mx), keyType, tz), Literal(lo)),
-        LessThanOrEqual(Cast(Literal(mn), keyType, tz), Literal(hi)))
+        GreaterThanOrEqual(cast(mx), Literal(lo)),
+        LessThanOrEqual(cast(mn), Literal(hi)))
         .eval() match {
         case b: java.lang.Boolean => b.booleanValue()
         case _                    => true // null compare ⇒ conservative keep

@@ -388,6 +388,90 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxLog.restore(t, 99L))
   }
 
+  test("merge keeps files with unparsable stats as rewrite candidates (no lost update)") {
+    import spark.implicits._
+    // A file whose recorded stat strings do not cast to the merge key's type
+    // (older writer, corrupted stat, type drift) must be treated like an
+    // opaque file — conservatively rewritten — never silently skipped. A
+    // skip here is a LOST UPDATE: the file has stats, so it is not in the
+    // opaque set, and a null-valued cast fails the envelope predicate.
+    val t = freshTable("nullcast")
+    val stage = Paths.get(t, "data", "manual")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1).write.parquet(stage.toString)
+    val file = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(stage))(
+        _.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList.head)
+    }
+    TxLog.commit(t, 1L, Seq(
+      s"""{"add":{"path":"$file","stats":[{"col":"k","min":"oops","max":"oops"}]}}"""),
+      "append")
+    // a second file with GOOD stats so the stats-prune path actually runs
+    TxLog.append(Seq((100L, "x")).toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.merge(Seq((2L, "B")).toDF("k", "v"), t, "k")
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "c"), (100L, "x")),
+      "the update to key 2 must land exactly once — a duplicate means the " +
+        "null-cast-stat file was skipped by the envelope prune and never rewritten")
+  }
+
+  test("prunedFiles parses recorded timestamp stats in the session timezone") {
+    import spark.implicits._
+    // stageFiles records stats via cast-to-string in the SESSION timezone;
+    // the read side must re-parse them in the SAME zone. A hardcoded UTC
+    // parse shifts the envelope by the zone offset and silently SKIPS a
+    // file that contains matching rows (wrong results, not a perf miss).
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // UTC+5:30
+    try {
+      val t = freshTable("tzprune")
+      val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00") // session-local
+      val rows0 = (0 until 4).map(i =>
+        (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L)))
+      TxLog.append(rows0.toDF("k", "ts").repartition(1), t, statsCol = Some("ts"))
+      // ask for exactly the file's min instant: a UTC re-parse of the
+      // Kolkata-rendered min overshoots by +5:30 and fails mn <= hi
+      val files = TxLog.prunedFiles(spark, t, "ts", base, base)
+      assert(files.size == 1,
+        "the file containing the queried instant was wrongly skipped — " +
+          "stats were re-parsed in a different timezone than they were recorded in")
+      assert(TxLog.readPruned(spark, t, "ts", base, base).count() == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("readPruned pins the log schema: pre-evolution files null-fill like snapshot.read") {
+    import spark.implicits._
+    val t = freshTable("pruneschema")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1),
+      t, statsCol = Some("k"))
+    TxLog.append(Seq((3L, "c", 7L)).toDF("k", "v", "extra").repartition(1),
+      t, statsCol = Some("k"), mergeSchema = true)
+    val df = TxLog.readPruned(spark, t, "k", 0L, 10L)
+    assert(df.columns.toSeq == Seq("k", "v", "extra"),
+      s"pruned read must use the log schema, got ${df.columns.toSeq}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+    // the schema also holds when the range prunes down to pre-evolution files only
+    assert(TxLog.readPruned(spark, t, "k", 0L, 2L).columns.toSeq == Seq("k", "v", "extra"))
+  }
+
+  test("readChanges attributes rows on a table path containing a space") {
+    import spark.implicits._
+    // _metadata.file_path is URI-spelled and percent-encodes specials; the
+    // attribution join must decode it or every row silently vanishes
+    val dir = Files.createTempDirectory("txlog cdf space")
+    val t = dir.resolve("t").toString
+    assert(t.contains(" "), "test precondition: path must contain a space")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    val got = TxLog.readChanges(spark, t, 0L)
+      .select("k", "v", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)),
+      s"rows vanished from the change feed on a percent-encoded path: $got")
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)
