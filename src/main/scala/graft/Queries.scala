@@ -651,6 +651,32 @@ object RelationalQueries {
               CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS price
             FROM orders ORDER BY o_orderkey"""))
 
+  // Row-level transactional DELETE on the log (retraction — GDPR erasure /
+  // bad-batch rollback): four range-sliced appends land disjoint key
+  // quarters with per-file stats, one delete retracts a key-scatter
+  // predicate (every 7th key) through the file-scoped rewrite, and the
+  // snapshot read proves the survivors are exactly the relational
+  // anti-filter. TxLogSpec proves the file-scoping (disjoint files survive
+  // by path identity); this entry proves the ANSWER. NOTE: TIMES 4 writes +
+  // the delete rewrite + the read.
+  private val acidDelete = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_del", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(
+          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.delete(s, tbl, col("o_orderkey") % 7 === 0,
+        statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -1116,6 +1142,7 @@ object RelationalQueries {
     "acid_pruned_scan" -> acidPrunedScan,
     "acid_cdf" -> acidCdf,
     "acid_schema_evolution" -> acidSchemaEvolution,
+    "acid_delete" -> acidDelete,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

@@ -26,6 +26,7 @@ import graft.sources.TxLog
   *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
+  *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
   *
   * Each command is a driver-side metadata/maintenance action wrapping the
   * corresponding [[TxLog]] API (which holds the concurrency story); the
@@ -45,6 +46,10 @@ object TxLogSql {
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
   private val RestoreRe = re(
     s"""\\s*RESTORE\\s+TXLOG\\s+$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
+  // the predicate is free SQL text (validated by Spark's own expression
+  // parser inside the command); a trailing STATS clause is peeled off first
+  private val DeleteRe = re(
+    s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -73,6 +78,10 @@ object TxLogSql {
     val r = RestoreRe.matcher(sqlText)
     if (r.matches())
       return Some(RestoreTxLogCommand(unq(r.group(1)), r.group(2).toLong))
+    val del = DeleteRe.matcher(sqlText)
+    if (del.matches())
+      return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
+        Option(del.group(3))))
     None
   }
 }
@@ -113,6 +122,25 @@ case class RestoreTxLogCommand(table: String, version: Long)
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(version, TxLog.restore(table, version)))
+}
+
+case class DeleteTxLogCommand(table: String, predicateSql: String,
+    statsCol: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the predicate text goes through Spark's OWN expression parser (via
+    // expr), so anything standard SQL accepts works and anything malformed
+    // fails with Spark's parse error, not a regex surprise
+    val before = TxLog.snapshot(table).files.toSet
+    val v = TxLog.delete(spark, table,
+      org.apache.spark.sql.functions.expr(predicateSql), statsCol)
+    val after = TxLog.snapshot(table).files.toSet
+    Seq(Row(v, (before -- after).size))
+  }
 }
 
 case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableCommand {

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal ACID table format on parquet — the transactional commit protocol
@@ -482,6 +482,75 @@ object TxLog {
           attempt += 1
           if (attempt > maxRetries)
             sys.error(s"merge lost $maxRetries version races on $table")
+        // staged files of the failed attempt stay unreferenced → vacuum
+      }
+    }
+    -1L
+  }
+
+  /** Row-level transactional DELETE — the retraction half of the lakehouse
+    * write surface (GDPR erasure, bad-batch retraction; the reference's own
+    * append-only design names exactly this gap: ingest dedup by "most
+    * recent" works until a row must actually go away). Semantics are SQL
+    * DELETE: rows where `predicate` is TRUE are removed; rows where it is
+    * FALSE **or NULL** are kept.
+    *
+    * FILE-SCOPED like [[merge]] — a 1-row delete on a 100 TB table must not
+    * rewrite 100 TB:
+    *   1. touch scan (distributed, column-pruned): read ONLY the predicate's
+    *      columns of the live files and collect the distinct
+    *      `_metadata.file_path`s holding at least one TRUE row — parquet
+    *      row-group stats prune the scan at the storage layer (an arbitrary
+    *      predicate has no log-stats envelope to prune on; a range delete on
+    *      a stats column gets the log-level prune for free via the scan's
+    *      own pushdown);
+    *   2. rewrite only the touched files with their KEPT rows (read under
+    *      the log schema, so pre-evolution files null-fill); untouched files
+    *      keep their add-actions — no remove, no data movement.
+    * A delete matching nothing commits nothing and returns the current tip
+    * (no empty commit). The commit's op is `"delete"` — a rewrite op, so
+    * [[readChanges]] refuses the range unless `includeRewrites = true` and a
+    * tailing [[TxLogStreamSource]] fails without `ignoreChanges=true`, the
+    * same gating as merge/overwrite (a delete's adds are rewritten survivor
+    * rows, not new data).
+    *
+    * On a version conflict the WHOLE operation re-derives against the new
+    * tip — a concurrent append may land rows the predicate must also delete,
+    * and an arbitrary predicate offers no disjointness proof, so delete
+    * always takes the conservative serializable path. `statsCol` re-records
+    * per-file min/max on the rewritten output so merges/pruned reads keep
+    * pruning against post-delete files. Returns the committed version. */
+  def delete(spark: SparkSession, table: String, predicate: Column,
+      statsCol: Option[String] = None, maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (true) {
+      val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (replay.live.isEmpty) return replay.tip
+      val live = replay.live.keysIterator.toSeq
+      val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+      val byAbs = live.map(p => normalize(p) -> p).toMap
+      val touched: Seq[String] = reader.parquet(live: _*)
+        .where(predicate)
+        .select(col("_metadata.file_path").as("__fp")).distinct()
+        .collect()
+        .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+        .toSeq
+      if (touched.isEmpty) return replay.tip
+      // keep rows where the predicate is FALSE or NULL (SQL DELETE keeps
+      // null-valued predicates — only TRUE rows go)
+      val kept = reader.parquet(touched: _*)
+        .where(!coalesce(predicate, lit(false)))
+      val adds = stageFiles(kept, table, statsCol)
+      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      try {
+        commit(table, replay.tip + 1, adds ++ removes, "delete")
+        maybeCheckpoint(table, replay.tip + 1)
+        return replay.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"delete lost $maxRetries version races on $table")
         // staged files of the failed attempt stay unreferenced → vacuum
       }
     }

@@ -85,6 +85,23 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM TXLOG runs end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("delete")
+      TxLog.append((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+        t, statsCol = Some("k"))
+      val r = s.sql(s"DELETE FROM TXLOG '$t' WHERE k % 2 = 0 STATS k").head()
+      assert(r.getLong(0) == 2L, "delete must commit version 2")
+      assert(r.getInt(1) == 4, "every file held an even key → all 4 rewritten")
+      assert(TxLog.snapshot(t).read(s).select("k").collect()
+        .map(_.getLong(0)).toSet == (1 to 20 by 2).map(_.toLong).toSet)
+      // a malformed predicate fails in Spark's expression parser, not ours
+      intercept[Exception](s.sql(s"DELETE FROM TXLOG '$t' WHERE ((("))
+    }
+  }
+
   test("path literals with quotes unescape; standard SQL still parses") {
     withExtSession { s =>
       // non-TXLOG text must fall through to Spark's parser and behave
@@ -114,6 +131,12 @@ class TxLogSqlSpec extends SparkSpec {
       Some(DescribeHistoryTxLogCommand("/t")))
     assert(TxLogSql.parse("restore txlog '/t' version as of 7") ==
       Some(RestoreTxLogCommand("/t", 7L)))
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE k = 5") ==
+      Some(DeleteTxLogCommand("/t", "k = 5", None)))
+    assert(TxLogSql.parse("delete from txlog '/t' where v LIKE 'x%' stats k,ts;") ==
+      Some(DeleteTxLogCommand("/t", "v LIKE 'x%'", Some("k,ts"))))
+    // DELETE on a non-TXLOG table falls through to Spark's parser
+    assert(TxLogSql.parse("DELETE FROM plain_table WHERE k = 5") == None)
     assert(TxLogSql.parse("SELECT * FROM t") == None)
     assert(TxLogSql.parse("OPTIMIZE TXLOG unquoted") == None)
   }

@@ -388,6 +388,59 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxLog.restore(t, 99L))
   }
 
+  test("delete is file-scoped: untouched files survive by path identity, answer exact") {
+    import spark.implicits._
+    val t = freshTable("delete")
+    // 100 keys range-partitioned into 4 files with disjoint key ranges
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TxLog.append(base, t, statsCol = Some("k"))
+    val before = TxLog.snapshot(t).files
+    assert(before.size == 4)
+    // delete three keys that live in ONE file's range
+    val v = TxLog.delete(spark, t, col("k") >= 95L && col("k") <= 97L,
+      statsCol = Some("k"))
+    assert(v == 2L, "delete must be one new commit")
+    val after = TxLog.snapshot(t).files.toSet
+    assert(before.count(after.contains) == 3,
+      "exactly the file holding 95..97 may be rewritten; the other three " +
+        "must survive IN PLACE (same path)")
+    assert(rows(t) == (1 to 100).filterNot(i => i >= 95 && i <= 97)
+      .map(i => (i.toLong, s"v$i")).toSet)
+    // a delete matching nothing commits nothing — the tip stays put
+    assert(TxLog.delete(spark, t, col("k") === 9999L) == 2L)
+    assert(TxLog.latestVersion(t) == 2L)
+    // history records the op; time travel above the delete still works
+    assert(TxLog.history(t).head.op == "delete")
+    assert(TxLog.snapshot(t, asOf = 1L).read(spark).count() == 100)
+  }
+
+  test("delete keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    import spark.implicits._
+    val t = freshTable("delnull")
+    TxLog.append(Seq((1L, Some("drop")), (2L, Some("keep")), (3L, None))
+      .toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("v") === "drop")
+    // row 3's predicate evaluates NULL → kept, exactly like SQL DELETE
+    assert(TxLog.snapshot(t).read(spark).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("delete commits gate the change feed and stream like other rewrites") {
+    import spark.implicits._
+    val t = freshTable("delcdf")
+    // one file holds both rows, so the delete's rewrite carries a survivor
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t)
+    TxLog.delete(spark, t, col("k") === 1L)
+    val e = intercept[IllegalStateException](TxLog.readChanges(spark, t, 0L))
+    assert(e.getMessage.contains("delete") && e.getMessage.contains("includeRewrites"))
+    val re = TxLog.readChanges(spark, t, 0L, includeRewrites = true)
+      .select("k", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the survivor row re-emits stamped with the delete's version
+    assert(re == Set((1L, 1L), (2L, 1L), (2L, 2L)))
+  }
+
   test("merge keeps files with unparsable stats as rewrite candidates (no lost update)") {
     import spark.implicits._
     // A file whose recorded stat strings do not cast to the merge key's type
