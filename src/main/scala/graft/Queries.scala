@@ -536,11 +536,11 @@ object RelationalQueries {
                    ELSE o_totalprice END AS o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
-  // Time travel on the same log: read the snapshot AS OF the initial-load
-  // version after a later merge rewrote the table — the log replays only
-  // commits ≤ v1 and the immutable v1 files still hold the original rows
-  // (TxLogSpec covers vacuum retention; here the oracle is the pre-merge
-  // relational state).
+  // Time travel on the same log, through the PUBLIC batch reader
+  // (spark.read.format("txlog").option("versionAsOf", v) — no graft imports
+  // needed by a consumer): the log replays only commits ≤ v1 and the
+  // immutable v1 files still hold the original rows (TxLogSpec covers
+  // vacuum retention; here the oracle is the pre-merge relational state).
   private val acidTimeTravel = Q(
     (s, d) => {
       val tbl = scratchDir("acid_tt", d)
@@ -552,7 +552,8 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
       graft.sources.TxLog.merge(updates, tbl, "o_orderkey")
-      graft.sources.TxLog.snapshot(tbl, asOf = v1).read(s).orderBy("o_orderkey")
+      s.read.format("txlog").option("versionAsOf", v1).load(tbl)
+        .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""))
@@ -579,12 +580,12 @@ object RelationalQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey"))
 
-  // Read-side data skipping on the log's per-file key stats: four appends
-  // land four disjoint o_orderkey ranges (stats recorded per file), and the
-  // ranged read scans ONLY the files whose [min,max] intersect the ask —
-  // TxLogSpec proves the file count, this entry proves the answer is
-  // exactly the relational range filter. NOTE: TIMES 4 writes + the pruned
-  // read.
+  // Read-side data skipping on the log's per-file key stats, through the
+  // PUBLIC batch reader: the range predicate pushes into the log-backed
+  // FileIndex (TxLogFileIndex), which serves ONLY the files whose recorded
+  // [min,max] intersect the ask — TxLogBatchSpec proves the file count,
+  // this entry proves the answer is exactly the relational range filter.
+  // NOTE: TIMES 4 writes + the pruned read.
   private val acidPrunedScan = Q(
     (s, d) => {
       val tbl = scratchDir("acid_prune", d)
@@ -598,7 +599,8 @@ object RelationalQueries {
           src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice)
             .repartition(1), // one file per slice → slice-tight stats
           tbl, statsCol = Some("o_orderkey"))
-      graft.sources.TxLog.readPruned(s, tbl, "o_orderkey", 100L, 1000L)
+      s.read.format("txlog").load(tbl)
+        .filter(col("o_orderkey").between(100L, 1000L))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1,0 +1,216 @@
+package graft.sources
+
+import java.util.Locale
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualNullSafe, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** Batch read/write side of `format("txlog")` — the public DataFrame path
+  * onto a [[TxLog]] table, symmetric with the streaming source that already
+  * registers the short name:
+  *
+  *   spark.read.format("txlog").load(tablePath)                    // snapshot
+  *   spark.read.format("txlog").option("versionAsOf", 3).load(t)   // time travel
+  *   spark.read.format("txlog").option("startingVersion", 2).load(t) // batch CDF
+  *   df.write.format("txlog").mode("append"|"overwrite").save(t)
+  *
+  * The snapshot read resolves to a vanilla parquet [[HadoopFsRelation]]
+  * whose [[FileIndex]] is the TRANSACTION LOG, not a directory listing
+  * (the Delta TahoeFileIndex shape): the live file list comes from one
+  * checkpointed log replay, and pushed-down data filters are tested against
+  * the log's per-file min/max stats so pruned files never reach the scan —
+  * the W7 data-skipping path, now on the public reader. Everything below
+  * the file list is Spark's own parquet scan: column pruning, predicate
+  * pushdown, whole-stage codegen, AQE all apply untouched, which is the
+  * point of handing Catalyst a real file relation instead of an RDD shim.
+  *
+  * Batch CDF (`startingVersion` [+ `endingVersion`, `includeRewrites`])
+  * wraps [[TxLog.readChanges]] — a joined, stamped frame, so it is served
+  * as a [[TableScan]] relation rather than a file relation.
+  *
+  * Write options: `stats` (comma-separated stat columns, as the `statsCol`
+  * API param), `mergeSchema`. SaveMode maps to the transactional verbs:
+  * Append → [[TxLog.append]], Overwrite → [[TxLog.overwrite]],
+  * ErrorIfExists/Ignore enforce on table non-emptiness.
+  */
+object TxLogBatch {
+
+  def relation(sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val table = TxLogStreamSource.tableOf(parameters)
+    val lower = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+    lower.get("startingversion") match {
+      case Some(sv) =>
+        changesRelation(sqlContext, table, sv.toLong,
+          lower.get("endingversion").map(_.toLong).getOrElse(Long.MaxValue),
+          lower.get("includerewrites").exists(_.toBoolean))
+      case None =>
+        snapshotRelation(sqlContext, table,
+          lower.get("versionasof").map(_.toLong).getOrElse(Long.MaxValue))
+    }
+  }
+
+  def write(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = TxLogStreamSource.tableOf(parameters)
+    val lower = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+    val stats = lower.get("stats").filter(_.nonEmpty)
+    val mergeSchema = lower.get("mergeschema").exists(_.toBoolean)
+    val nonEmpty = TxLog.latestVersion(table) > 0
+    mode match {
+      case SaveMode.Append    => TxLog.append(data, table, statsCol = stats, mergeSchema = mergeSchema)
+      case SaveMode.Overwrite => TxLog.overwrite(data, table, statsCol = stats)
+      case SaveMode.ErrorIfExists if nonEmpty =>
+        throw new IllegalStateException(s"txlog table $table already exists (mode ErrorIfExists)")
+      case SaveMode.ErrorIfExists => TxLog.append(data, table, statsCol = stats)
+      case SaveMode.Ignore if nonEmpty => ()
+      case SaveMode.Ignore => TxLog.append(data, table, statsCol = stats)
+    }
+    relation(sqlContext, parameters)
+  }
+
+  private def snapshotRelation(sqlContext: SQLContext, table: String,
+      asOf: Long): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val r = TxLog.replayAdds(table, math.min(TxLog.latestVersion(table), asOf),
+      useCheckpoint = true)
+    // asNullable, as DataFrameReader.schema does for file sources: files
+    // written before a schema evolution lack the later columns, and the
+    // vectorized parquet reader refuses a missing NON-NULLABLE column
+    // instead of null-filling it
+    val schema = r.schema.map(j => nullable(TxLog.schemaOf(j))).getOrElse {
+      require(r.live.nonEmpty,
+        s"cannot infer schema of empty legacy txlog table $table")
+      spark.read.parquet(r.live.keysIterator.toSeq: _*).schema
+    }
+    val filesWithStats = r.live.toSeq.map { case (p, line) =>
+      p -> TxLog.parseStatsAll(line).map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+    }
+    val index = new TxLogFileIndex(spark, table, filesWithStats)
+    HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      f.copy(nullable = true, dataType = f.dataType match {
+        case st: StructType => nullable(st)
+        case other          => other
+      })
+    })
+
+  private def changesRelation(ctx: SQLContext, table: String, from: Long,
+      to: Long, includeRewrites: Boolean): BaseRelation = {
+    val df = TxLog.readChanges(ctx.sparkSession, table, from, to, includeRewrites)
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }
+  }
+}
+
+/** [[FileIndex]] backed by the transaction log instead of a filesystem
+  * listing: the live file set (with per-file column stats) comes from the
+  * replayed log, and `listFiles` DATA-SKIPS — a pushed-down conjunct whose
+  * recorded [min,max] envelope cannot intersect a file is pruned before the
+  * scan ever opens it. Unsupported predicate shapes and files without stats
+  * on the tested column are conservatively kept, so skipping never changes
+  * an answer, only I/O. Stat strings re-parse with TRY casts in the SESSION
+  * timezone — the same discipline as [[TxLog.prunedFiles]].
+  *
+  * At 100 TB this index is what makes the public reader viable: O(files)
+  * driver-side metadata (no recursive listing RPC storm), and a point
+  * lookup on a stats column touches one file instead of the table.
+  */
+class TxLogFileIndex(spark: SparkSession, table: String,
+    filesWithStats: Seq[(String, Map[String, (String, String)])]) extends FileIndex {
+
+  /** Per-listFiles count of files SERVED after skipping (test/diagnostic
+    * instrumentation, like TxLog.commitFilesReplayed). */
+  private[graft] var lastServedFiles: Int = -1
+
+  private lazy val statuses: Seq[(FileStatus, Map[String, (String, String)])] = {
+    val conf = spark.sessionState.newHadoopConf()
+    filesWithStats.map { case (p, stats) =>
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).getFileStatus(hp) -> stats
+    }
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(table))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { case (_, stats) =>
+      dataFilters.forall(f => mayContain(stats, f))
+    }
+    lastServedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+
+  override def inputFiles: Array[String] = filesWithStats.map(_._1).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
+
+  /** May a file with these stats contain a row satisfying `e`? Conservative
+    * three-valued logic: an unrecognized shape, a column without stats, or
+    * an unparsable stat answers TRUE (keep). */
+  private def mayContain(stats: Map[String, (String, String)], e: Expression): Boolean = {
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // stat-string vs literal comparison in the literal's own type; a cast
+    // that fails (TRY → null) or a non-boolean eval keeps the file
+    def cmp(mk: (Expression, Expression) => Expression, stat: String, lit: Literal): Boolean =
+      mk(Cast(Literal(stat), lit.dataType, tz, EvalMode.TRY), lit).eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _                    => true
+      }
+    def range(a: Attribute): Option[(String, String)] =
+      stats.get(a.name).orElse(
+        stats.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v })
+    e match {
+      case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
+      case Or(l, r)  => mayContain(stats, l) || mayContain(stats, r)
+      case EqualTo(a: Attribute, l: Literal) => eqKeep(range(a), l, cmp)
+      case EqualTo(l: Literal, a: Attribute) => eqKeep(range(a), l, cmp)
+      case EqualNullSafe(a: Attribute, l: Literal) if l.value != null => eqKeep(range(a), l, cmp)
+      case EqualNullSafe(l: Literal, a: Attribute) if l.value != null => eqKeep(range(a), l, cmp)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        range(a).forall { case (_, mx) => cmp(GreaterThan, mx, l) }
+      case GreaterThan(l: Literal, a: Attribute) => // l > a ⇔ a < l
+        range(a).forall { case (mn, _) => cmp(LessThan, mn, l) }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).forall { case (_, mx) => cmp(GreaterThanOrEqual, mx, l) }
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        range(a).forall { case (mn, _) => cmp(LessThanOrEqual, mn, l) }
+      case LessThan(a: Attribute, l: Literal) =>
+        range(a).forall { case (mn, _) => cmp(LessThan, mn, l) }
+      case LessThan(l: Literal, a: Attribute) =>
+        range(a).forall { case (_, mx) => cmp(GreaterThan, mx, l) }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).forall { case (mn, _) => cmp(LessThanOrEqual, mn, l) }
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        range(a).forall { case (_, mx) => cmp(GreaterThanOrEqual, mx, l) }
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => eqKeep(range(a), v.asInstanceOf[Literal], cmp))
+      case _ => true
+    }
+  }
+
+  private def eqKeep(r: Option[(String, String)], l: Literal,
+      cmp: ((Expression, Expression) => Expression, String, Literal) => Boolean): Boolean =
+    r.forall { case (mn, mx) =>
+      cmp(LessThanOrEqual, mn, l) && cmp(GreaterThanOrEqual, mx, l)
+    }
+}

@@ -1,9 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a [[TxLog]] ACID table — tail the commit log as
@@ -68,9 +68,22 @@ import org.apache.spark.sql.types.StructType
   * DataFrame; the public DSv2 MicroBatchStream would require hand-rolling
   * parquet `InternalRow` partition readers for no behavioral gain.
   */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
+
+  /** Batch read: `spark.read.format("txlog")[.option("versionAsOf"|
+    * "startingVersion"|…, v)].load(table)` — see [[TxLogBatch]]. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    TxLogBatch.relation(sqlContext, parameters)
+
+  /** Batch write: `df.write.format("txlog").mode(…).save(table)` — the
+    * transactional append/overwrite verbs (see [[TxLogBatch.write]]). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation =
+    TxLogBatch.write(sqlContext, mode, parameters, data)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
