@@ -97,34 +97,99 @@ object TxLog {
     * proving the O(suffix) read claim of checkpoint compaction. */
   private[graft] val commitFilesReplayed = new java.util.concurrent.atomic.AtomicLong
 
-  /** Largest committed version, or 0 if the table is empty/new. Checkpoint
-    * files (`<v>.checkpoint.json`) are derived state, not commits, and are
-    * excluded — a checkpoint must never make a version look committed. */
-  def latestVersion(table: String): Long = {
-    val dir = logDir(table)
-    if (!Files.isDirectory(dir)) 0L
-    else scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(f => f.endsWith(".json") && !f.startsWith(".") && !f.contains(".checkpoint"))
-        .map(_.stripSuffix(".json").toLong)
-        .foldLeft(0L)(math.max)
-    }
+  /** Full `_txlog` directory listings since JVM start — test instrumentation
+    * proving the `_last_checkpoint` pointer keeps log discovery O(suffix)
+    * instead of O(versions). */
+  private[graft] val logDirListings = new java.util.concurrent.atomic.AtomicLong
+
+  private def pointerPath(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
+
+  private val PointerRe = """\{"version":(\d+)\}""".r
+
+  /** The `_last_checkpoint` pointer (Delta's exact mechanism): the version
+    * of a known checkpoint, refreshed after every checkpoint write, so
+    * `latestVersion`/`latestCheckpoint` start from it instead of listing
+    * the whole `_txlog` directory — at 10⁴+ commits an O(versions) listing
+    * per snapshot call is the read path's bottleneck. The pointer is a HINT:
+    * it is validated against the checkpoint file it names and every reader
+    * falls back to the full listing when it is absent, stale, or corrupt,
+    * so a torn write can cost I/O but never correctness. */
+  private def readPointer(table: String): Option[Long] = {
+    val p = pointerPath(table)
+    if (!Files.exists(p)) None
+    else try {
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim match {
+        case PointerRe(v) =>
+          Some(v.toLong).filter(cv => Files.exists(checkpointPath(table, cv)))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
   }
 
-  /** Largest checkpoint version ≤ `asOf`, if any. */
-  private def latestCheckpoint(table: String, asOf: Long): Option[Long] = {
+  /** Atomically (re)publish the pointer; losing a race to a concurrent
+    * checkpoint's pointer is harmless — any valid checkpoint version works,
+    * newer ones are just better hints. */
+  private def writePointer(table: String, version: Long): Unit = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) None
-    else scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(f => f.endsWith(".checkpoint.json") && !f.startsWith("."))
-        .map(_.stripSuffix(".checkpoint.json").toLong)
-        .filter(_ <= asOf)
-        .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
-    }
+    val tmp = Files.createTempFile(dir, ".ptr-", ".json")
+    try {
+      Files.write(tmp, s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointerPath(table),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () } // pure optimization; never fail the checkpoint
+    finally { Files.deleteIfExists(tmp); () }
   }
+
+  /** Largest committed version, or 0 if the table is empty/new. Checkpoint
+    * files (`<v>.checkpoint.json`) are derived state, not commits, and are
+    * excluded — a checkpoint must never make a version look committed.
+    *
+    * With a `_last_checkpoint` pointer this is O(tip − checkpoint)
+    * existence probes (versions are DENSE by construction — every commit
+    * claims exactly tip+1 — so probing forward from a known version finds
+    * the tip without listing); without one it is the full listing. */
+  def latestVersion(table: String): Long = readPointer(table) match {
+    case Some(v0) =>
+      var v = v0
+      while (Files.exists(versionPath(table, v + 1))) v += 1
+      v
+    case None =>
+      val dir = logDir(table)
+      if (!Files.isDirectory(dir)) 0L
+      else {
+        logDirListings.incrementAndGet()
+        scala.util.Using.resource(Files.list(dir)) { s =>
+          s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.endsWith(".json") && !f.startsWith(".") && !f.contains(".checkpoint"))
+            .map(_.stripSuffix(".json").toLong)
+            .foldLeft(0L)(math.max)
+        }
+      }
+  }
+
+  /** Largest checkpoint version ≤ `asOf`, if any. The pointer answers when
+    * it qualifies (a stale-but-valid older checkpoint only lengthens the
+    * replay suffix, never changes it); time travel below the pointer falls
+    * back to the listing. */
+  private def latestCheckpoint(table: String, asOf: Long): Option[Long] =
+    readPointer(table).filter(_ <= asOf).orElse {
+      val dir = logDir(table)
+      if (!Files.isDirectory(dir)) None
+      else {
+        logDirListings.incrementAndGet()
+        scala.util.Using.resource(Files.list(dir)) { s =>
+          s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.endsWith(".checkpoint.json") && !f.startsWith("."))
+            .map(_.stripSuffix(".checkpoint.json").toLong)
+            .filter(_ <= asOf)
+            .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
+        }
+      }
+    }
 
   /** Replay the log up to `asOf` (default: tip). Time travel = pass an old
     * version; the files it references are immutable so the read is exact.
@@ -215,6 +280,7 @@ object TxLog {
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       fsyncDir(dir)
     } finally Files.deleteIfExists(tmp)
+    writePointer(table, tip)
     tip
   }
 

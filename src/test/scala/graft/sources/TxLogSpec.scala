@@ -388,6 +388,38 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxLog.restore(t, 99L))
   }
 
+  test("_last_checkpoint pointer: log discovery without O(versions) listings") {
+    import spark.implicits._
+    val t = freshTable("ptr")
+    (1 to 23).foreach(i => TxLog.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    val ptr = Paths.get(t, "_txlog", "_last_checkpoint")
+    assert(Files.exists(ptr), "checkpoint at v20 must publish the pointer")
+    // with the pointer, finding the tip and replaying a snapshot needs ZERO
+    // directory listings: probe forward from the pointed checkpoint instead
+    TxLog.logDirListings.set(0L)
+    TxLog.commitFilesReplayed.set(0L)
+    assert(TxLog.latestVersion(t) == 23L)
+    val viaPtr = TxLog.snapshot(t).files.toSet
+    assert(TxLog.logDirListings.get == 0L,
+      s"pointer present but ${TxLog.logDirListings.get} full listings happened")
+    assert(TxLog.commitFilesReplayed.get == 3L, "still checkpoint@20 + 21..23")
+    // pointer gone → listing fallback, identical answer
+    Files.delete(ptr)
+    TxLog.logDirListings.set(0L)
+    assert(TxLog.snapshot(t).files.toSet == viaPtr)
+    assert(TxLog.logDirListings.get > 0L, "no pointer → the listing path ran")
+    // a corrupt pointer is ignored, never trusted
+    Files.write(ptr, "garbage".getBytes)
+    assert(TxLog.snapshot(t).files.toSet == viaPtr)
+    assert(TxLog.latestVersion(t) == 23L)
+    // a stale pointer (older checkpoint) only lengthens the replay suffix
+    Files.write(ptr, """{"version":10}""".getBytes)
+    assert(TxLog.snapshot(t).files.toSet == viaPtr)
+    // time travel below the pointer falls back and stays exact
+    Files.write(ptr, """{"version":20}""".getBytes)
+    assert(TxLog.snapshot(t, asOf = 5L).read(spark).count() == 5L)
+  }
+
   test("delete is file-scoped: untouched files survive by path identity, answer exact") {
     import spark.implicits._
     val t = freshTable("delete")
