@@ -37,8 +37,13 @@ import org.apache.spark.sql.functions._
   *    and retries the SAME actions at the next slot — appends never conflict
   *    with anything (Delta's Serializable-for-appends rule).
   *  - `overwrite` / `merge` read the snapshot they rewrite: on conflict the
-  *    whole operation re-derives against the new tip (classic optimistic
-  *    retry), so the committed result is always a serial history.
+  *    operation re-derives against the new tip (classic optimistic retry),
+  *    so the committed result is always a serial history. `merge` first
+  *    applies DISJOINT-COMMIT ADMISSION (Delta's §3.2 conflict rule): a
+  *    winner provably independent of the merge — no removed file we
+  *    rewrite, no added file whose key envelope can hold an update key, no
+  *    schema change — lets the same actions re-commit at the next slot
+  *    without re-deriving.
   *
   * SCALE posture: the log holds file-level metadata only (O(files) JSON, not
   * O(rows)); reads prune to the live file list before any byte of data is
@@ -457,9 +462,10 @@ object TxLog {
 
   /** Transactional upsert (MERGE semantics of the `upsert_snapshot` catalog
     * entry): rows of `updates` replace same-key rows of the current
-    * snapshot, new keys insert. On a version conflict the WHOLE merge
-    * re-derives against the new tip, so the committed history is
-    * serializable.
+    * snapshot, new keys insert. On a version conflict the merge re-commits
+    * its SAME actions when every winning commit is provably disjoint (see
+    * the admission note in the loop below) and re-derives against the new
+    * tip otherwise, so the committed history is serializable either way.
     *
     * FILE-SCOPED REWRITE (the production MERGE shape — Delta/Iceberg do the
     * same two-phase find-touched-files dance): instead of rewriting the
@@ -479,11 +485,31 @@ object TxLog {
     * match nothing (SQL join semantics) and are appended as inserts. The
     * rewritten output re-records stats on `keyCol`, so merges keep pruning
     * against merged output. */
+  /** Full merge derivations since JVM start (each = the two-phase file
+    * scoping + distributed rewrite). Test instrumentation for
+    * disjoint-commit admission: an admitted conflict re-commits the SAME
+    * actions and must NOT increment this. */
+  private[graft] val mergeDerivations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook, invoked just before each merge commit attempt (lets a spec
+    * deterministically interleave a concurrent commit). */
+  private[graft] var mergeCommitHook: () => Unit = () => ()
+
   def merge(updates: DataFrame, table: String, keyCol: String,
       maxRetries: Int = 16, mergeSchema: Boolean = false): Long = {
     val spark = updates.sparkSession
+    val keyType = updates.schema(keyCol).dataType
+    import spark.implicits._
+    val updKeys = updates.select(col(keyCol).as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    // typed update-key envelope — drives phase 1 AND conflict admission.
+    // None ⇔ no non-null update keys (a pure insert of null-keyed rows).
+    val updBounds: Option[(Any, Any)] =
+      updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx")).collect()
+        .headOption.filterNot(_.isNullAt(0)).map(r => (r.get(0), r.get(1)))
     var attempt = 0
     while (true) {
+      mergeDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       val (liveMap, tip) = (replay.live, replay.tip)
       val withStats = liveMap.toSeq.flatMap { case (path, line) =>
@@ -492,42 +518,41 @@ object TxLog {
       val opaque = liveMap.keysIterator.toSet -- withStats.map(_._1)
       val touched: Seq[String] =
         if (withStats.isEmpty) liveMap.keysIterator.toSeq
-        else {
-          val keyType = updates.schema(keyCol).dataType
-          import spark.implicits._
-          val updKeys = updates.select(col(keyCol).as("__k"))
-            .where(col("__k").isNotNull).distinct()
-          // phase 1: envelope prune — one row of typed bounds against the
-          // (small, O(files)) ranges frame; comparisons happen in the key's
-          // own type, never as strings. try_cast, because a stat string that
-          // does not parse as the key type (older writer, type drift) must
-          // yield null — and a null-cast file must stay a CANDIDATE: it has
-          // stats, so it is not in `opaque`, and dropping it here would mean
-          // it is never rewritten — a silent lost update (plain cast is just
-          // as wrong: under ANSI it aborts the whole merge instead)
-          val ranges = withStats.toDF("__path", "__mns", "__mxs")
-            .select(col("__path"), col("__mns").try_cast(keyType).as("__mn"),
-              col("__mxs").try_cast(keyType).as("__mx"))
-          val bounds = updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx"))
-          val candidates = ranges.crossJoin(broadcast(bounds))
-            .where((col("__mx") >= col("__bmn") && col("__mn") <= col("__bmx")) ||
-              col("__mn").isNull || col("__mx").isNull)
-            .select("__path").collect().map(_.getString(0)).toSeq
-          // phase 2: touch scan — read ONLY the candidates' key column and
-          // equi-join (hash, shuffle-or-broadcast — never a nested loop)
-          // against the update keys to find files holding a real hit
-          val hit: Set[String] =
-            if (candidates.isEmpty) Set.empty
-            else {
-              val byAbs = candidates.map(p => normalize(p) -> p).toMap
-              spark.read.parquet(candidates: _*)
-                .select(col("_metadata.file_path").as("__fp"), col(keyCol).as("__k"))
-                .join(updKeys, "__k")
-                .select("__fp").distinct().collect()
-                .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
-                .toSet
-            }
-          (hit ++ opaque).toSeq
+        else updBounds match {
+          // null-keyed updates match nothing: only opaque files rewrite
+          // (conservatively — they might hold anything)
+          case None => opaque.toSeq
+          case Some((lo, hi)) =>
+            // phase 1: envelope prune — typed bounds against the (small,
+            // O(files)) ranges frame; comparisons happen in the key's own
+            // type, never as strings. try_cast, because a stat string that
+            // does not parse as the key type (older writer, type drift) must
+            // yield null — and a null-cast file must stay a CANDIDATE: it
+            // has stats, so it is not in `opaque`, and dropping it here
+            // would mean it is never rewritten — a silent lost update (plain
+            // cast is just as wrong: under ANSI it aborts the whole merge)
+            val ranges = withStats.toDF("__path", "__mns", "__mxs")
+              .select(col("__path"), col("__mns").try_cast(keyType).as("__mn"),
+                col("__mxs").try_cast(keyType).as("__mx"))
+            val candidates = ranges
+              .where((col("__mx") >= lit(lo) && col("__mn") <= lit(hi)) ||
+                col("__mn").isNull || col("__mx").isNull)
+              .select("__path").collect().map(_.getString(0)).toSeq
+            // phase 2: touch scan — read ONLY the candidates' key column and
+            // equi-join (hash, shuffle-or-broadcast — never a nested loop)
+            // against the update keys to find files holding a real hit
+            val hit: Set[String] =
+              if (candidates.isEmpty) Set.empty
+              else {
+                val byAbs = candidates.map(p => normalize(p) -> p).toMap
+                spark.read.parquet(candidates: _*)
+                  .select(col("_metadata.file_path").as("__fp"), col(keyCol).as("__k"))
+                  .join(updKeys, "__k")
+                  .select("__fp").distinct().collect()
+                  .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+                  .toSet
+              }
+            (hit ++ opaque).toSeq
         }
       val schemaActs = schemaActions(replay, updates, mergeSchema, "merge")
       // rewritten files read under the LOG schema (touched files may
@@ -540,18 +565,85 @@ object TxLog {
         }
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = mergeSchema)
-      val adds = stageFiles(merged, table, statsCol = Some(keyCol))
-      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try { commit(table, tip + 1, adds ++ removes ++ schemaActs, "merge"); maybeCheckpoint(table, tip + 1); return tip + 1 }
-      catch {
-        case _: VersionConflict =>
-          attempt += 1
-          if (attempt > maxRetries)
-            sys.error(s"merge lost $maxRetries version races on $table")
-        // staged files of the failed attempt stay unreferenced → vacuum
+      val actions = stageFiles(merged, table, statsCol = Some(keyCol)) ++
+        touched.map(p => s"""{"remove":{"path":${quote(p)}}}""") ++ schemaActs
+      val ourRemoves = touched.toSet
+      // Optimistic commit with DISJOINT-COMMIT ADMISSION (the Delta conflict
+      // rule, Armbrust et al. VLDB 2020 §3.2): when another writer wins the
+      // slot, re-deriving the whole merge is only NECESSARY if the winner
+      // could interact with it. If every winning commit since our base is
+      // provably independent — removed none of the files we rewrite, added
+      // only files whose recorded key envelopes cannot hold an update key,
+      // changed no schema — then committing the SAME actions at the new tip
+      // IS the serial history "winners, then us", and the expensive file
+      // scoping + rewrite is not repeated. On a partitioned 100 TB table
+      // two merges on disjoint key ranges are the common case; each now
+      // pays exactly one derivation. Anything unprovable re-derives.
+      var base = tip
+      var rederive = false
+      while (!rederive) {
+        try {
+          mergeCommitHook()
+          commit(table, base + 1, actions, "merge")
+          maybeCheckpoint(table, base + 1)
+          return base + 1
+        } catch {
+          case _: VersionConflict =>
+            attempt += 1
+            if (attempt > maxRetries)
+              sys.error(s"merge lost $maxRetries version races on $table")
+            val newTip = latestVersion(table)
+            if ((base + 1 to newTip).forall(v => commitIsDisjoint(table, v,
+                ourRemoves, keyCol, keyType, updBounds,
+                spark.sessionState.conf.sessionLocalTimeZone)))
+              base = newTip
+            else rederive = true
+          // staged files of a re-derived attempt stay unreferenced → vacuum
+        }
       }
     }
     -1L
+  }
+
+  /** Is `v`'s commit provably independent of a merge that rewrites
+    * `ourRemoves` and whose non-null update keys lie in `bounds`? Provable
+    * from the commit file alone (no data I/O): it removed no path we
+    * rewrite, carried no schema action, and every file it added has
+    * `keyCol` stats whose envelope lies strictly outside `bounds` — a
+    * stats-less add or an unparsable stat is NOT provable and forces the
+    * conservative re-derive. A never-committed version is vacuously
+    * disjoint. */
+  private def commitIsDisjoint(table: String, v: Long, ourRemoves: Set[String],
+      keyCol: String, keyType: org.apache.spark.sql.types.DataType,
+      bounds: Option[(Any, Any)], tzId: String): Boolean = {
+    val p = versionPath(table, v)
+    if (!Files.exists(p)) return true
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, GreaterThan, LessThan, Literal}
+    def proven(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _                    => false // null ⇒ not provable
+      }
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    if (lines.exists(l => parseSchema(l).isDefined)) return false
+    lines.forall { l =>
+      parseAction(l) match {
+        case Some(("remove", path)) => !ourRemoves.contains(path)
+        case Some(("add", _)) => bounds match {
+          case None => true // no non-null update keys ⇒ adds cannot collide
+          case Some((lo, hi)) =>
+            parseStatsAll(l)
+              .collectFirst { case (c, mn, mx) if c == keyCol => (mn, mx) }
+              .exists { case (mn, mx) =>
+                proven(GreaterThan(
+                  Cast(Literal(mn), keyType, Some(tzId), EvalMode.TRY), Literal(hi))) ||
+                proven(LessThan(
+                  Cast(Literal(mx), keyType, Some(tzId), EvalMode.TRY), Literal(lo)))
+              }
+        }
+        case _ => true
+      }
+    }
   }
 
   /** Row-level transactional DELETE — the retraction half of the lakehouse

@@ -388,6 +388,66 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxLog.restore(t, 99L))
   }
 
+  test("disjoint-commit admission: an independent winner costs no re-derivation") {
+    import spark.implicits._
+    val t = freshTable("admission")
+    // 100 keys range-partitioned into 4 stats-bearing files
+    TxLog.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), t, statsCol = Some("k"))
+
+    // DISJOINT winner: just before our merge (keys 95..97) commits, an
+    // append lands keys 200..204 (stats-bearing, provably outside the
+    // update envelope). The merge must re-commit its SAME actions — exactly
+    // ONE derivation — and both writers' rows must survive.
+    TxLog.mergeDerivations.set(0L)
+    TxLog.mergeCommitHook = () => {
+      TxLog.mergeCommitHook = () => ()
+      TxLog.append((200 to 204).map(i => (i.toLong, s"n$i")).toDF("k", "v")
+        .repartition(1), t, statsCol = Some("k"))
+      ()
+    }
+    try {
+      val v = TxLog.merge(Seq((95L, "X")).toDF("k", "v"), t, "k")
+      assert(v == 3L, "append won v2; the admitted merge lands at v3")
+    } finally TxLog.mergeCommitHook = () => ()
+    assert(TxLog.mergeDerivations.get == 1L,
+      s"disjoint winner must not force a re-derivation, saw ${TxLog.mergeDerivations.get}")
+    assert(rows(t).contains((95L, "X")) && rows(t).contains((200L, "n200")) &&
+      rows(t).contains((94L, "v94")))
+
+    // OVERLAPPING winner: the concurrent append lands a row with one of OUR
+    // update keys — not provably disjoint, so the merge must re-derive
+    // (two derivations) and, serialized after the winner, replace BOTH
+    // copies of the key.
+    TxLog.mergeDerivations.set(0L)
+    TxLog.mergeCommitHook = () => {
+      TxLog.mergeCommitHook = () => ()
+      TxLog.append(Seq((96L, "dup")).toDF("k", "v").repartition(1), t,
+        statsCol = Some("k"))
+      ()
+    }
+    try TxLog.merge(Seq((96L, "Z")).toDF("k", "v"), t, "k")
+    finally TxLog.mergeCommitHook = () => ()
+    assert(TxLog.mergeDerivations.get == 2L,
+      s"an overlapping winner must re-derive, saw ${TxLog.mergeDerivations.get}")
+    val k96 = TxLog.snapshot(t).read(spark).filter(col("k") === 96L)
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(k96 == Seq("Z"),
+      s"serialized after the winner, the merge must replace both copies: $k96")
+
+    // STATS-LESS winner: an opaque add is unprovable — conservative re-derive
+    TxLog.mergeDerivations.set(0L)
+    TxLog.mergeCommitHook = () => {
+      TxLog.mergeCommitHook = () => ()
+      TxLog.append(Seq((300L, "op")).toDF("k", "v").repartition(1), t) // no stats
+      ()
+    }
+    try TxLog.merge(Seq((97L, "Y")).toDF("k", "v"), t, "k")
+    finally TxLog.mergeCommitHook = () => ()
+    assert(TxLog.mergeDerivations.get == 2L, "an opaque add is not provably disjoint")
+    assert(rows(t).contains((97L, "Y")) && rows(t).contains((300L, "op")))
+  }
+
   test("_last_checkpoint pointer: log discovery without O(versions) listings") {
     import spark.implicits._
     val t = freshTable("ptr")
