@@ -273,6 +273,113 @@ object SampleQueries {
                      AS padding
             FROM r GROUP BY bin ORDER BY bin"""))
 
+  /** Shared polynomial-hash shingle chain of the oracle (DedupQueries.
+    * shingleCtes' arithmetic, re-rooted on a cleaned-text CTE): token →
+    * char-fold hash → 3-gram combine. */
+  private def sqlShingles(src: String): String =
+    s"""(SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+          i -> ((th[i] * 31 + th[i+1]) % 1000000007 * 31 + th[i+2]) % 1000000007) AS hs
+        FROM (SELECT doc_id, list_transform(tk, s ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''), c -> ascii(c))),
+                  (a, c) -> (a * 31 + c) % 1000000007)) AS th
+              FROM $src) q
+        WHERE len(th) >= 3)"""
+
+  // The COMPOSED corpus pipeline, hash-gated end to end: clean → Gopher
+  // rule filter → exact dedup → benchmark decontamination → per-language
+  // token-budget mixture, each stage the same public operator its own
+  // catalog entry verifies (text_clean / text_gopher_rules / dedup_exact /
+  // text_decontam / sample_mixture), chained the way a pretraining-data
+  // run chains them. The oracle is ONE CTE chain replicating every stage,
+  // so the gate covers stage INTERACTIONS (filters feeding dedup feeding
+  // decontam feeding the mixture windows), not just the pieces. Scale
+  // shape: per-row expressions → one text-keyed shuffle (dedup) → a
+  // broadcast shingle semi-join (decontam) → one lang-keyed window
+  // (mixture); nothing corpus-sized collects or cross-joins.
+  private val pipelineCorpus = Q(
+    (s, d) => {
+      // 1. clean (text_clean twin)
+      val cleanedCol = trim(regexp_replace(
+        regexp_replace(col("text"), "<[^>]*>", " "), "[ \\t\\n\\f\\r]+", " "))
+      val cleaned = documents(s, d)
+        .select(col("doc_id"), col("lang"), cleanedCol.as("ctext"))
+      // 2. Gopher rule bundle on the CLEANED text (text_gopher_rules twin)
+      val toks = tokens(col("ctext"))
+      val ntok = size(toks).cast("long")
+      val chars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+      val sym = size(regexp_extract_all(col("ctext"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+      val nstop = size(array_distinct(filter(toks,
+        t => t.isInCollection(graft.functions.TextFns.stopwords)))).cast("long")
+      val kept = cleaned.withColumn("n_tok", ntok)
+        .filter(col("n_tok") >= 50L && col("n_tok") <= 100000L &&
+          chars.cast("double") / col("n_tok").cast("double") >= 3.0 &&
+          chars.cast("double") / col("n_tok").cast("double") <= 10.0 &&
+          alpha.cast("double") / col("n_tok").cast("double") >= 0.7 &&
+          sym.cast("double") / col("n_tok").cast("double") < 0.1 &&
+          nstop >= 2L)
+      // 3. exact dedup via the public front door (dedup_exact twin)
+      val winners = graft.api.Dedup
+        .exactDedup(kept.select("doc_id", "ctext"), "doc_id", "ctext")
+        .select("doc_id")
+      val deduped = kept.join(winners, "doc_id")
+      // 4. decontamination vs the benchmark slice — every 97th doc of the
+      // ORIGINAL corpus, cleaned identically (text_decontam twin)
+      val bench = cleaned.filter(col("doc_id") % 97 === 0)
+      val dirty = graft.ops.Decontaminate
+        .flags(deduped, "doc_id", "ctext", bench, "ctext", minOverlap = 8L)
+        .filter(col("contaminated")).select(col("id").as("doc_id"))
+      val survivors = deduped.join(dirty, Seq("doc_id"), "left_anti")
+      // 5. per-language token-budget mixture (sample_mixture twin)
+      graft.ops.Sampling.mixtureByBudget(
+          survivors.select(col("doc_id"), col("lang"), col("n_tok")),
+          "doc_id", "lang", "n_tok",
+          budgets = Map("en" -> 20000L, "zh" -> 8000L, "de" -> 5000L), salt = 7L)
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cln AS (
+               SELECT doc_id, lang,
+                      trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g')) AS ctext
+               FROM documents),
+             tok AS (SELECT doc_id, lang, ctext,
+                            string_split_regex(trim(ctext), '\\s+') AS tk FROM cln),
+             g AS (SELECT doc_id, lang, ctext, tk,
+                     CAST(len(tk) AS BIGINT) AS n_tok,
+                     CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS chars,
+                     CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+                     CAST(len(regexp_extract_all(ctext, '#|\\.\\.\\.')) AS BIGINT) AS sym,
+                     CAST(len(list_distinct(list_filter(tk,
+                       x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT) AS nstop
+                   FROM tok),
+             kept AS (SELECT doc_id, lang, ctext, tk, n_tok FROM g
+                      WHERE n_tok >= 50 AND n_tok <= 100000
+                        AND CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 10.0
+                        AND CAST(alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.7
+                        AND CAST(sym AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.1
+                        AND nstop >= 2),
+             win AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY ctext),
+             ded AS (SELECT k.doc_id, k.lang, k.tk, k.n_tok FROM kept k JOIN win USING (doc_id)),
+             btok AS (SELECT doc_id, string_split_regex(trim(ctext), '\\s+') AS tk
+                      FROM cln WHERE doc_id % 97 = 0),
+             ds AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM ${sqlShingles("ded")} dsh),
+             bs AS (SELECT DISTINCT unnest(list_distinct(hs)) AS h FROM ${sqlShingles("btok")} bsh),
+             hits AS (SELECT doc_id, count(*) AS n_hits FROM ds JOIN bs USING (h) GROUP BY doc_id),
+             surv AS (SELECT d.doc_id, d.lang, d.n_tok FROM ded d LEFT JOIN hits USING (doc_id)
+                      WHERE coalesce(hits.n_hits, 0) < 8),
+             mix AS (SELECT doc_id, lang, n_tok,
+                       sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY lang
+                         ORDER BY ${sqlBucket("doc_id", 7L, 1000000L)}, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     FROM surv)
+             SELECT doc_id, lang, n_tok FROM mix
+             WHERE cum <= CASE lang WHEN 'en' THEN 20000
+                                    WHEN 'zh' THEN 8000
+                                    WHEN 'de' THEN 5000 END
+             ORDER BY doc_id"""))
+
   val all: List[(String, Q)] = List(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
@@ -284,5 +391,6 @@ object SampleQueries {
     "sample_temperature" -> sampleTemperature,
     "sample_dsir" -> sampleDsir,
     "pack_chunks" -> packChunks,
-    "pack_length_binned" -> packLengthBinned)
+    "pack_length_binned" -> packLengthBinned,
+    "pipeline_corpus" -> pipelineCorpus)
 }
