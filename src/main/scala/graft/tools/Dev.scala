@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev time <sfDir> <id>     — run one query, print secs + rows
   *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
   *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
+  *   runMain graft.tools.Dev lshladder <sfDir> [τ] [xK] — candidate-volume ladder at K× the corpus
   *   runMain graft.tools.Dev geomsweep <sfDir> [τ] [reps] [bitsCsv] — end-to-end sweep over band widths
   *   runMain graft.tools.Dev ivfab <sfDir> [k] [nCells] [nProbe] — trained-IVF recall/time A/B
   *   runMain graft.tools.Dev ivfsplit <sfDir> [reps] [nCells] — trained-IVF fit vs probe attribution
@@ -110,6 +111,61 @@ object Dev {
         val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
         run("adaptive  ", ab, aw)
         corpus.unpersist()
+      case "lshladder" :: sfDir :: rest =>
+        // One decade up the ANN/LSH scale ladder: replicate the embeddings
+        // corpus K× in memory (per-copy diagonal ±1 sign flips — the
+        // GenScale transform: orthogonal, so within-copy cosines are exactly
+        // preserved while cross-copy vectors decorrelate), plant the
+        // standard 10% exact dups, and measure EXACT multiset candidate
+        // volume per geometry via the bucket histogram
+        // Σ_buckets C(n_b, 2) — O(n·bands), no pair materialization, which
+        // is what makes the fixed arm measurable at sizes where its
+        // materialized join (~1e11 pairs at 2.2M) is not runnable. The
+        // adaptive arm also runs the full near-dup end to end with the
+        // planted-recall check.
+        import org.apache.spark.sql.functions._
+        val tau = rest.filterNot(_.startsWith("x")).headOption
+          .map(_.toDouble).getOrElse(0.8)
+        val factor = rest.find(_.startsWith("x")).map(_.drop(1).toInt).getOrElse(10)
+        val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val emb = (0 until factor).map { c =>
+          if (c == 0) baseEmb
+          else baseEmb.select(
+            (col("vec_id") + lit(c.toLong * 1000000000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2L)) === 0L, x).otherwise(-x))
+              .as("embedding"))
+        }.reduce(_ union _)
+        val corpus = emb.union(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .cache()
+        val n = corpus.count()
+        val planted = n / 11 // 10% of the pre-widening corpus, by construction
+        println(s"ladder corpus: $n vectors (${factor}x + planted), tau=$tau")
+        def histo(label: String, bands: Int, bits: Int): Unit = {
+          val t0 = System.nanoTime()
+          val cands = graft.api.Similarity
+            .bandsOf(corpus, "vec_id", "embedding", bands, bits)
+            .groupBy("band", "key").count()
+            .agg(expr("sum(count * (count - 1) DIV 2)")).head.getLong(0)
+          println(f"$label ($bands bands x $bits bits): multiset candidates=" +
+            f"$cands (histogram pass ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+        val (fb, fw) = graft.api.Similarity.bandGeometry(tau)
+        histo("fixed-tier", fb, fw)
+        val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
+        histo("adaptive  ", ab, aw)
+        val t1 = System.nanoTime()
+        val found = graft.api.Similarity.lshCosineNearDup(
+          corpus, "vec_id", "embedding", tau, ab, aw).count()
+        println(f"adaptive end-to-end: pairs=$found " +
+          f"(${(System.nanoTime() - t1) / 1e9}%.1f s); planted=$planted " +
+          s"recall-check=${if (found >= planted) "PASS" else "FAIL"}")
+        corpus.unpersist()
+
       case "lshlayout" :: sfDir :: rest =>
         // A/B the two verify LAYOUTS (narrow-reattach vs payload-inline) at
         // one explicit geometry over the widened planted-dup corpus, banded
