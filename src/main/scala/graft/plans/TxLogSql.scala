@@ -27,6 +27,7 @@ import graft.sources.TxLog
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
+  *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
   *
   * Each command is a driver-side metadata/maintenance action wrapping the
   * corresponding [[TxLog]] API (which holds the concurrency story); the
@@ -50,6 +51,11 @@ object TxLogSql {
   // parser inside the command); a trailing STATS clause is peeled off first
   private val DeleteRe = re(
     s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+  // the source is free SQL text (validated by Spark's own plan parser
+  // inside the command); upsert semantics are TxLog.merge's — same-key rows
+  // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
+  private val MergeRe = re(
+    s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -82,6 +88,10 @@ object TxLogSql {
     if (del.matches())
       return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
         Option(del.group(3))))
+    val m = MergeRe.matcher(sqlText)
+    if (m.matches())
+      return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),
+        m.group(3) != null, m.group(4)))
     None
   }
 }
@@ -140,6 +150,22 @@ case class DeleteTxLogCommand(table: String, predicateSql: String,
       org.apache.spark.sql.functions.expr(predicateSql), statsCol)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
+  }
+}
+
+case class MergeTxLogCommand(table: String, keyCol: String,
+    mergeSchema: Boolean, sourceSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the source text goes through Spark's OWN sql entry point — any
+    // SELECT (or table reference) works, malformed text fails with Spark's
+    // parse error; the delegating parser is not re-entered for TXLOG heads
+    // because the source of a MERGE is a query, never a command
+    val updates = spark.sql(sourceSql)
+    Seq(Row(TxLog.merge(updates, table, keyCol, mergeSchema = mergeSchema)))
   }
 }
 

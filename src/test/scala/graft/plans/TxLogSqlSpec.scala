@@ -102,6 +102,29 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO TXLOG upserts through spark.sql; EVOLVE gates new columns") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("merge")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, statsCol = Some("k"))
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("upd")
+      val r = s.sql(s"MERGE INTO TXLOG '$t' KEY k USING SELECT * FROM upd").head()
+      assert(r.getLong(0) == 2L)
+      assert(TxLog.snapshot(t).read(s).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "B"), (3L, "c")))
+      // a widening source is refused without EVOLVE, lands with it
+      Seq((4L, "d", 7L)).toDF("k", "v", "extra").createOrReplaceTempView("wide")
+      intercept[TxLog.SchemaMismatch](
+        s.sql(s"MERGE INTO TXLOG '$t' KEY k USING SELECT * FROM wide").head())
+      s.sql(s"MERGE INTO TXLOG '$t' KEY k EVOLVE USING SELECT * FROM wide").head()
+      assert(TxLog.snapshot(t).read(s).columns.toSeq == Seq("k", "v", "extra"))
+      assert(TxLog.snapshot(t).read(s).count() == 4)
+      // MERGE INTO a non-TXLOG target falls through to Spark's parser
+      intercept[Exception](s.sql("MERGE INTO plain USING src ON 1=1"))
+    }
+  }
+
   test("path literals with quotes unescape; standard SQL still parses") {
     withExtSession { s =>
       // non-TXLOG text must fall through to Spark's parser and behave
@@ -137,6 +160,11 @@ class TxLogSqlSpec extends SparkSpec {
       Some(DeleteTxLogCommand("/t", "v LIKE 'x%'", Some("k,ts"))))
     // DELETE on a non-TXLOG table falls through to Spark's parser
     assert(TxLogSql.parse("DELETE FROM plain_table WHERE k = 5") == None)
+    assert(TxLogSql.parse("MERGE INTO TXLOG '/t' KEY k USING SELECT 1 AS k") ==
+      Some(MergeTxLogCommand("/t", "k", false, "SELECT 1 AS k")))
+    assert(TxLogSql.parse("merge into txlog '/t' key k evolve using select * from s;") ==
+      Some(MergeTxLogCommand("/t", "k", true, "select * from s")))
+    assert(TxLogSql.parse("MERGE INTO plain USING src ON a = b") == None)
     assert(TxLogSql.parse("SELECT * FROM t") == None)
     assert(TxLogSql.parse("OPTIMIZE TXLOG unquoted") == None)
   }

@@ -6,8 +6,8 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
 import graft.SparkSpec
 
 /** Concurrency chaos test for the ACID log: several writer threads race
-  * interleaved appends, merges, and optimizes against ONE table with no
-  * coordination beyond the commit protocol itself. Each thread owns a
+  * interleaved appends, merges, deletes, and optimizes against ONE table
+  * with no coordination beyond the commit protocol itself. Each thread owns a
   * disjoint key range, so while the COMMIT interleaving is nondeterministic,
   * every serial order yields the same final state — which is exactly the
   * guarantee serializability owes us. The assertions:
@@ -30,10 +30,11 @@ class TxChaosSpec extends SparkSpec {
 
     // thread i owns keys [i*1000, i*1000+999]; ops per thread:
     //   append {k0,k1} → merge {k0→B, k2 new} → append {k3} → merge {k1→C}
+    //   → delete {k3}
     // plus thread 0 racing two optimizes into the middle of the storm
     def expect(i: Int): Set[(Long, String)] = {
       val b = i * 1000L
-      Set(b -> s"t${i}B", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n", (b + 3) -> s"t${i}a")
+      Set(b -> s"t${i}B", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n")
     }
     val threads = (0 until nThreads).map { i =>
       new Thread(() => {
@@ -51,6 +52,11 @@ class TxChaosSpec extends SparkSpec {
             Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
           committed.add(TxLog.merge(
             Seq((b + 1) -> s"t${i}C").toDF("k", "v"), t, "k"))
+          // retraction under the storm: k3 exists (this thread appended it,
+          // keys are thread-owned) so the delete always commits a version
+          committed.add(TxLog.delete(spark, t,
+            org.apache.spark.sql.functions.col("k") === (b + 3),
+            statsCol = Some("k")))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
         } catch { case e: Throwable => errors.add(e) }
