@@ -529,9 +529,17 @@ object Dev {
           val pruned = graft.sources.TxLog.readPruned(spark, t, "o_orderkey", lo, hi).count()
           val tPruned = (System.nanoTime() - t1) / 1e9
           val touched = graft.sources.TxLog.prunedFiles(spark, t, "o_orderkey", lo, hi).size
+          // arm (c): the PUBLIC reader — the same range predicate pushed
+          // into the log-backed FileIndex (TxLogBatchSpec proves the file
+          // count; this measures the wall-clock of the public path)
+          val t2 = System.nanoTime()
+          val pub = spark.read.format("txlog").load(t)
+            .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+          val tPub = (System.nanoTime() - t2) / 1e9
           println(f"prune[$r]: full-scan $tFull%.2f s ($total files) vs " +
-            f"readPruned $tPruned%.2f s ($touched files), rows $full/$pruned " +
-            s"equal=${full == pruned}")
+            f"readPruned $tPruned%.2f s ($touched files) vs " +
+            f"format(txlog) $tPub%.2f s, rows $full/$pruned/$pub " +
+            s"equal=${full == pruned && pruned == pub}")
         }
 
       case "ivfsplit" :: rest =>
