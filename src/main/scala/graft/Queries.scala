@@ -1035,6 +1035,70 @@ object RelationalQueries {
     },
     Some(tpchQ5Text))
 
+  /** TPC-H Q1 pricing-summary text shared verbatim by spark.sql and DuckDB.
+    * Every aggregate is an exact decimal sum cast to double at the end; the
+    * charge product is staged through explicit intermediate casts —
+    * DECIMAL(18,8) for price×(1−disc), DECIMAL(10,4) for (1+tax) — so both
+    * engines multiply the SAME decimal types and never hit their (different)
+    * implicit precision-overflow rules. The averages are double divisions of
+    * those exact sums by the group count, associated identically.
+    *
+    * The wide sums' DOUBLE casts go THROUGH A STRING: DuckDB converts
+    * DECIMAL→DOUBLE via the unscaled integer as a double, which silently
+    * loses ulps once the unscaled value exceeds 2^53 — a scale-8
+    * whole-table sum (~5·10^16 unscaled) hit exactly that, and rescaling
+    * first hit the engines' different tie-rounding instead. DECIMAL→STRING
+    * is exact digits and STRING→DOUBLE is correctly rounded in BOTH
+    * engines, so the string hop is bit-deterministic at any scale. */
+  private val tpchQ1Text =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS DECIMAL(38,8)) AS STRING) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8)) * CAST(1.0 + l_tax AS DECIMAL(10,4))) AS DECIMAL(38,12)) AS STRING) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // The TPC-H pricing-summary report (Q1 adapted to this schema): the
+  // canonical scan→partial-agg→final-agg shape — 6 groups out of the whole
+  // fact table, so shuffle volume is |groups|·|mappers| regardless of SF.
+  // The date filter reaches the parquet scan as a pushed-down predicate.
+  private val sqlTpchQ1 = Q(
+    (s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(tpchQ1Text)
+    },
+    Some(tpchQ1Text))
+
+  /** TPC-H Q6 forecasting-revenue-change text, shared verbatim. */
+  private val tpchQ6Text =
+    """SELECT
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24"""
+
+  // Forecasting revenue change (TPC-H Q6 adapted to this schema): a pure
+  // scan-side query — every predicate pushes to the parquet scan (date range,
+  // discount band, quantity cap prune row groups via column stats), then ONE
+  // global decimal sum. At 100 TB this is the I/O-bound best case: no
+  // shuffle beyond the single-row final aggregate.
+  private val sqlTpchQ6 = Q(
+    (s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(tpchQ6Text)
+    },
+    Some(tpchQ6Text))
+
   /** GROUPING SETS text shared verbatim by spark.sql and DuckDB (both
     * support the explicit form; completes the rollup/cube family). */
   private val groupingSetsText =
@@ -1151,8 +1215,10 @@ object RelationalQueries {
     "agg_var_stats" -> aggVarStats,
     "agg_corr" -> aggCorr,
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
+    "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
+    "sql_tpch_q6" -> sqlTpchQ6,
     "join_skew_salted" -> joinSkewSalted,
     "upsert_snapshot" -> upsertSnapshot,
     "scd2_history" -> scd2History,

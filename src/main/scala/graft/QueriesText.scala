@@ -819,6 +819,75 @@ object TextQueries {
                     AND nstop >= 2) AS keep
             FROM s ORDER BY doc_id"""))
 
+  // Lexical diversity per document: type-token ratio + hapax fraction (the
+  // classic repetitiveness complement — low TTR flags boilerplate/template
+  // text that n-gram repetition scores can miss). Computed as ONE per-row
+  // expression pass: n_types via array_distinct, hapax via a nested
+  // higher-order filter counting each type's occurrences — O(types·tokens)
+  // per row, which at this corpus's ~50-token docs is trivia and at long-doc
+  // corpora would switch to the exploded groupBy the oracle uses. No
+  // shuffle, no UDF; ratios are single double divisions of exact integers.
+  private val textTtr = Q(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val types = array_distinct(toks)
+      val nTok = size(toks).cast("long")
+      val nTypes = size(types).cast("long")
+      val nHapax = size(filter(types,
+        t => size(filter(toks, x => x === t)) === 1)).cast("long")
+      documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"), nTypes.as("n_types"),
+          nHapax.as("n_hapax"))
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tok").cast("double"))
+        .withColumn("hapax_frac",
+          col("n_hapax").cast("double") / col("n_types").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+            s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+                  FROM tc GROUP BY doc_id)
+            SELECT doc_id, n_tok, n_types, n_hapax,
+                   CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+                   CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+            FROM s ORDER BY doc_id"""))
+
+  // Per-key label diversity: Simpson diversity index 1 − Σpᵢ² of each user's
+  // event-type distribution — the label-balance signal a curation pipeline
+  // computes before stratified sampling (a user whose events are one type
+  // carries less signal than a balanced one). Entropy is the textbook
+  // choice, but log() is not IEEE-correctly-rounded and would diverge
+  // between engines in the last ulp; Simpson is the same ordering with only
+  // exact integer sums and ONE double division — (N² − Σnᵢ²)/N² — so the
+  // oracle hashes bit-identically. Two linear hash aggregations, no joins.
+  private val aggDiversity = Q(
+    (s, d) => {
+      val c = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val nd = col("n_events").cast("double")
+      c.groupBy("user_id")
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("n") * col("n")).as("ssq"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          ((nd * nd - col("ssq").cast("double")) / (nd * nd)).as("simpson"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(n * n) AS BIGINT) AS ssq
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n_events, n_types,
+                   (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) - CAST(ssq AS DOUBLE))
+                     / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson
+            FROM s ORDER BY user_id"""))
+
   // Vocabulary coverage / OOV rate: freeze the top-1000-token vocabulary by
   // (global count DESC, token) — the fixed-tokenizer-vocab stand-in — then
   // score every document's out-of-vocabulary token fraction (the coverage
@@ -978,6 +1047,8 @@ object TextQueries {
     "bpe_pair_counts" -> bpePairCounts,
     "text_decontam" -> textDecontam,
     "text_oov_rate" -> textOovRate,
+    "text_ttr" -> textTtr,
+    "agg_diversity" -> aggDiversity,
     "events_dedup_window" -> eventsDedupWindow,
     "agg_mode" -> aggMode,
     "skew_stats" -> skewStats,
