@@ -28,6 +28,7 @@ import graft.sources.TxLog
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
+  *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
   *
   * Each command is a driver-side metadata/maintenance action wrapping the
   * corresponding [[TxLog]] API (which holds the concurrency story); the
@@ -56,6 +57,8 @@ object TxLogSql {
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
   private val MergeRe = re(
     s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
+  private val CloneRe = re(
+    s"""\\s*CLONE\\s+TXLOG\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -92,7 +95,24 @@ object TxLogSql {
     if (m.matches())
       return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),
         m.group(3) != null, m.group(4)))
+    val c = CloneRe.matcher(sqlText)
+    if (c.matches())
+      return Some(CloneTxLogCommand(unq(c.group(1)), unq(c.group(2)),
+        Option(c.group(3)).map(_.toLong).getOrElse(Long.MaxValue)))
     None
+  }
+}
+
+case class CloneTxLogCommand(src: String, dst: String, asOf: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxLog.clone(src, dst, asOf)
+    Seq(Row(v, TxLog.snapshot(dst).files.size))
   }
 }
 

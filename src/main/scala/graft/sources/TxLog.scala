@@ -311,7 +311,15 @@ object TxLog {
     require(version >= 1, s"versions start at 1, got $version")
     val dir = logDir(table)
     Files.createDirectories(dir)
-    val meta = s"""{"meta":{"op":${quote(op)},"version":$version}}"""
+    // IN-COMMIT timestamp (Delta's inCommitTimestamp mechanism): the commit
+    // records its own wall-clock so TIMESTAMP AS OF resolves from log
+    // CONTENT, not filesystem mtimes a copy/rsync/checkpoint-restore would
+    // rewrite. Clamped to strictly-after the previous commit's stamp —
+    // version order IS time order even across writers with skewed clocks,
+    // which is what makes timestamp travel well-defined (one extra O(1)
+    // meta read of version-1; versions are dense by construction).
+    val ts = math.max(System.currentTimeMillis(), commitTs(table, version - 1) + 1)
+    val meta = s"""{"meta":{"op":${quote(op)},"version":$version,"ts":$ts}}"""
     val tmp = Files.createTempFile(dir, s".tmp-$version-", ".json")
     try {
       scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
@@ -890,9 +898,52 @@ object TxLog {
     -1L
   }
 
+  /** SHALLOW CLONE (Delta's CLONE): materialize `src`'s snapshot (optionally
+    * at `asOf`) as the FIRST commit of a new table `dst` — pure O(files)
+    * metadata, zero data bytes copied or rewritten. The clone re-records
+    * every live file of the source snapshot (paths re-spelled ABSOLUTE so
+    * the new log resolves them regardless of either table's working
+    * directory; per-file stats carried verbatim, so file-scoped MERGE and
+    * data skipping keep working on the clone) plus the source's recorded
+    * schema. From that commit on the histories are INDEPENDENT: writes,
+    * deletes, optimize and restore on the clone never touch the source and
+    * vice versa — a rewrite on the clone merely drops the shared file from
+    * the CLONE's log, and `vacuum` only ever walks a table's OWN data
+    * directory, so it can never delete the source's bytes.
+    *
+    * The one shared-fate caveat (same as Delta's shallow clone): `vacuum` on
+    * the SOURCE may delete files the clone still references — shallow clones
+    * depend on the source's retention. Use cases are exactly Delta's: a
+    * zero-cost dev/test copy of a 100 TB production table, or a frozen
+    * experiment snapshot that stays readable while production moves on.
+    *
+    * `dst` must not already be a txlog table (clone creates, never merges
+    * into). Returns the clone's version (always 1). */
+  def clone(src: String, dst: String, asOf: Long = Long.MaxValue): Long = {
+    val r = replayAdds(src, math.min(latestVersion(src), asOf), useCheckpoint = true)
+    require(r.tip >= 1, s"cannot clone $src: no commits at or below the requested version")
+    require(latestVersion(dst) == 0L,
+      s"clone target $dst is already a txlog table (tip ${latestVersion(dst)})")
+    val adds = r.live.toSeq.map { case (path, line) =>
+      val abs = normalize(path)
+      parseStatsAll(line) match {
+        case Seq() => s"""{"add":{"path":${quote(abs)}}}"""
+        case entries =>
+          val body = entries.map { case (k, mn, mx) =>
+            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
+          }.mkString(",")
+          s"""{"add":{"path":${quote(abs)},"stats":[$body]}}"""
+      }
+    }
+    val schemaActs = r.schema.map(schemaLine).toSeq
+    commit(dst, 1L, adds ++ schemaActs, "clone")
+    1L
+  }
+
   /** One commit's descriptive record for `DESCRIBE HISTORY`: version, the
-    * operation that produced it, the commit file's publication time, and
-    * its action counts. */
+    * operation that produced it, its committed timestamp (the in-commit
+    * stamp when recorded, else the commit file's mtime), and its action
+    * counts. */
   final case class CommitInfo(version: Long, op: String, committedAtMs: Long,
       adds: Int, removes: Int)
 
@@ -907,10 +958,58 @@ object TxLog {
         val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         val op = lines.iterator.flatMap(parseMeta).map(_._1).nextOption().getOrElse("append")
         val acts = lines.iterator.flatMap(parseAction).map(_._1).toSeq
-        Some(CommitInfo(v, op, Files.getLastModifiedTime(p).toMillis,
-          acts.count(_ == "add"), acts.count(_ == "remove")))
+        val ts = lines.iterator.flatMap(l => parseMetaTs(l)).nextOption()
+          .getOrElse(Files.getLastModifiedTime(p).toMillis)
+        Some(CommitInfo(v, op, ts, acts.count(_ == "add"), acts.count(_ == "remove")))
       }
     }.toSeq
+
+  /** Version `v`'s committed timestamp: the in-commit stamp when recorded,
+    * else the commit file's mtime (pre-W16 tables), else Long.MinValue for
+    * a version that was never committed (v < 1, or a gap — gaps cannot
+    * happen by construction, but a missing file must not abort travel). */
+  private def commitTs(table: String, v: Long): Long = {
+    if (v < 1) return Long.MinValue
+    val p = versionPath(table, v)
+    if (!Files.exists(p)) return Long.MinValue
+    try {
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
+        .flatMap(l => parseMetaTs(l)).nextOption()
+        .getOrElse(Files.getLastModifiedTime(p).toMillis)
+    } catch { case _: java.io.IOException => Long.MinValue }
+  }
+
+  /** TIMESTAMP AS OF resolution (Delta's rule): the LARGEST version whose
+    * committed timestamp is ≤ `tsMs` — "the table as it was at that time".
+    * A query time before the first commit is an error (there was no table
+    * to read); a time after the tip resolves to the tip. Commit stamps are
+    * monotonic by construction (see [[commit]]'s clamp), so effective
+    * timestamps need no re-sorting; pre-W16 mtime fallbacks are made
+    * monotonic by a running max during the scan, which keeps the answer
+    * well-defined even if a file copy reset some mtimes. O(versions) meta
+    * reads — timestamp travel is a console/debug verb, not a hot path. */
+  def versionAt(table: String, tsMs: Long): Long = {
+    val tip = latestVersion(table)
+    require(tip >= 1, s"txlog table $table has no commits")
+    var best = 0L
+    var running = Long.MinValue
+    var v = 1L
+    while (v <= tip) {
+      val t = commitTs(table, v)
+      if (t != Long.MinValue) {
+        running = math.max(running, t)
+        if (running <= tsMs) best = v
+      }
+      v += 1
+    }
+    require(best >= 1,
+      s"timestamp $tsMs is before $table's first commit (${commitTs(table, 1L)})")
+    best
+  }
+
+  /** Time travel by wall-clock: the snapshot at [[versionAt]]'s version. */
+  def snapshotAsOfTimestamp(table: String, tsMs: Long): Snapshot =
+    snapshot(table, versionAt(table, tsMs))
 
   /** Compact small live files into target-size files — the lakehouse
     * OPTIMIZE command (Delta's OPTIMIZE / Iceberg's rewrite_data_files),
@@ -1140,11 +1239,18 @@ object TxLog {
     case _                 => None
   }
 
-  private val MetaRe = """\{"meta":\{"op":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r
+  // `ts` is optional so pre-W16 commit files (no in-commit timestamp) keep
+  // parsing; their stamp falls back to the commit file's mtime
+  private val MetaRe = """\{"meta":\{"op":"((?:[^"\\]|\\.)*)","version":(-?\d+)(?:,"ts":(-?\d+))?\}\}""".r
 
   private def parseMeta(line: String): Option[(String, Long)] = line match {
-    case MetaRe(op, ver) => Some((unquote(op), ver.toLong))
-    case _               => None
+    case MetaRe(op, ver, _) => Some((unquote(op), ver.toLong))
+    case _                  => None
+  }
+
+  private def parseMetaTs(line: String): Option[Long] = line match {
+    case MetaRe(_, _, ts) => Option(ts).map(_.toLong)
+    case _                => None
   }
 
   private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.StructType
   *
   *   spark.read.format("txlog").load(tablePath)                    // snapshot
   *   spark.read.format("txlog").option("versionAsOf", 3).load(t)   // time travel
+  *   spark.read.format("txlog").option("timestampAsOf", "2026-08-15T12:00:00Z").load(t)
   *   spark.read.format("txlog").option("startingVersion", 2).load(t) // batch CDF
   *   df.write.format("txlog").mode("append"|"overwrite").save(t)
+  *   df.write.format("txlog").option("clusterBy", "k").save(t)     // clustered write
   *
   * The snapshot read resolves to a vanilla parquet [[HadoopFsRelation]]
   * whose [[FileIndex]] is the TRANSACTION LOG, not a directory listing
@@ -37,9 +39,11 @@ import org.apache.spark.sql.types.StructType
   * as a [[TableScan]] relation rather than a file relation.
   *
   * Write options: `stats` (comma-separated stat columns, as the `statsCol`
-  * API param), `mergeSchema`. SaveMode maps to the transactional verbs:
-  * Append → [[TxLog.append]], Overwrite → [[TxLog.overwrite]],
-  * ErrorIfExists/Ignore enforce on table non-emptiness.
+  * API param), `mergeSchema`, `clusterBy`/`clusterFiles` (range-cluster the
+  * rows so per-file stat envelopes are narrow — see the note at [[write]]).
+  * SaveMode maps to the transactional verbs: Append → [[TxLog.append]],
+  * Overwrite → [[TxLog.overwrite]], ErrorIfExists/Ignore enforce on table
+  * non-emptiness.
   */
 object TxLogBatch {
 
@@ -52,26 +56,69 @@ object TxLogBatch {
           lower.get("endingversion").map(_.toLong).getOrElse(Long.MaxValue),
           lower.get("includerewrites").exists(_.toBoolean))
       case None =>
-        snapshotRelation(sqlContext, table,
-          lower.get("versionasof").map(_.toLong).getOrElse(Long.MaxValue))
+        val byVersion = lower.get("versionasof").map(_.toLong)
+        val byTime = lower.get("timestampasof").map(parseTs)
+        require(byVersion.isEmpty || byTime.isEmpty,
+          "versionAsOf and timestampAsOf are mutually exclusive")
+        val asOf = byVersion
+          .orElse(byTime.map(ts => TxLog.versionAt(table, ts)))
+          .getOrElse(Long.MaxValue)
+        snapshotRelation(sqlContext, table, asOf)
     }
   }
+
+  /** `timestampAsOf` accepts epoch milliseconds or an ISO-8601 instant
+    * (`2026-08-15T12:00:00Z`) — the unambiguous forms; a zone-less local
+    * datetime is refused rather than silently guessed. */
+  private def parseTs(s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      try java.time.Instant.parse(s.trim).toEpochMilli
+      catch { case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"timestampAsOf '$s' is neither epoch millis nor an ISO-8601 instant", e)
+      }
+    }
 
   def write(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val table = TxLogStreamSource.tableOf(parameters)
     val lower = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
-    val stats = lower.get("stats").filter(_.nonEmpty)
     val mergeSchema = lower.get("mergeschema").exists(_.toBoolean)
+    // CLUSTERED WRITE: `clusterBy` range-partitions the rows on the named
+    // column(s) before staging, so each written file covers a NARROW,
+    // non-overlapping slice of the key space — the layout that turns the
+    // log's min/max stats from "usually overlapping envelopes" into
+    // near-perfect pruning (a point lookup touches ONE file instead of
+    // every file that happened to contain the key's hash bucket). This is
+    // the write-side half of data skipping, the same idea as Delta's
+    // OPTIMIZE ZORDER / liquid clustering but applied at ingest: one range
+    // shuffle at write time buys every later read's file pruning.
+    // `clusterFiles` caps the output file count (default: the session's
+    // shuffle parallelism); cluster columns are auto-added to the recorded
+    // stats — clustering without stats would buy nothing.
+    val cluster: Seq[String] = lower.get("clusterby").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val data2 =
+      if (cluster.isEmpty) data
+      else lower.get("clusterfiles").map(_.trim.toInt) match {
+        case Some(n) => data.repartitionByRange(n, cluster.map(data.col): _*)
+        case None    => data.repartitionByRange(cluster.map(data.col): _*)
+      }
+    val stats = {
+      val explicit = lower.get("stats").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val merged = (explicit ++ cluster).distinct
+      if (merged.isEmpty) None else Some(merged.mkString(","))
+    }
     val nonEmpty = TxLog.latestVersion(table) > 0
     mode match {
-      case SaveMode.Append    => TxLog.append(data, table, statsCol = stats, mergeSchema = mergeSchema)
-      case SaveMode.Overwrite => TxLog.overwrite(data, table, statsCol = stats)
+      case SaveMode.Append    => TxLog.append(data2, table, statsCol = stats, mergeSchema = mergeSchema)
+      case SaveMode.Overwrite => TxLog.overwrite(data2, table, statsCol = stats)
       case SaveMode.ErrorIfExists if nonEmpty =>
         throw new IllegalStateException(s"txlog table $table already exists (mode ErrorIfExists)")
-      case SaveMode.ErrorIfExists => TxLog.append(data, table, statsCol = stats)
+      case SaveMode.ErrorIfExists => TxLog.append(data2, table, statsCol = stats)
       case SaveMode.Ignore if nonEmpty => ()
-      case SaveMode.Ignore => TxLog.append(data, table, statsCol = stats)
+      case SaveMode.Ignore => TxLog.append(data2, table, statsCol = stats)
     }
     relation(sqlContext, parameters)
   }

@@ -167,5 +167,29 @@ class TxLogSqlSpec extends SparkSpec {
     assert(TxLogSql.parse("MERGE INTO plain USING src ON a = b") == None)
     assert(TxLogSql.parse("SELECT * FROM t") == None)
     assert(TxLogSql.parse("OPTIMIZE TXLOG unquoted") == None)
+    assert(TxLogSql.parse("CLONE TXLOG '/a' TO '/b'") ==
+      Some(CloneTxLogCommand("/a", "/b", Long.MaxValue)))
+    assert(TxLogSql.parse("clone txlog '/a' to '/b' version as of 3;") ==
+      Some(CloneTxLogCommand("/a", "/b", 3L)))
+  }
+
+  test("CLONE TXLOG runs end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val src = freshTable("clone_src")
+      val dst = freshTable("clone_dst")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src, statsCol = Some("k"))
+      TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), src)
+      val out = s.sql(s"CLONE TXLOG '$src' TO '$dst'").collect().head
+      assert(out.getLong(0) == 1L)
+      assert(s.read.format("txlog").load(dst)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((9L, "z")))
+      // VERSION AS OF clones the historical state
+      val dst2 = freshTable("clone_dst2")
+      s.sql(s"CLONE TXLOG '$src' TO '$dst2' VERSION AS OF 1")
+      assert(s.read.format("txlog").load(dst2)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b")))
+    }
   }
 }

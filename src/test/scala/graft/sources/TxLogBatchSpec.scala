@@ -127,4 +127,52 @@ class TxLogBatchSpec extends SparkSpec {
     assert(df.count() == 1)
     assert(scanOf(df).relation.location.asInstanceOf[TxLogFileIndex].lastServedFiles == 1)
   }
+
+  test("timestampAsOf time travel through the public reader") {
+    import spark.implicits._
+    val t = freshTable("ts_travel")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    val Seq(t1, t2) = TxLog.history(t).sortBy(_.version).map(_.committedAtMs)
+    // epoch-millis form resolves to the version committed at that instant
+    def at(ts: String): Set[(Long, String)] =
+      spark.read.format("txlog").option("timestampAsOf", ts).load(t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at(t1.toString) == Set((1L, "a")))
+    assert(at(t2.toString) == Set((9L, "z")))
+    // ISO-8601 instant form
+    assert(at(java.time.Instant.ofEpochMilli(t1).toString) == Set((1L, "a")))
+    // before the first commit is an error, not an empty read
+    intercept[Exception](at((t1 - 1L).toString))
+    // versionAsOf and timestampAsOf refuse to combine
+    intercept[IllegalArgumentException](
+      spark.read.format("txlog").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", 1).load(t))
+    // a malformed timestamp is refused, not guessed
+    intercept[IllegalArgumentException](at("2026-08-15 12:00:00"))
+  }
+
+  test("clusterBy write: range-clustered files give near-perfect point skipping") {
+    import spark.implicits._
+    val t = freshTable("cluster")
+    // 400 keys, shuffled input order, clustered into 4 range-disjoint files
+    val df = new scala.util.Random(7).shuffle((0 until 400).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.write.format("txlog")
+      .option("clusterBy", "k").option("clusterFiles", "4")
+      .mode(SaveMode.Append).save(t)
+    assert(TxLog.snapshot(t).files.size == 4)
+    // a point lookup opens exactly ONE of the four files — the cluster
+    // columns' stats were recorded automatically
+    val q = spark.read.format("txlog").load(t).where(col("k") === 250L)
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("v250"))
+    val idx = scanOf(q).relation.location.asInstanceOf[TxLogFileIndex]
+    assert(idx.lastServedFiles == 1,
+      s"expected a 1-file point lookup on clustered data, served ${idx.lastServedFiles}")
+    // a range query spanning two adjacent clusters opens exactly two
+    val q2 = spark.read.format("txlog").load(t)
+      .where(col("k") >= 90L && col("k") <= 110L)
+    assert(q2.count() == 21)
+    assert(scanOf(q2).relation.location.asInstanceOf[TxLogFileIndex].lastServedFiles <= 2)
+  }
 }

@@ -617,6 +617,80 @@ class TxLogSpec extends SparkSpec {
       s"rows vanished from the change feed on a percent-encoded path: $got")
   }
 
+  test("in-commit timestamps: monotonic stamps drive TIMESTAMP AS OF resolution") {
+    import spark.implicits._
+    val t = freshTable("ict")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    val hist = TxLog.history(t).sortBy(_.version)
+    assert(hist.map(_.version) == Seq(1L, 2L, 3L))
+    // stamps come from commit CONTENT and are strictly increasing even when
+    // commits land within the same millisecond (the write-side clamp)
+    assert(hist.map(_.committedAtMs) == hist.map(_.committedAtMs).sorted)
+    assert(hist.map(_.committedAtMs).distinct.size == 3,
+      s"stamps must be strictly increasing: ${hist.map(_.committedAtMs)}")
+    val Seq(t1, t2, t3) = hist.map(_.committedAtMs)
+    // Delta's rule: largest version with ts <= query time
+    assert(TxLog.versionAt(t, t1) == 1L)
+    assert(TxLog.versionAt(t, t2) == 2L)
+    assert(TxLog.versionAt(t, (t2 + t3) / 2) == (if ((t2 + t3) / 2 >= t3) 3L else 2L))
+    assert(TxLog.versionAt(t, t3 + 1000000L) == 3L, "after the tip resolves to the tip")
+    intercept[IllegalArgumentException](TxLog.versionAt(t, t1 - 1L))
+    // snapshotAsOfTimestamp == snapshot at the resolved version
+    assert(TxLog.snapshotAsOfTimestamp(t, t2).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("clone: zero-copy snapshot, stats survive, histories fully independent") {
+    import spark.implicits._
+    val src = freshTable("clone_src")
+    val dst = freshTable("clone_dst")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), src,
+      statsCol = Some("k"))
+    TxLog.append(Seq((100L, "x")).toDF("k", "v").repartition(1), src,
+      statsCol = Some("k"))
+    assert(TxLog.clone(src, dst) == 1L)
+    // same rows, and NOT by copying: the clone's data dir holds zero files
+    assert(rows(dst) == Set((1L, "a"), (2L, "b"), (100L, "x")))
+    assert(!Files.isDirectory(Paths.get(dst, "data")),
+      "a shallow clone must not copy or write any data file")
+    // carried stats keep data skipping working on the clone
+    assert(TxLog.prunedFiles(spark, dst, "k", 100L, 100L).size == 1)
+    // divergence: a write to the clone never touches the source...
+    TxLog.merge(Seq((1L, "CLONE")).toDF("k", "v"), dst, "k")
+    assert(rows(src) == Set((1L, "a"), (2L, "b"), (100L, "x")))
+    assert(rows(dst) == Set((1L, "CLONE"), (2L, "b"), (100L, "x")))
+    // ...and a source rewrite never touches the clone
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), src)
+    assert(rows(dst) == Set((1L, "CLONE"), (2L, "b"), (100L, "x")))
+    // vacuum on the clone walks only ITS data dir: source bytes survive
+    TxLog.overwrite(Seq((7L, "w")).toDF("k", "v"), dst)
+    TxLog.vacuum(dst, retainVersions = 0L, graceMs = 0L)
+    assert(TxLog.snapshot(src, asOf = 2L).read(spark).count() == 3L,
+      "vacuum on a clone must never delete the source's files")
+    // a clone refuses a non-empty target; time travel clones the old state
+    intercept[IllegalArgumentException](TxLog.clone(src, dst))
+    val dst2 = freshTable("clone_v1")
+    TxLog.clone(src, dst2, asOf = 1L)
+    assert(rows(dst2) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("clone pins the source's evolved schema") {
+    import spark.implicits._
+    val src = freshTable("clone_schema_src")
+    val dst = freshTable("clone_schema_dst")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), src)
+    TxLog.append(Seq((2L, "b", 7L)).toDF("k", "v", "extra"), src, mergeSchema = true)
+    TxLog.clone(src, dst)
+    val df = TxLog.snapshot(dst).read(spark)
+    assert(df.columns.toSeq == Seq("k", "v", "extra"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)
