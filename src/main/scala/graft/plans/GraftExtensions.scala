@@ -34,6 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TXLOG maintenance statements (OPTIMIZE/VACUUM/DESCRIBE HISTORY) — a
     // delegating parser, so standard SQL is never reinterpreted
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // `SELECT ... FROM txlog.`<path>[@vN]`` — resolves the two-part txlog
+    // identifier to the log-backed file relation. Injected into the HINT
+    // resolution slot (the analyzer batch that runs BEFORE resolution), not
+    // the resolution slot: Spark's own ResolveSQLOnFile claims every
+    // `<registered-source>.`path`` reference and hard-fails on V1 providers
+    // ("unsupported data source type for direct query") before appended
+    // resolution rules ever see the node — resolving the leaf one batch
+    // earlier is the sanctioned way around it. The rule touches nothing but
+    // the exact two-part `txlog` head, so no hint or standard name changes
+    // meaning.
+    ext.injectHintResolutionRule(session => ResolveTxLogRelation(session))
   }
 }
 

@@ -26,6 +26,7 @@ import graft.sources.TxLog
   *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
+  *   DESCRIBE DETAIL  TXLOG '<path>'
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
@@ -46,6 +47,7 @@ object TxLogSql {
   private val VacuumRe = re(
     s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?\\s*;?\\s*""")
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
+  private val DetailRe = re(s"""\\s*DESCRIBE\\s+DETAIL\\s+TXLOG\\s+$P\\s*;?\\s*""")
   private val RestoreRe = re(
     s"""\\s*RESTORE\\s+TXLOG\\s+$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
   // the predicate is free SQL text (validated by Spark's own expression
@@ -84,6 +86,8 @@ object TxLogSql {
     }
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) return Some(DescribeHistoryTxLogCommand(unq(h.group(1))))
+    val dd = DetailRe.matcher(sqlText)
+    if (dd.matches()) return Some(DescribeDetailTxLogCommand(unq(dd.group(1))))
     val r = RestoreRe.matcher(sqlText)
     if (r.matches())
       return Some(RestoreTxLogCommand(unq(r.group(1)), r.group(2).toLong))
@@ -189,6 +193,40 @@ case class MergeTxLogCommand(table: String, keyCol: String,
   }
 }
 
+/** One-row table summary (the Delta DESCRIBE DETAIL surface): current
+  * version, live file count and total bytes, last-commit time, the newest
+  * checkpoint, and the recorded schema in DDL form. Driver-side O(files)
+  * metadata — no Spark job. */
+case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("last_commit_at", TimestampType, nullable = true)(),
+    AttributeReference("checkpoint_version", LongType, nullable = true)(),
+    AttributeReference("schema_ddl", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = TxLog.snapshot(table)
+    val bytes = snap.files.map { p =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val hist = TxLog.history(table)
+    Seq(Row(
+      table,
+      snap.version,
+      snap.files.size,
+      bytes,
+      hist.headOption.map(c => new java.sql.Timestamp(c.committedAtMs)).orNull,
+      TxLog.latestCheckpointVersion(table).map(Long.box).orNull,
+      snap.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType].toDDL).orNull))
+  }
+}
+
 case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -202,6 +240,33 @@ case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableComman
     TxLog.history(table).map { c =>
       Row(c.version, c.op, new java.sql.Timestamp(c.committedAtMs), c.adds, c.removes)
     }
+}
+
+/** Analyzer rule resolving `txlog.`<path>`` table references in plain SQL —
+  * the read-side completion of the pure-SQL story (the Delta `delta.`path``
+  * shape): `SELECT * FROM txlog.`/data/tbl`` plans the SAME log-backed,
+  * stats-skipping parquet relation the `format("txlog")` reader builds, so
+  * pushdown/pruning/codegen are identical. Time travel rides a version
+  * suffix: `txlog.`/data/tbl@v3`` reads version 3. The rule only fires on
+  * the two-part identifier whose head is exactly `txlog`, inside the
+  * analyzer's resolution fixed point — temp views and real catalog tables
+  * resolve first by Spark's own rules, so nothing standard is shadowed. */
+case class ResolveTxLogRelation(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private val Versioned = """(.+)@v(\d+)""".r
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("txlog") =>
+      val params = u.multipartIdentifier(1) match {
+        case Versioned(path, v) => Map("path" -> path, "versionAsOf" -> v)
+        case path               => Map("path" -> path)
+      }
+      org.apache.spark.sql.GraftBridge.logicalRelation(
+        graft.sources.TxLogBatch.relation(spark.sqlContext, params))
+  }
 }
 
 /** Delegating parser: TXLOG statements parse here, all other text — plans,

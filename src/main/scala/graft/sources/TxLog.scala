@@ -196,6 +196,10 @@ object TxLog {
       }
     }
 
+  /** Newest checkpoint version, if any (DESCRIBE DETAIL surface). */
+  def latestCheckpointVersion(table: String): Option[Long] =
+    latestCheckpoint(table, Long.MaxValue)
+
   /** Replay the log up to `asOf` (default: tip). Time travel = pass an old
     * version; the files it references are immutable so the read is exact.
     * Starts from the newest checkpoint ≤ asOf when one exists, replaying

@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a [[TxLog]] ACID table — tail the commit log as
@@ -69,9 +70,38 @@ import org.apache.spark.sql.types.StructType
   * parquet `InternalRow` partition readers for no behavioral gain.
   */
 class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
+
+  /** Streaming SINK: `df.writeStream.format("txlog").start(table)` — the
+    * public path onto the exactly-once transactional append that
+    * [[graft.streaming.EventStream.exactlyOnceTxLog]] exposes as an API
+    * (same mechanism: each micro-batch commits with a `txn` action keyed by
+    * (appId, batchId), so a replayed batch after any crash is a metadata
+    * no-op — see [[TxLog.appendIdempotent]]). The transaction identity is
+    * the `appId` option when given, else the query's `checkpointLocation`
+    * (stable across restarts — exactly what the identity must be); a sink
+    * with NEITHER is refused, because without a stable identity replayed
+    * batches would duplicate. Append output mode only: Update/Complete
+    * semantics need a key to merge on — use foreachBatch + [[TxLog.merge]]
+    * (the streaming-MERGE shape) for that. Options: `stats`, `mergeSchema`
+    * as on the batch writer. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"txlog sink supports Append output mode only, got $outputMode " +
+        "(for upserts use foreachBatch with TxLog.merge)")
+    val table = TxLogStreamSource.tableOf(parameters)
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val appId = lower.get("appid").orElse(lower.get("checkpointlocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "txlog sink needs a stable exactly-once identity: set option(\"appId\", ...) " +
+          "or option(\"checkpointLocation\", ...)"))
+    new TxLogSink(table, appId,
+      lower.get("stats").filter(_.nonEmpty),
+      lower.get("mergeschema").exists(_.toBoolean))
+  }
 
   /** Batch read: `spark.read.format("txlog")[.option("versionAsOf"|
     * "startingVersion"|…, v)].load(table)` — see [[TxLogBatch]]. */
@@ -106,6 +136,23 @@ class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
         case n        => n.toLong
       })
   }
+}
+
+/** The V1 sink behind `writeStream.format("txlog")`: every micro-batch is
+  * one idempotent transactional append. The engine hands `addBatch` a
+  * DataFrame wrapping its IncrementalExecution; it is rebound to a batch
+  * frame over the already-planned rows (no re-analysis, no recomputation)
+  * before the ordinary distributed parquet stage + commit. Exactly-once
+  * holds across crash/replay AND zombie drivers — both are
+  * [[TxLog.appendIdempotent]]'s contract, proven in TxSinkSpec. */
+class TxLogSink(table: String, appId: String, stats: Option[String],
+    mergeSchema: Boolean) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    TxLog.appendIdempotent(GraftBridge.rebatch(data), table, appId, batchId,
+      statsCol = stats, mergeSchema = mergeSchema)
+    ()
+  }
+  override def toString: String = s"TxLogSink[$table]"
 }
 
 object TxLogStreamSource {

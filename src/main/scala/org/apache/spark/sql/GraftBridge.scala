@@ -15,4 +15,24 @@ object GraftBridge {
   def registerExpression(
       spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "internal")
+
+  /** Rebind a V1 streaming Sink's per-batch DataFrame (which wraps the
+    * engine's IncrementalExecution and must not be re-analyzed — any
+    * DataFrame-writer call on it fails with "streaming sources must be
+    * executed with writeStream") into an ordinary BATCH DataFrame over the
+    * already-planned rows: the executed RDD is wrapped verbatim, so no
+    * recomputation, no re-analysis, same schema. The per-partition
+    * `copy()` is required because Spark reuses `InternalRow` buffers. */
+  def rebatch(data: Dataset[Row]): Dataset[Row] = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
+  }
+
+  /** Wrap a source relation as a LogicalPlan node — the analyzer-rule
+    * counterpart of `DataFrameReader.load` (LogicalRelation.apply is
+    * `private[sql]`; this bridge is the one sanctioned crossing). */
+  def logicalRelation(rel: org.apache.spark.sql.sources.BaseRelation):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    execution.datasources.LogicalRelation(rel)
 }

@@ -173,6 +173,49 @@ class TxLogSqlSpec extends SparkSpec {
       Some(CloneTxLogCommand("/a", "/b", 3L)))
   }
 
+  test("DESCRIBE DETAIL TXLOG summarizes the table in one metadata row") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("detail")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, statsCol = Some("k"))
+      TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+      val r = s.sql(s"DESCRIBE DETAIL TXLOG '$t'").collect().head
+      assert(r.getString(0) == t)
+      assert(r.getLong(1) == 2L, "version")
+      assert(r.getInt(2) == TxLog.snapshot(t).files.size, "num_files")
+      assert(r.getLong(3) > 0L, "size_bytes")
+      assert(r.getTimestamp(4) != null, "last_commit_at")
+      assert(r.getString(6).contains("k BIGINT"), s"schema_ddl: ${r.getString(6)}")
+      // statement-shape parse checks
+      assert(TxLogSql.parse("describe detail txlog '/t';") ==
+        Some(DescribeDetailTxLogCommand("/t")))
+      assert(TxLogSql.parse("DESCRIBE DETAIL sometable") == None)
+    }
+  }
+
+  test("SELECT FROM txlog.`path` resolves the log-backed relation; @vN time-travels") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("sqlread")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, statsCol = Some("k"))
+      TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+      // plain read = current snapshot, through pure SQL, no graft imports
+      assert(s.sql(s"SELECT k, v FROM txlog.`$t` ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+      // joins/aggregates compose like any table reference
+      assert(s.sql(s"SELECT count(*) AS n FROM txlog.`$t`").collect().head.getLong(0) == 1L)
+      // version-suffix time travel
+      assert(s.sql(s"SELECT k, v FROM txlog.`$t@v1` ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // a temp view of the same name wins — standard SQL is never shadowed
+      Seq((7L, "view")).toDF("k", "v").createOrReplaceTempView("plainview")
+      assert(s.sql("SELECT k FROM plainview").collect().head.getLong(0) == 7L)
+      // an unknown non-txlog reference still fails with Spark's own error
+      intercept[Exception](s.sql("SELECT * FROM nosuch.`/missing`").collect())
+    }
+  }
+
   test("CLONE TXLOG runs end-to-end through spark.sql") {
     withExtSession { s =>
       import s.implicits._

@@ -114,4 +114,56 @@ class TxSinkSpec extends SparkSpec {
     assert(TxLog.appendIdempotent(Seq((3L, "c")).toDF("k", "v"), t, appId, tip) == None)
     assert(keys(t) == Seq(1L, 2L, 3L))
   }
+
+  test("writeStream.format(\"txlog\"): the public sink is exactly-once across restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshTable("pubsink")
+    val ckpt = Files.createTempDirectory("pubsink_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("k", "v").writeStream
+      .format("txlog").option("checkpointLocation", ckpt).option("stats", "k")
+      .start(t)
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(keys(t) == Seq(1L, 2L))
+    // restart on the same checkpoint: committed batches are not re-landed
+    mem.addData((3L, "c"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(keys(t) == Seq(1L, 2L, 3L))
+    // the checkpointLocation IS the txn identity; recorded stats skip on read
+    assert(TxLog.lastTxnVersion(t, ckpt).isDefined)
+    assert(TxLog.prunedFiles(spark, t, "k", 3L, 3L).size == 1)
+    // every micro-batch rode appendIdempotent: ops are all plain appends, so
+    // the table tails cleanly as a stream source too
+    assert(TxLog.history(t).forall(_.op == "append"))
+  }
+
+  test("the public sink refuses Update mode and a query with no stable identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val t = freshTable("pubsink_refuse")
+    // no appId and no checkpointLocation → refused at start (replayed
+    // batches would silently duplicate without a stable identity)
+    val e = intercept[Exception] {
+      val q = mem.toDF().toDF("k", "v").writeStream.format("txlog").start(t)
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage != null)
+    // Update mode is refused: a txlog append sink cannot merge
+    val e2 = intercept[Exception] {
+      val q = mem.toDF().toDF("k", "v").writeStream.format("txlog")
+        .outputMode("update")
+        .option("appId", "x")
+        .option("checkpointLocation", Files.createTempDirectory("u_ck").toString)
+        .start(t)
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e2.getMessage != null)
+  }
 }
