@@ -30,6 +30,9 @@ import graft.sources.TxLog
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
+  *   ALTER TXLOG '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TXLOG '<path>' DROP CONSTRAINT <name>
+  *   CONVERT TO TXLOG '<dir>' [STATS <col[,col...]>]
   *
   * Each command is a driver-side metadata/maintenance action wrapping the
   * corresponding [[TxLog]] API (which holds the concurrency story); the
@@ -61,6 +64,14 @@ object TxLogSql {
     s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
   private val CloneRe = re(
     s"""\\s*CLONE\\s+TXLOG\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
+  // the CHECK body is free SQL text inside the outer parens (validated by
+  // Spark's expression parser inside the command)
+  private val AddConstraintRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""")
+  private val DropConstraintRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""")
+  private val ConvertRe = re(
+    s"""\\s*CONVERT\\s+TO\\s+TXLOG\\s+$P(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -103,8 +114,50 @@ object TxLogSql {
     if (c.matches())
       return Some(CloneTxLogCommand(unq(c.group(1)), unq(c.group(2)),
         Option(c.group(3)).map(_.toLong).getOrElse(Long.MaxValue)))
+    val ac = AddConstraintRe.matcher(sqlText)
+    if (ac.matches())
+      return Some(AddConstraintTxLogCommand(unq(ac.group(1)), ac.group(2), ac.group(3)))
+    val dc = DropConstraintRe.matcher(sqlText)
+    if (dc.matches())
+      return Some(DropConstraintTxLogCommand(unq(dc.group(1)), dc.group(2)))
+    val cv = ConvertRe.matcher(sqlText)
+    if (cv.matches())
+      return Some(ConvertTxLogCommand(unq(cv.group(1)), Option(cv.group(2))))
     None
   }
+}
+
+case class ConvertTxLogCommand(dir: String, statsCol: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxLog.convert(spark, dir, statsCol)
+    Seq(Row(v, TxLog.snapshot(dir).files.size))
+  }
+}
+
+case class AddConstraintTxLogCommand(table: String, name: String, exprSql: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addConstraint(spark, table, name, exprSql)))
+}
+
+case class DropConstraintTxLogCommand(table: String, name: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropConstraint(table, name)))
 }
 
 case class CloneTxLogCommand(src: String, dst: String, asOf: Long)

@@ -84,6 +84,10 @@ object TxLog {
     * new columns without `mergeSchema = true`) — Delta-style enforcement. */
   final class SchemaMismatch(msg: String) extends RuntimeException(msg)
 
+  /** A write's rows (or, for ADD CONSTRAINT, the table's existing rows)
+    * violate a CHECK constraint — Delta-style constraint enforcement. */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
   final class VersionConflict(version: Long)
     extends RuntimeException(s"version $version was committed concurrently")
 
@@ -221,7 +225,9 @@ object TxLog {
       live: scala.collection.mutable.LinkedHashMap[String, String],
       txns: scala.collection.mutable.LinkedHashMap[String, Long],
       var schema: Option[String],
-      tip: Long)
+      tip: Long,
+      cons: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty)
 
   /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
   private[sources] def replayAdds(table: String, asOf: Long,
@@ -229,6 +235,7 @@ object TxLog {
     val tip = math.min(latestVersion(table), asOf)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var schema: Option[String] = None
     def take(line: String): Unit = parseAction(line) match {
       case Some(("add", path))    => live(path) = line
@@ -236,7 +243,14 @@ object TxLog {
       case _ => parseTxn(line) match {
         case Some((app, ver)) =>
           txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
-        case None => parseSchema(line).foreach(j => schema = Some(j)) // latest wins
+        case None => parseSchema(line) match {
+          case Some(j) => schema = Some(j) // latest wins
+          case None => parseConstraint(line) match {
+            case Some((name, expr)) => cons(name) = expr
+            case None =>
+              parseDropConstraint(line).foreach(name => cons.remove(name))
+          }
+        }
       }
     }
     val from = (if (useCheckpoint) latestCheckpoint(table, tip) else None) match {
@@ -255,7 +269,7 @@ object TxLog {
       }
       v += 1
     }
-    Replay(live, txns, schema, tip)
+    Replay(live, txns, schema, tip, cons)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -273,9 +287,11 @@ object TxLog {
     val meta = s"""{"meta":{"op":"checkpoint","version":$tip}}"""
     // txn lines are carried forward so idempotent-append dedup survives log
     // compaction: lastTxnVersion must see an app's watermark even when every
-    // commit that carried it sits below the checkpoint
+    // commit that carried it sits below the checkpoint; constraints ride the
+    // same way — enforcement must survive compaction too
     val txnLines = r.schema.map(schemaLine).toSeq ++
-      r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq
+      r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq ++
+      r.cons.map { case (name, expr) => constraintLine(name, expr) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
     try {
       scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
@@ -429,8 +445,16 @@ object TxLog {
       statsCol: Option[String] = None, mergeSchema: Boolean = false): Long = {
     val actions = stageFiles(df, table, statsCol)
     var attempt = 0
+    // CHECK constraints are enforced against the fresh replay's set; the
+    // staged-file scan re-runs on retry only if the set changed concurrently
+    var enforcedFor: Option[Map[String, String]] = None
     while (true) {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val cmap = r.cons.toMap
+      if (!enforcedFor.contains(cmap)) {
+        enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
+        enforcedFor = Some(cmap)
+      }
       val v = r.tip + 1
       val schemaActs = schemaActions(r, df, mergeSchema, "append")
       try { commit(table, v, actions ++ schemaActs, "append"); maybeCheckpoint(table, v); return v }
@@ -452,8 +476,18 @@ object TxLog {
       statsCol: Option[String] = None): Long = {
     val adds = stageFiles(df, table, statsCol)
     var attempt = 0
+    var enforcedFor: Option[Map[String, String]] = None
     while (true) {
-      val snap = snapshot(table)
+      val r0 = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val cmap = r0.cons.toMap
+      if (!enforcedFor.contains(cmap)) {
+        // an overwrite ADOPTS the writer's schema, so enforcement reads the
+        // staged files under it (a constraint on a column the new schema
+        // drops null-fills and passes — SQL CHECK's null rule)
+        enforceConstraints(df.sparkSession, adds, Some(df.schema.json), cmap, "overwrite")
+        enforcedFor = Some(cmap)
+      }
+      val snap = Snapshot(r0.tip, r0.live.keysIterator.toSeq, r0.schema)
       val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       // an overwrite replaces every row, so it ADOPTS the writer's schema
       // outright (Delta's overwriteSchema shape) — no null-filling risk
@@ -579,6 +613,12 @@ object TxLog {
         .unionByName(updates, allowMissingColumns = mergeSchema)
       val actions = stageFiles(merged, table, statsCol = Some(keyCol)) ++
         touched.map(p => s"""{"remove":{"path":${quote(p)}}}""") ++ schemaActs
+      // CHECK constraints gate the merged output (survivors + updates) —
+      // one scan of the staged bytes, never the table; a violating update
+      // aborts with nothing committed. The set is the derivation replay's;
+      // a concurrent constraint change defeats disjoint admission below, so
+      // an admitted re-commit is always enforcement-current.
+      enforceConstraints(spark, actions, replay.schema, replay.cons.toMap, "merge")
       val ourRemoves = touched.toSet
       // Optimistic commit with DISJOINT-COMMIT ADMISSION (the Delta conflict
       // rule, Armbrust et al. VLDB 2020 §3.2): when another writer wins the
@@ -638,6 +678,10 @@ object TxLog {
       }
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
     if (lines.exists(l => parseSchema(l).isDefined)) return false
+    // a constraint change is a metadata interaction: the merge's staged
+    // output was enforced against the OLD set, so admission must re-derive
+    if (lines.exists(l =>
+        parseConstraint(l).isDefined || parseDropConstraint(l).isDefined)) return false
     lines.forall { l =>
       parseAction(l) match {
         case Some(("remove", path)) => !ourRemoves.contains(path)
@@ -747,8 +791,11 @@ object TxLog {
       includeRewrites: Boolean = false): DataFrame = {
     val cs = changes(table, fromExclusive, toInclusive).filter { c =>
       c.op match {
-        case "append"   => true
-        case "optimize" => false
+        case "append"                 => true
+        case "optimize"               => false
+        // metadata-only commits (constraints, schema-only, no-op restores)
+        // add no files — nothing to emit, skipping is exact
+        case _ if c.added.isEmpty     => false
         case other =>
           if (includeRewrites) true
           else throw new IllegalStateException(
@@ -902,6 +949,172 @@ object TxLog {
     -1L
   }
 
+  /** CONVERT TO TXLOG (Delta's CONVERT TO DELTA): adopt an EXISTING
+    * directory of parquet files as a txlog table IN PLACE — version 1
+    * references the files exactly where they already sit, so a 100 TB
+    * directory converts with zero bytes copied or rewritten (the migration
+    * path from a plain parquet lake). The commit records the directory's
+    * parquet schema; `statsCol` optionally computes per-file min/max in one
+    * column-pruned scan so file-scoped MERGE and data skipping work from
+    * the first post-convert query. After convert the directory IS the
+    * table: all verbs apply, and [[vacuum]] (which sweeps the whole table
+    * root, `_txlog` excluded) collects converted files once a later
+    * rewrite retires them past the retention/grace rules, like any other
+    * data file. Fails if the directory is already a txlog table or holds
+    * no parquet files. Returns 1, the created version. */
+  def convert(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None): Long = {
+    require(latestVersion(dir) == 0L,
+      s"$dir is already a txlog table (tip ${latestVersion(dir)})")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"convert target $dir is not a directory")
+    val files: Seq[String] = scala.util.Using.resource(Files.walk(root)) { s =>
+      s.iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_txlog"))
+        .toList.sorted
+    }
+    require(files.nonEmpty, s"convert target $dir holds no parquet files")
+    val schema = spark.read.parquet(files: _*).schema
+    // per-file stats keyed by DECODED absolute path (unlike stageFiles'
+    // fresh single dir, a pre-existing tree can repeat file names)
+    val cols: Seq[String] =
+      statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val stats: Map[String, Seq[(String, String, String)]] =
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.flatMap(k => Seq(
+          min(col(k)).cast("string").as(s"__mn_$k"),
+          max(col(k)).cast("string").as(s"__mx_$k")))
+        spark.read.parquet(files: _*)
+          .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
+          .groupBy("__fp").agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val abs = normalize(new java.net.URI(r.getString(0)).getPath)
+            abs -> cols.flatMap { k =>
+              (Option(r.getAs[String](s"__mn_$k")), Option(r.getAs[String](s"__mx_$k"))) match {
+                case (Some(mn), Some(mx)) => Some((k, mn, mx))
+                case _                    => None
+              }
+            }
+          }.toMap
+      }
+    val adds = files.map { p =>
+      val abs = normalize(p)
+      stats.getOrElse(abs, Seq.empty) match {
+        case Seq() => s"""{"add":{"path":${quote(abs)}}}"""
+        case entries =>
+          val body = entries.map { case (k, mn, mx) =>
+            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
+          }.mkString(",")
+          s"""{"add":{"path":${quote(abs)},"stats":[$body]}}"""
+      }
+    }
+    commit(dir, 1L, adds :+ schemaLine(schema.json), "convert")
+    1L
+  }
+
+  /** CHECK constraints — Delta's `ALTER TABLE ADD CONSTRAINT` discipline.
+    * A constraint is a row-level SQL predicate recorded in the log (name →
+    * expression, latest wins; checkpoints carry the set forward like txn
+    * watermarks); every data-adding write is enforced against the FULL
+    * current set before its commit publishes. SQL CHECK semantics: a row
+    * passes when the predicate is TRUE **or NULL** — only FALSE violates.
+    *
+    * ADD validates the EXISTING table first (one column-pruned scan): a
+    * constraint the current rows violate is refused, so a recorded
+    * constraint is always an invariant of the whole table, not just of
+    * future writes. Enforcement on writes reads the JUST-STAGED files (one
+    * cheap column-pruned scan of the new bytes, never the table) under the
+    * log schema — a write missing the constraint's column null-fills and
+    * passes, the same null semantics as SQL CHECK. Violation aborts BEFORE
+    * the commit: the staged files stay unreferenced (vacuum's, like any
+    * failed writer) and the table never sees the bad rows.
+    *
+    * Exemptions, by the same reasoning Delta applies: `delete` keeps a
+    * subset of rows that already passed; `optimize` is content-neutral;
+    * `restore` re-publishes rows that were valid under the constraints OF
+    * THEIR TIME (restoring past an ADD is possible and documented — the
+    * alternative, scanning the restored snapshot, is available by calling
+    * addConstraint again after the restore). */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprSql: String, maxRetries: Int = 16): Long = {
+    val pred = expr(exprSql) // malformed expressions fail HERE, loudly
+    var attempt = 0
+    while (true) {
+      val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (r.live.nonEmpty) {
+        val reader = r.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+        val bad = reader.parquet(r.live.keysIterator.toSeq: _*)
+          .where(!coalesce(pred, lit(true))).limit(1).count()
+        if (bad > 0) throw new ConstraintViolation(
+          s"cannot add CHECK constraint $name ($exprSql) on $table: existing rows violate it")
+      }
+      try {
+        commit(table, r.tip + 1, Seq(constraintLine(name, exprSql)), "addConstraint")
+        maybeCheckpoint(table, r.tip + 1)
+        return r.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"addConstraint lost $maxRetries version races on $table")
+        // re-validates against the fresh tip on retry — a concurrently
+        // appended row that violates must block the constraint
+      }
+    }
+    -1L
+  }
+
+  /** Drop a recorded CHECK constraint (a metadata commit; unknown names are
+    * a no-op commit so drops are idempotent). */
+  def dropConstraint(table: String, name: String, maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (true) {
+      val tip = latestVersion(table)
+      try {
+        commit(table, tip + 1,
+          Seq(s"""{"dropConstraint":{"name":${quote(name)}}}"""), "dropConstraint")
+        maybeCheckpoint(table, tip + 1)
+        return tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"dropConstraint lost $maxRetries version races on $table")
+      }
+    }
+    -1L
+  }
+
+  /** The table's current CHECK constraints, name → expression. */
+  def constraints(table: String): Map[String, String] =
+    replayAdds(table, Long.MaxValue, useCheckpoint = true).cons.toMap
+
+  /** Enforce `cons` against just-staged add-actions: ONE aggregate scan of
+    * the new files (pinned to the log schema so missing columns null-fill
+    * → pass), counting FALSE rows per constraint; any violation throws
+    * before the caller commits. O(staged bytes), never O(table). */
+  private def enforceConstraints(spark: SparkSession, addLines: Seq[String],
+      schemaJson: Option[String], cons: Map[String, String], op: String): Unit = {
+    if (cons.isEmpty) return
+    val files = addLines.flatMap(parseAction).collect { case ("add", p) => p }
+    if (files.isEmpty) return
+    val reader = schemaJson.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+    val df = reader.parquet(files: _*)
+    val names = cons.keys.toSeq
+    val aggs = names.map { n =>
+      sum(when(!coalesce(expr(cons(n)), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0L) throw new ConstraintViolation(
+        s"$op on ${files.size} staged file(s) violates CHECK constraint $n " +
+          s"(${cons(n)}): $bad row(s); nothing was committed")
+    }
+  }
+
   /** SHALLOW CLONE (Delta's CLONE): materialize `src`'s snapshot (optionally
     * at `asOf`) as the FIRST commit of a new table `dst` — pure O(files)
     * metadata, zero data bytes copied or rewritten. The clone re-records
@@ -939,7 +1152,8 @@ object TxLog {
           s"""{"add":{"path":${quote(abs)},"stats":[$body]}}"""
       }
     }
-    val schemaActs = r.schema.map(schemaLine).toSeq
+    val schemaActs = r.schema.map(schemaLine).toSeq ++
+      r.cons.map { case (n, e) => constraintLine(n, e) }.toSeq
     commit(dst, 1L, adds ++ schemaActs, "clone")
     1L
   }
@@ -1109,9 +1323,15 @@ object TxLog {
     if (lastTxnVersion(table, appId).exists(_ >= txnVersion)) return None
     val actions = stageFiles(df, table, statsCol) :+ txnLine(appId, txnVersion)
     var attempt = 0
+    var enforcedFor: Option[Map[String, String]] = None
     while (true) {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (r.txns.get(appId).exists(_ >= txnVersion)) return None
+      val cmap = r.cons.toMap
+      if (!enforcedFor.contains(cmap)) {
+        enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
+        enforcedFor = Some(cmap)
+      }
       try {
         commit(table, r.tip + 1, actions ++ schemaActions(r, df, mergeSchema, "append"), "append")
         maybeCheckpoint(table, r.tip + 1)
@@ -1189,14 +1409,20 @@ object TxLog {
     // union of live sets of every retained snapshot, normalized
     val keep = (keepFrom to tip).flatMap(v => snapshot(table, v).files)
       .map(normalize).toSet
-    val dataRoot = Paths.get(table, "data")
+    // the sweep walks the WHOLE table root (`_txlog` excluded — it never
+    // holds parquet), not just data/: a converted-in-place table's original
+    // files live outside data/ and must be collectible once a rewrite
+    // retires them; the keep-set and grace rules protect them identically
+    val dataRoot = Paths.get(table)
     if (!Files.isDirectory(dataRoot)) return 0L
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     var deleted = 0L
     scala.util.Using.resource(Files.walk(dataRoot)) { s =>
       s.iterator().asScala
         .filter { p =>
-          p.toString.endsWith(".parquet") && !keep.contains(normalize(p.toString)) &&
+          val sp = p.toString
+          sp.endsWith(".parquet") && !sp.contains("_txlog") &&
+            !keep.contains(normalize(sp)) &&
             (try Files.getLastModifiedTime(p).toMillis <= cutoff
              catch { case _: java.io.IOException => false }) // raced a delete: skip
         }
@@ -1306,6 +1532,24 @@ object TxLog {
         else Seq(schemaLine(
           org.apache.spark.sql.types.StructType(cur.fields ++ extras).json))
     }
+  }
+
+  private val ConstraintRe =
+    """\{"constraint":\{"name":"((?:[^"\\]|\\.)*)","expr":"((?:[^"\\]|\\.)*)"\}\}""".r
+  private val DropConstraintRe =
+    """\{"dropConstraint":\{"name":"((?:[^"\\]|\\.)*)"\}\}""".r
+
+  private def constraintLine(name: String, expr: String): String =
+    s"""{"constraint":{"name":${quote(name)},"expr":${quote(expr)}}}"""
+
+  private def parseConstraint(line: String): Option[(String, String)] = line match {
+    case ConstraintRe(n, e) => Some((unquote(n), unquote(e)))
+    case _                  => None
+  }
+
+  private def parseDropConstraint(line: String): Option[String] = line match {
+    case DropConstraintRe(n) => Some(unquote(n))
+    case _                   => None
   }
 
   private val TxnRe = """\{"txn":\{"app":"((?:[^"\\]|\\.)*)","version":(-?\d+)\}\}""".r

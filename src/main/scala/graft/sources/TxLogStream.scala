@@ -235,6 +235,9 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       // optimize commits rewrite bytes, not rows (dataChange=false):
       // skipping them is exact, never a caveat
       else if (c.op == "optimize") Seq.empty
+      // metadata-only commits (addConstraint/dropConstraint, schema-only,
+      // no-op restores) carry no rows by definition — skipping is exact
+      else if (c.added.isEmpty) Seq.empty
       else if (ignoreChanges) c.added
       else throw new IllegalStateException(
         s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +

@@ -216,6 +216,44 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TXLOG ADD/DROP CONSTRAINT runs end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("constraint")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+      s.sql(s"ALTER TXLOG '$t' ADD CONSTRAINT k_pos CHECK (k > 0)")
+      assert(TxLog.constraints(t) == Map("k_pos" -> "k > 0"))
+      intercept[Exception](TxLog.append(Seq((-1L, "bad")).toDF("k", "v"), t))
+      // the CHECK body is free SQL — parens and functions inside survive
+      s.sql(s"ALTER TXLOG '$t' ADD CONSTRAINT v_len CHECK (length(v) <= (1 + 3))")
+      assert(TxLog.constraints(t).contains("v_len"))
+      s.sql(s"ALTER TXLOG '$t' DROP CONSTRAINT k_pos")
+      assert(TxLog.constraints(t) == Map("v_len" -> "length(v) <= (1 + 3)"))
+      TxLog.append(Seq((-1L, "ok")).toDF("k", "v"), t)
+      // parse shapes; ALTER on a non-TXLOG table falls through to Spark
+      assert(TxLogSql.parse("alter txlog '/t' add constraint c check (a > 0);") ==
+        Some(AddConstraintTxLogCommand("/t", "c", "a > 0")))
+      assert(TxLogSql.parse("ALTER TXLOG '/t' DROP CONSTRAINT c") ==
+        Some(DropConstraintTxLogCommand("/t", "c")))
+      assert(TxLogSql.parse("ALTER TABLE plain ADD COLUMN x INT") == None)
+    }
+  }
+
+  test("CONVERT TO TXLOG runs end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("txsql_convert").resolve("t").toString
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(2).write.parquet(dir)
+      val out = s.sql(s"CONVERT TO TXLOG '$dir' STATS k").collect().head
+      assert(out.getLong(0) == 1L && out.getInt(1) == 2)
+      assert(s.sql(s"SELECT k FROM txlog.`$dir` ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(TxLogSql.parse("convert to txlog '/d' stats k,ts;") ==
+        Some(ConvertTxLogCommand("/d", Some("k,ts"))))
+      assert(TxLogSql.parse("CONVERT TO PARQUET '/d'") == None)
+    }
+  }
+
   test("CLONE TXLOG runs end-to-end through spark.sql") {
     withExtSession { s =>
       import s.implicits._

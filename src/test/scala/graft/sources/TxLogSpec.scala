@@ -691,6 +691,97 @@ class TxLogSpec extends SparkSpec {
       Set((1L, "a", None), (2L, "b", Some(7L))))
   }
 
+  test("CHECK constraints: writes enforced, nulls pass, add validates existing data") {
+    import spark.implicits._
+    val t = freshTable("check")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // a constraint the existing rows violate is refused — a recorded
+    // constraint is an invariant of the WHOLE table
+    intercept[TxLog.ConstraintViolation](
+      TxLog.addConstraint(spark, t, "k_big", "k > 100"))
+    assert(TxLog.constraints(t).isEmpty)
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0")
+    assert(TxLog.constraints(t) == Map("k_pos" -> "k > 0"))
+    // a violating append aborts BEFORE the commit: same version, same rows
+    val tipBefore = TxLog.latestVersion(t)
+    intercept[TxLog.ConstraintViolation](
+      TxLog.append(Seq((-1L, "bad")).toDF("k", "v"), t))
+    assert(TxLog.latestVersion(t) == tipBefore)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    // SQL CHECK null rule: a NULL predicate passes (null k here)
+    TxLog.append(Seq((Option.empty[Long], "n")).toDF("k", "v"), t)
+    // a write MISSING the constraint column null-fills and passes
+    TxLog.append(Seq(Tuple1("only_v")).toDF("v"), t)
+    // merge enforcement: violating updates abort, valid ones land
+    intercept[TxLog.ConstraintViolation](
+      TxLog.merge(Seq((-5L, "upd")).toDF("k", "v"), t, "k"))
+    TxLog.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), t, "k")
+    assert(TxLog.snapshot(t).read(spark).where(col("k") === 2L)
+      .collect().head.getString(1) == "B")
+    // drop restores writability; drops are idempotent
+    TxLog.dropConstraint(t, "k_pos")
+    TxLog.dropConstraint(t, "k_pos")
+    TxLog.append(Seq((-1L, "now ok")).toDF("k", "v"), t)
+    assert(TxLog.constraints(t).isEmpty)
+  }
+
+  test("constraints survive checkpoint compaction and ride along on clone") {
+    import spark.implicits._
+    val t = freshTable("check_ckpt")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0")
+    // push the log well past a checkpoint boundary
+    for (i <- 2L to 12L) TxLog.append(Seq((i, s"v$i")).toDF("k", "v"), t)
+    assert(TxLog.latestCheckpointVersion(t).exists(_ >= 10L),
+      "test precondition: a checkpoint must exist above the constraint commit")
+    // enforcement still fires from the compacted log
+    intercept[TxLog.ConstraintViolation](
+      TxLog.append(Seq((0L, "zero")).toDF("k", "v"), t))
+    // a tailing change feed is not broken by the metadata-only commit
+    assert(TxLog.readChanges(spark, t, 0L).count() == 12L)
+    // the clone inherits the constraint set
+    val dst = freshTable("check_clone")
+    TxLog.clone(t, dst)
+    assert(TxLog.constraints(dst) == Map("k_pos" -> "k > 0"))
+    intercept[TxLog.ConstraintViolation](
+      TxLog.append(Seq((-1L, "bad")).toDF("k", "v"), dst))
+  }
+
+  test("convert adopts a plain parquet directory in place; vacuum collects retired originals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txconvert").resolve("t").toString
+    (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4).write.parquet(dir)
+    import scala.jdk.CollectionConverters._
+    val origFiles: List[String] =
+      scala.util.Using.resource(Files.list(Paths.get(dir))) { s =>
+        s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      }
+    assert(origFiles.size == 4, "test precondition")
+    assert(TxLog.convert(spark, dir, statsCol = Some("k")) == 1L)
+    // zero-copy: the snapshot references the ORIGINAL files where they sit
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet ==
+      origFiles.map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet)
+    assert(snap.read(spark).count() == 40L)
+    // recorded stats make the converted table skippable immediately
+    assert(TxLog.prunedFiles(spark, dir, "k", 1L, 1L).size < 4)
+    // the directory is now a full table: merge works file-scoped
+    TxLog.merge(Seq((1L, "UPD")).toDF("k", "v"), dir, "k")
+    assert(TxLog.snapshot(dir).read(spark).where(col("k") === 1L)
+      .collect().head.getString(1) == "UPD")
+    // double-convert refused
+    intercept[IllegalArgumentException](TxLog.convert(spark, dir))
+    // after a full overwrite the ORIGINAL root-level files are unreferenced;
+    // vacuum's root walk (not just data/) collects them, grace respected
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), dir)
+    assert(TxLog.vacuum(dir, retainVersions = 0L, graceMs = Long.MaxValue / 2) == 0L,
+      "inside the grace window nothing is deleted")
+    val deleted = TxLog.vacuum(dir, retainVersions = 0L, graceMs = 0L)
+    assert(deleted >= 4L, s"expected the retired originals collected, got $deleted")
+    assert(TxLog.snapshot(dir).read(spark).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)
