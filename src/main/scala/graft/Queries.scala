@@ -679,6 +679,68 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""))
 
+  // CONVERT TO TXLOG at the gate: a plain parquet directory (an orders
+  // slice) adopted IN PLACE — no byte copied — with per-file stats computed
+  // at convert time, then exercised as a full table by a file-scoped DELETE
+  // before the read-back. The oracle is the equivalent relational filter.
+  private val acidConvert = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_convert", d)
+      deleteRecursively(tbl)
+      orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4).write.parquet(tbl)
+      graft.sources.TxLog.convert(s, tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.delete(s, tbl, col("o_custkey") % 10 === 3,
+        statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 7 = 0 AND o_custkey % 10 <> 3
+            ORDER BY o_orderkey"""))
+
+  // SHALLOW CLONE at the gate: clone the table AS OF its first commit
+  // (zero-copy metadata), then diverge the clone with an append — the read
+  // proves the clone serves the historical file set plus its own writes
+  // while the source's later overwrite stays invisible to it.
+  private val acidClone = Q(
+    (s, d) => {
+      val src = scratchDir("acid_clone_src", d)
+      val dst = scratchDir("acid_clone_dst", d)
+      deleteRecursively(src); deleteRecursively(dst)
+      val base = orders(s, d).filter(col("o_orderkey") % 10 < 5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(base, src, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.overwrite(base.limit(1), src)
+      graft.sources.TxLog.clone(src, dst, asOf = 1L)
+      val extra = orders(s, d).filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(extra, dst)
+      graft.sources.TxLog.snapshot(dst).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 7
+            ORDER BY o_orderkey"""))
+
+  // TIMESTAMP AS OF at the gate: resolve the pre-overwrite state by the
+  // first commit's recorded wall-clock (in-commit timestamps, W16) through
+  // the public reader — the oracle is the v1 relational state, same as
+  // version travel but resolved by TIME.
+  private val acidTimestampTravel = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_ts_tt", d)
+      deleteRecursively(tbl)
+      val base = orders(s, d).filter(col("o_orderkey") % 10 < 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(base, tbl)
+      graft.sources.TxLog.overwrite(base.limit(1), tbl)
+      val t1 = graft.sources.TxLog.history(tbl).minBy(_.version).committedAtMs
+      s.read.format("txlog").option("timestampAsOf", t1.toString).load(tbl)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -1209,6 +1271,9 @@ object RelationalQueries {
     "acid_cdf" -> acidCdf,
     "acid_schema_evolution" -> acidSchemaEvolution,
     "acid_delete" -> acidDelete,
+    "acid_convert" -> acidConvert,
+    "acid_clone" -> acidClone,
+    "acid_timestamp_travel" -> acidTimestampTravel,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,
