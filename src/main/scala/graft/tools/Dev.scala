@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev txpipe <sfDir> [chunks] — exactly-once txlog table→table pipeline timing
   *   runMain graft.tools.Dev prune <sfDir> [files] — data-skipping A/B: snapshot scan vs readPruned
   *   runMain graft.tools.Dev media [families] — multimodal ingest→dedup stage over generated files
+  *   runMain graft.tools.Dev lakehouse [sfDir] — recorded end-to-end run of the lakehouse verbs
   */
 
 /** Replayed events row for the `stream` subcommand's MemoryStream (field
@@ -541,6 +542,91 @@ object Dev {
             f"format(txlog) $tPub%.2f s, rows $full/$pruned/$pub " +
             s"equal=${full == pruned && pruned == pub}")
         }
+
+      case "lakehouse" :: rest =>
+        // End-to-end recorded run of the round-12 lakehouse verbs at scale,
+        // for BASELINE.md: convert-in-place → constraint add (existing-data
+        // validation) → clustered public-writer append → point MERGE →
+        // file-scoped DELETE → constraint rejection → OPTIMIZE → shallow
+        // CLONE → timestamp travel → vacuum. One summary line per step.
+        import org.apache.spark.sql.functions._
+        val d = rest.headOption.getOrElse("/root/repo/target/sf1")
+        val root = java.nio.file.Files.createTempDirectory("devlake")
+        val t = root.resolve("t").toString
+        val dst = root.resolve("clone").toString
+        val src = spark.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val srcRows = src.count()
+        src.repartition(8).write.parquet(t)
+        def step(name: String)(f: => String): Unit = {
+          val t0 = System.nanoTime()
+          val detail = f
+          println(f"LAKE $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  $detail")
+        }
+        step("convert") {
+          graft.sources.TxLog.convert(spark, t, statsCol = Some("o_orderkey"))
+          s"adopted ${graft.sources.TxLog.snapshot(t).files.size} files in place, $srcRows rows"
+        }
+        step("add-constraint") {
+          graft.sources.TxLog.addConstraint(spark, t, "price_nonneg", "o_totalprice >= 0")
+          "validated all existing rows, recorded price_nonneg"
+        }
+        step("clustered-append") {
+          src.limit(100000)
+            .select((col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"))
+            .write.format("txlog")
+            .option("clusterBy", "o_orderkey").option("clusterFiles", "8")
+            .mode("append").save(t)
+          "100k re-keyed rows via the public writer, 8 range-disjoint files"
+        }
+        step("point-merge") {
+          import spark.implicits._
+          val k = src.agg(min("o_orderkey")).head.getLong(0)
+          val before = graft.sources.TxLog.snapshot(t).files.toSet
+          graft.sources.TxLog.merge(
+            Seq((k, 0L, 1.0)).toDF("o_orderkey", "o_custkey", "o_totalprice"), t, "o_orderkey")
+          val after = graft.sources.TxLog.snapshot(t).files.toSet
+          s"1-row upsert rewrote ${(before -- after).size} of ${before.size} files"
+        }
+        step("ranged-delete") {
+          val qs = src.stat.approxQuantile("o_orderkey", Array(0.50, 0.505), 0.0)
+          val before = graft.sources.TxLog.snapshot(t).files.toSet
+          graft.sources.TxLog.delete(spark, t,
+            col("o_orderkey") >= qs(0).toLong && col("o_orderkey") <= qs(1).toLong,
+            statsCol = Some("o_orderkey"))
+          val after = graft.sources.TxLog.snapshot(t).files.toSet
+          s"~0.5%% key band removed, rewrote ${(before -- after).size} files"
+        }
+        step("reject-violation") {
+          import spark.implicits._
+          val tip = graft.sources.TxLog.latestVersion(t)
+          val caught =
+            try { graft.sources.TxLog.append(
+              Seq((1L, 1L, -5.0)).toDF("o_orderkey", "o_custkey", "o_totalprice"), t); false }
+            catch { case _: graft.sources.TxLog.ConstraintViolation => true }
+          s"violating append refused=$caught, tip unchanged=${graft.sources.TxLog.latestVersion(t) == tip}"
+        }
+        step("optimize") {
+          val before = graft.sources.TxLog.snapshot(t).files.size
+          graft.sources.TxLog.optimize(spark, t, targetBytes = 32L * 1024 * 1024,
+            statsCol = Some("o_orderkey"))
+          s"$before → ${graft.sources.TxLog.snapshot(t).files.size} files"
+        }
+        step("shallow-clone") {
+          graft.sources.TxLog.clone(t, dst)
+          val copied = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst, "data"))
+          s"${graft.sources.TxLog.snapshot(dst).files.size} files referenced, data bytes copied=$copied"
+        }
+        step("timestamp-travel") {
+          val ts1 = graft.sources.TxLog.history(t).minBy(_.version).committedAtMs
+          val n = graft.sources.TxLog.snapshotAsOfTimestamp(t, ts1).read(spark).count()
+          s"as-of first commit reads $n rows (expected $srcRows): ${n == srcRows}"
+        }
+        step("vacuum") {
+          s"${graft.sources.TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)} unreferenced files collected"
+        }
+        println(s"LAKE table=$t history=${graft.sources.TxLog.history(t).map(_.op).reverse.mkString("→")}")
 
       case "ivfsplit" :: rest =>
         // Fit/probe attribution for the trained-IVF path: the catalog's
