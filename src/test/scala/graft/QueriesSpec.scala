@@ -82,4 +82,46 @@ class QueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
+
+  test("sql_tpch_q6 is a pure scan-side plan: every predicate pushed, no join") {
+    val qe = SparkEntry.queries("sql_tpch_q6")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    // the discount band and quantity cap must reach the parquet scan so
+    // row-group stats prune at the storage layer — the query's whole point
+    // (read from the scan node's metadata: the plan STRING elides long
+    // PushedFilters lists)
+    // sparkPlan, not executedPlan: AQE wraps the tree in an
+    // AdaptiveSparkPlanExec leaf that collectLeaves cannot see through
+    val pushed = qe.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString
+    Seq("GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)", "GreaterThanOrEqual(l_shipdate").foreach { p =>
+      assert(pushed.contains(p), s"$p not pushed; PushedFilters=$pushed")
+    }
+    assert(!plan.contains("Join"), s"q6 must not join:\n$plan")
+    // one global aggregate: partial + final HashAggregate, nothing else wide
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
+  test("sql_tpch_q1 aggregates partial-then-final with the date filter pushed") {
+    val plan = SparkEntry.queries("sql_tpch_q1")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate filter not at the scan:\n$plan")
+    // two-phase aggregation: shuffle volume is |groups|, not |rows|
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
+  test("text_ttr is a shuffle-free expression pass (sort excepted)") {
+    val plan = SparkEntry.queries("text_ttr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the final ORDER BY's range partitioning — the
+    // scoring itself must not shuffle or explode
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected only the sort exchange:\n$plan")
+    assert(!plan.contains("Generate"), s"ttr must not explode tokens:\n$plan")
+  }
 }
