@@ -734,6 +734,11 @@ object TxLog {
     * always takes the conservative serializable path. `statsCol` re-records
     * per-file min/max on the rewritten output so merges/pruned reads keep
     * pruning against post-delete files. Returns the committed version. */
+  /** Candidate-file count of the last delete's touch scan (test/diagnostic
+    * instrumentation for the phase-0 log-stats prune). -1 = no delete ran. */
+  private[graft] val deleteCandidateFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def delete(spark: SparkSession, table: String, predicate: Column,
       statsCol: Option[String] = None, maxRetries: Int = 16): Long = {
     var attempt = 0
@@ -742,8 +747,35 @@ object TxLog {
       if (replay.live.isEmpty) return replay.tip
       val live = replay.live.keysIterator.toSeq
       val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-      val byAbs = live.map(p => normalize(p) -> p).toMap
-      val touched: Seq[String] = reader.parquet(live: _*)
+      // phase 0: log-stats candidate prune (zero data I/O) — resolve the
+      // predicate against the table schema, then test it per file against
+      // the recorded [min,max] envelopes with the SAME conservative
+      // three-valued logic the public reader's FileIndex skips with. A file
+      // whose stats provably exclude every predicate-TRUE row cannot be
+      // touched, so it never even reaches the touch scan — at 100k files a
+      // range delete stops paying per-file open/footer cost for the 99%
+      // of the table it cannot affect. Anything unprovable (no stats,
+      // unrecognized shapes, unparsable strings) stays a candidate.
+      val resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        try {
+          reader.parquet(live: _*).where(predicate)
+            .queryExecution.analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+            }
+        } catch { case _: Exception => None }
+      val tzId = spark.sessionState.conf.sessionLocalTimeZone
+      val candidates: Seq[String] = resolvedCond match {
+        case Some(cond) => live.filter { p =>
+          val stats = parseStatsAll(replay.live(p))
+            .map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+          StatsSkipping.mayContain(stats, cond, tzId)
+        }
+        case None => live
+      }
+      deleteCandidateFiles.set(candidates.size)
+      if (candidates.isEmpty) return replay.tip
+      val byAbs = candidates.map(p => normalize(p) -> p).toMap
+      val touched: Seq[String] = reader.parquet(candidates: _*)
         .where(predicate)
         .select(col("_metadata.file_path").as("__fp")).distinct()
         .collect()

@@ -211,11 +211,24 @@ class TxLogFileIndex(spark: SparkSession, table: String,
 
   override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
 
-  /** May a file with these stats contain a row satisfying `e`? Conservative
-    * three-valued logic: an unrecognized shape, a column without stats, or
-    * an unparsable stat answers TRUE (keep). */
-  private def mayContain(stats: Map[String, (String, String)], e: Expression): Boolean = {
-    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+  private def mayContain(stats: Map[String, (String, String)], e: Expression): Boolean =
+    StatsSkipping.mayContain(stats, e,
+      spark.sessionState.conf.sessionLocalTimeZone)
+}
+
+/** The shared three-valued stats test behind every log-stats skipping site
+  * (the public reader's FileIndex and DELETE's candidate prune): may a file
+  * whose recorded per-column [min,max] is `stats` contain a row satisfying
+  * `e`? Conservative by construction — an unrecognized expression shape, a
+  * column without stats, or an unparsable stat answers TRUE (keep), so
+  * skipping can only ever save I/O, never change an answer. Stat strings
+  * re-parse with TRY casts in the given session timezone (the discipline
+  * stageFiles wrote them under). */
+private[sources] object StatsSkipping {
+
+  def mayContain(stats: Map[String, (String, String)], e: Expression,
+      tzId: String): Boolean = {
+    val tz = Some(tzId)
     // stat-string vs literal comparison in the literal's own type; a cast
     // that fails (TRY → null) or a non-boolean eval keeps the file
     def cmp(mk: (Expression, Expression) => Expression, stat: String, lit: Literal): Boolean =
@@ -226,9 +239,9 @@ class TxLogFileIndex(spark: SparkSession, table: String,
     def range(a: Attribute): Option[(String, String)] =
       stats.get(a.name).orElse(
         stats.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v })
-    e match {
-      case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
-      case Or(l, r)  => mayContain(stats, l) || mayContain(stats, r)
+    def rec(e: Expression): Boolean = e match {
+      case And(l, r) => rec(l) && rec(r)
+      case Or(l, r)  => rec(l) || rec(r)
       case EqualTo(a: Attribute, l: Literal) => eqKeep(range(a), l, cmp)
       case EqualTo(l: Literal, a: Attribute) => eqKeep(range(a), l, cmp)
       case EqualNullSafe(a: Attribute, l: Literal) if l.value != null => eqKeep(range(a), l, cmp)
@@ -253,6 +266,7 @@ class TxLogFileIndex(spark: SparkSession, table: String,
         vs.exists(v => eqKeep(range(a), v.asInstanceOf[Literal], cmp))
       case _ => true
     }
+    rec(e)
   }
 
   private def eqKeep(r: Option[(String, String)], l: Literal,

@@ -48,6 +48,12 @@ class TxChaosSpec extends SparkSpec {
             Seq(b -> s"t${i}B", (b + 2) -> s"t${i}n").toDF("k", "v"), t, "k"))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
+          // thread 1 races a CHECK constraint into the middle of the storm:
+          // every thread's keys satisfy it, so the final state is unchanged,
+          // but every concurrent write now pays (and must survive) the
+          // staged-bytes enforcement scan, and merges racing the constraint
+          // commit must refuse disjoint admission and re-derive
+          if (i == 1) committed.add(TxLog.addConstraint(spark, t, "nonneg", "k >= 0"))
           committed.add(TxLog.append(
             Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
           committed.add(TxLog.merge(
@@ -59,6 +65,7 @@ class TxChaosSpec extends SparkSpec {
             statsCol = Some("k")))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
+          if (i == 1) committed.add(TxLog.dropConstraint(t, "nonneg"))
         } catch { case e: Throwable => errors.add(e) }
       })
     }

@@ -691,6 +691,28 @@ class TxLogSpec extends SparkSpec {
       Set((1L, "a", None), (2L, "b", Some(7L))))
   }
 
+  test("delete's phase-0 prune keeps the touch scan off provably-excluded files") {
+    import spark.implicits._
+    val t = freshTable("del_prune")
+    // four range-disjoint stat files + one opaque (stats-less) file
+    for (slice <- 0 until 4)
+      TxLog.append((0 until 10).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.append(Seq((55L, "opaque")).toDF("k", "v").repartition(1), t)
+    // a narrow band inside slice 1: candidates = that file + the opaque one
+    TxLog.delete(spark, t, col("k") >= 100L && col("k") <= 104L,
+      statsCol = Some("k"))
+    assert(TxLog.deleteCandidateFiles.get == 2L,
+      s"expected 2 candidates (1 stats hit + 1 opaque), got ${TxLog.deleteCandidateFiles.get}")
+    assert(TxLog.snapshot(t).read(spark).count() == 36L)
+    // a band no stats file can hold: only the opaque file is scanned
+    TxLog.delete(spark, t, col("k") === 5555L)
+    assert(TxLog.deleteCandidateFiles.get == 1L)
+    // an unrecognized predicate shape conservatively keeps every file
+    TxLog.delete(spark, t, col("k") % 1000L === 777L)
+    assert(TxLog.deleteCandidateFiles.get == TxLog.snapshot(t).files.size.toLong)
+  }
+
   test("CHECK constraints: writes enforced, nulls pass, add validates existing data") {
     import spark.implicits._
     val t = freshTable("check")
