@@ -741,6 +741,29 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""))
 
+  // Clustered ingest + skipping read at the gate (W18): the public writer
+  // range-clusters orders on the key into 8 range-disjoint files (cluster
+  // stats auto-recorded), then a mid-range read through the public reader
+  // data-skips to the files whose envelopes intersect — the write-side half
+  // of data skipping, gated end to end. Oracle = the plain relational range.
+  private val acidClusteredScan = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_cluster", d)
+      deleteRecursively(tbl)
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("txlog")
+        .option("clusterBy", "o_orderkey").option("clusterFiles", "8")
+        .mode("append").save(tbl)
+      val mx = orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      s.read.format("txlog").load(tbl)
+        .filter(col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx / 2)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey >= (SELECT max(o_orderkey) FROM orders) // 4
+              AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 2
+            ORDER BY o_orderkey"""))
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
@@ -1274,6 +1297,7 @@ object RelationalQueries {
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,
     "acid_timestamp_travel" -> acidTimestampTravel,
+    "acid_clustered_scan" -> acidClusteredScan,
     "layout_zorder" -> layoutZorder,
     "join_outer" -> joinOuter,
     "unpivot_long" -> unpivotLong,

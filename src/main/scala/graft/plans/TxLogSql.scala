@@ -259,7 +259,8 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("last_commit_at", TimestampType, nullable = true)(),
     AttributeReference("checkpoint_version", LongType, nullable = true)(),
-    AttributeReference("schema_ddl", StringType, nullable = true)())
+    AttributeReference("schema_ddl", StringType, nullable = true)(),
+    AttributeReference("constraints", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = TxLog.snapshot(table)
@@ -268,6 +269,7 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
       catch { case _: java.io.IOException => 0L }
     }.sum
     val hist = TxLog.history(table)
+    val cons = TxLog.constraints(table)
     Seq(Row(
       table,
       snap.version,
@@ -276,7 +278,10 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
       hist.headOption.map(c => new java.sql.Timestamp(c.committedAtMs)).orNull,
       TxLog.latestCheckpointVersion(table).map(Long.box).orNull,
       snap.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType].toDDL).orNull))
+        .asInstanceOf[StructType].toDDL).orNull,
+      if (cons.isEmpty) null
+      else cons.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
   }
 }
 

@@ -186,6 +186,10 @@ class TxLogSqlSpec extends SparkSpec {
       assert(r.getLong(3) > 0L, "size_bytes")
       assert(r.getTimestamp(4) != null, "last_commit_at")
       assert(r.getString(6).contains("k BIGINT"), s"schema_ddl: ${r.getString(6)}")
+      assert(r.isNullAt(7), "no constraints yet")
+      TxLog.addConstraint(s, t, "k_pos", "k > 0")
+      val r2 = s.sql(s"DESCRIBE DETAIL TXLOG '$t'").collect().head
+      assert(r2.getString(7) == "k_pos CHECK (k > 0)", s"constraints: ${r2.getString(7)}")
       // statement-shape parse checks
       assert(TxLogSql.parse("describe detail txlog '/t';") ==
         Some(DescribeDetailTxLogCommand("/t")))
