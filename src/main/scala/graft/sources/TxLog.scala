@@ -1138,7 +1138,17 @@ object TxLog {
     val aggs = names.map { n =>
       sum(when(!coalesce(expr(cons(n)), lit(true)), 1L).otherwise(0L)).as(n)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // a constraint referencing a column this write's schema DROPS cannot be
+    // evaluated — refuse loudly (Delta's rule: drop the constraint before
+    // dropping its column) instead of surfacing a raw analysis error
+    val row = try df.agg(aggs.head, aggs.tail: _*).collect().head
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new ConstraintViolation(
+          s"$op cannot be checked against the table's CHECK constraints " +
+            s"(${cons.map { case (n, x) => s"$n: $x" }.mkString("; ")}) — a " +
+            s"constraint references a column absent from this write's schema; " +
+            s"drop the constraint first (${e.getMessage.linesIterator.take(1).mkString})")
+      }
     names.zipWithIndex.foreach { case (n, i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0L) throw new ConstraintViolation(

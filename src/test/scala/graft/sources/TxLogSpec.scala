@@ -740,6 +740,10 @@ class TxLogSpec extends SparkSpec {
     TxLog.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), t, "k")
     assert(TxLog.snapshot(t).read(spark).where(col("k") === 2L)
       .collect().head.getString(1) == "B")
+    // an overwrite whose new schema DROPS the constraint column is refused
+    // (drop the constraint before dropping its column — Delta's rule)
+    intercept[TxLog.ConstraintViolation](
+      TxLog.overwrite(Seq(Tuple1("v_only")).toDF("v"), t))
     // drop restores writability; drops are idempotent
     TxLog.dropConstraint(t, "k_pos")
     TxLog.dropConstraint(t, "k_pos")
