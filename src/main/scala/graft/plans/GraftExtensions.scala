@@ -41,9 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `<registered-source>.`path`` reference and hard-fails on V1 providers
     // ("unsupported data source type for direct query") before appended
     // resolution rules ever see the node — resolving the leaf one batch
-    // earlier is the sanctioned way around it. The rule touches nothing but
-    // the exact two-part `txlog` head, so no hint or standard name changes
-    // meaning.
+    // earlier is the sanctioned way around it. Because this slot runs
+    // BEFORE catalog resolution, the rule guards itself: it only fires on
+    // the exact `txlog` head with a PATH-SHAPED second part (contains `/`),
+    // so a real database named txlog keeps resolving its tables normally.
     ext.injectHintResolutionRule(session => ResolveTxLogRelation(session))
   }
 }

@@ -263,24 +263,22 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
     AttributeReference("constraints", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val snap = TxLog.snapshot(table)
-    val bytes = snap.files.map { p =>
+    val d = TxLog.describeDetail(table)
+    val bytes = d.files.map { p =>
       try java.nio.file.Files.size(java.nio.file.Paths.get(p))
       catch { case _: java.io.IOException => 0L }
     }.sum
-    val hist = TxLog.history(table)
-    val cons = TxLog.constraints(table)
     Seq(Row(
       table,
-      snap.version,
-      snap.files.size,
+      d.version,
+      d.files.size,
       bytes,
-      hist.headOption.map(c => new java.sql.Timestamp(c.committedAtMs)).orNull,
-      TxLog.latestCheckpointVersion(table).map(Long.box).orNull,
-      snap.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      d.lastCommitAtMs.map(new java.sql.Timestamp(_)).orNull,
+      d.checkpointVersion.map(Long.box).orNull,
+      d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType].toDDL).orNull,
-      if (cons.isEmpty) null
-      else cons.toSeq.sortBy(_._1)
+      if (d.constraints.isEmpty) null
+      else d.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
   }
 }
@@ -306,9 +304,13 @@ case class DescribeHistoryTxLogCommand(table: String) extends LeafRunnableComman
   * stats-skipping parquet relation the `format("txlog")` reader builds, so
   * pushdown/pruning/codegen are identical. Time travel rides a version
   * suffix: `txlog.`/data/tbl@v3`` reads version 3. The rule only fires on
-  * the two-part identifier whose head is exactly `txlog`, inside the
-  * analyzer's resolution fixed point — temp views and real catalog tables
-  * resolve first by Spark's own rules, so nothing standard is shadowed. */
+  * the two-part identifier whose head is exactly `txlog` AND whose second
+  * part is path-shaped (contains a `/`). The rule runs in the analyzer's
+  * pre-resolution hint slot (it must — see GraftExtensions), so the
+  * path-shape guard is what protects a real catalog database named
+  * `txlog`: `txlog.sometable` has no slash and falls through to Spark's
+  * own resolution untouched, while no filesystem table path is ever
+  * slash-free. */
 case class ResolveTxLogRelation(spark: SparkSession)
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
 
@@ -317,7 +319,8 @@ case class ResolveTxLogRelation(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("txlog") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
+          u.multipartIdentifier(1).contains("/") =>
       val params = u.multipartIdentifier(1) match {
         case Versioned(path, v) => Map("path" -> path, "versionAsOf" -> v)
         case path               => Map("path" -> path)

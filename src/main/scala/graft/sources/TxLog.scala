@@ -482,8 +482,11 @@ object TxLog {
       val cmap = r0.cons.toMap
       if (!enforcedFor.contains(cmap)) {
         // an overwrite ADOPTS the writer's schema, so enforcement reads the
-        // staged files under it (a constraint on a column the new schema
-        // drops null-fills and passes — SQL CHECK's null rule)
+        // staged files under it — and a constraint referencing a column the
+        // new schema DROPS is therefore unevaluable and REFUSED by
+        // enforceConstraints (drop the constraint before dropping its
+        // column), unlike an append, whose missing columns still exist in
+        // the table schema and null-fill to a pass
         enforceConstraints(df.sparkSession, adds, Some(df.schema.json), cmap, "overwrite")
         enforcedFor = Some(cmap)
       }
@@ -823,11 +826,13 @@ object TxLog {
       includeRewrites: Boolean = false): DataFrame = {
     val cs = changes(table, fromExclusive, toInclusive).filter { c =>
       c.op match {
-        case "append"                 => true
-        case "optimize"               => false
-        // metadata-only commits (constraints, schema-only, no-op restores)
-        // add no files — nothing to emit, skipping is exact
-        case _ if c.added.isEmpty     => false
+        case "append"   => true
+        case "optimize" => false
+        // metadata-only OPS add no rows by definition — skipping is exact.
+        // Deliberately op-based, NOT `added.isEmpty`: a remove-only rewrite
+        // (e.g. a restore that truncates the table) DOES change rows and
+        // must keep failing loudly below, not silently vanish from the feed
+        case "addConstraint" | "dropConstraint" => false
         case other =>
           if (includeRewrites) true
           else throw new IllegalStateException(
@@ -1000,10 +1005,21 @@ object TxLog {
       s"$dir is already a txlog table (tip ${latestVersion(dir)})")
     val root = Paths.get(dir)
     require(Files.isDirectory(root), s"convert target $dir is not a directory")
+    // hidden-path discipline: Spark's own file index ignores any path with
+    // a component starting with `_` or `.` (committer litter like
+    // _temporary/attempt-*/part-*.parquet, _SUCCESS, dot-files) — convert
+    // must apply the SAME rule, or a directory holding a crashed write's
+    // half-duplicates would be adopted with double-counted rows a plain
+    // spark.read.parquet of the directory never sees
+    def visible(p: Path): Boolean =
+      root.relativize(p).iterator().asScala.forall { seg =>
+        val s = seg.toString
+        !s.startsWith("_") && !s.startsWith(".")
+      }
     val files: Seq[String] = scala.util.Using.resource(Files.walk(root)) { s =>
-      s.iterator().asScala.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_txlog"))
-        .toList.sorted
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && visible(p))
+        .map(_.toString).toList.sorted
     }
     require(files.nonEmpty, s"convert target $dir holds no parquet files")
     val schema = spark.read.parquet(files: _*).schema
@@ -1122,6 +1138,20 @@ object TxLog {
   /** The table's current CHECK constraints, name → expression. */
   def constraints(table: String): Map[String, String] =
     replayAdds(table, Long.MaxValue, useCheckpoint = true).cons.toMap
+
+  /** One-row table summary for DESCRIBE DETAIL — everything from a SINGLE
+    * checkpointed replay plus one tip-meta read and the pointer lookup (the
+    * command previously paid four separate log replays/listings). */
+  final case class TableDetail(version: Long, files: Seq[String],
+      schemaJson: Option[String], constraints: Map[String, String],
+      lastCommitAtMs: Option[Long], checkpointVersion: Option[Long])
+
+  def describeDetail(table: String): TableDetail = {
+    val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    TableDetail(r.tip, r.live.keysIterator.toSeq, r.schema, r.cons.toMap,
+      if (r.tip >= 1) Some(commitTs(table, r.tip)).filter(_ != Long.MinValue) else None,
+      latestCheckpointVersion(table))
+  }
 
   /** Enforce `cons` against just-staged add-actions: ONE aggregate scan of
     * the new files (pinned to the log schema so missing columns null-fill
@@ -1451,20 +1481,28 @@ object TxLog {
     // union of live sets of every retained snapshot, normalized
     val keep = (keepFrom to tip).flatMap(v => snapshot(table, v).files)
       .map(normalize).toSet
-    // the sweep walks the WHOLE table root (`_txlog` excluded — it never
-    // holds parquet), not just data/: a converted-in-place table's original
-    // files live outside data/ and must be collectible once a rewrite
-    // retires them; the keep-set and grace rules protect them identically
-    val dataRoot = Paths.get(table)
+    // sweep scope: CONVERTed tables (version 1's op is "convert") own their
+    // WHOLE root — the adopted originals live outside data/ and must be
+    // collectible once a rewrite retires them. Every other table sweeps
+    // only its own data/ area, so a table rooted in a directory that also
+    // holds unrelated parquet (never referenced by the log) can never have
+    // vacuum delete a foreigner. `_txlog` is excluded by path prefix, not
+    // substring — a table path CONTAINING "_txlog" must still vacuum.
+    val converted = Files.exists(versionPath(table, 1L)) && {
+      Files.readAllLines(versionPath(table, 1L), StandardCharsets.UTF_8).asScala
+        .iterator.flatMap(parseMeta).map(_._1).nextOption().contains("convert")
+    }
+    val dataRoot = if (converted) Paths.get(table) else Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return 0L
+    val logPrefix = logDir(table).toAbsolutePath.normalize
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     var deleted = 0L
     scala.util.Using.resource(Files.walk(dataRoot)) { s =>
       s.iterator().asScala
         .filter { p =>
-          val sp = p.toString
-          sp.endsWith(".parquet") && !sp.contains("_txlog") &&
-            !keep.contains(normalize(sp)) &&
+          p.toString.endsWith(".parquet") &&
+            !p.toAbsolutePath.normalize.startsWith(logPrefix) &&
+            !keep.contains(normalize(p.toString)) &&
             (try Files.getLastModifiedTime(p).toMillis <= cutoff
              catch { case _: java.io.IOException => false }) // raced a delete: skip
         }

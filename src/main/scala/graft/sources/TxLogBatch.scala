@@ -52,6 +52,11 @@ object TxLogBatch {
     val lower = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
     lower.get("startingversion") match {
       case Some(sv) =>
+        // the CDF read and the snapshot options are different queries — a
+        // combined ask must fail, not silently drop the time bound
+        require(!lower.contains("versionasof") && !lower.contains("timestampasof"),
+          "startingVersion (change feed) cannot combine with versionAsOf/" +
+            "timestampAsOf (snapshot) — pick one read mode")
         changesRelation(sqlContext, table, sv.toLong,
           lower.get("endingversion").map(_.toLong).getOrElse(Long.MaxValue),
           lower.get("includerewrites").exists(_.toBoolean))

@@ -92,6 +92,9 @@ class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
     require(outputMode == OutputMode.Append(),
       s"txlog sink supports Append output mode only, got $outputMode " +
         "(for upserts use foreachBatch with TxLog.merge)")
+    require(partitionColumns.isEmpty,
+      "txlog sink does not partition output — drop .partitionBy(...) " +
+        "(use the clusterBy write option on the batch writer for clustered layout)")
     val table = TxLogStreamSource.tableOf(parameters)
     val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val appId = lower.get("appid").orElse(lower.get("checkpointlocation")).getOrElse(
@@ -235,9 +238,10 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       // optimize commits rewrite bytes, not rows (dataChange=false):
       // skipping them is exact, never a caveat
       else if (c.op == "optimize") Seq.empty
-      // metadata-only commits (addConstraint/dropConstraint, schema-only,
-      // no-op restores) carry no rows by definition — skipping is exact
-      else if (c.added.isEmpty) Seq.empty
+      // metadata-only OPS carry no rows by definition — skipping is exact.
+      // Op-based, NOT added.isEmpty: a remove-only rewrite (a truncating
+      // restore) changes rows and must still fail loudly below
+      else if (c.op == "addConstraint" || c.op == "dropConstraint") Seq.empty
       else if (ignoreChanges) c.added
       else throw new IllegalStateException(
         s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +

@@ -596,7 +596,7 @@ object Dev {
             col("o_orderkey") >= qs(0).toLong && col("o_orderkey") <= qs(1).toLong,
             statsCol = Some("o_orderkey"))
           val after = graft.sources.TxLog.snapshot(t).files.toSet
-          s"~0.5%% key band removed, rewrote ${(before -- after).size} files"
+          s"~0.5% key band removed, rewrote ${(before -- after).size} files"
         }
         step("reject-violation") {
           import spark.implicits._

@@ -217,6 +217,16 @@ class TxLogSqlSpec extends SparkSpec {
       assert(s.sql("SELECT k FROM plainview").collect().head.getLong(0) == 7L)
       // an unknown non-txlog reference still fails with Spark's own error
       intercept[Exception](s.sql("SELECT * FROM nosuch.`/missing`").collect())
+      // a slash-free second part is NOT path-shaped: the rule does not fire,
+      // so a catalog database named txlog keeps owning its tables (catalog
+      // resolution runs before Spark's ResolveSQLOnFile in the resolution
+      // batch). With no such database the name falls through to SPARK'S own
+      // error for a V1-source direct query — proving our rule stayed out —
+      // never our "empty legacy txlog table" failure
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT * FROM txlog.sometable").collect())
+      assert(e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY") ||
+        e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
     }
   }
 

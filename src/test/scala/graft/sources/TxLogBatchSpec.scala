@@ -148,6 +148,10 @@ class TxLogBatchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.read.format("txlog").option("timestampAsOf", t1.toString)
         .option("versionAsOf", 1).load(t))
+    // and neither combines with the change-feed read mode
+    intercept[IllegalArgumentException](
+      spark.read.format("txlog").option("startingVersion", 1)
+        .option("timestampAsOf", t1.toString).load(t))
     // a malformed timestamp is refused, not guessed
     intercept[IllegalArgumentException](at("2026-08-15 12:00:00"))
   }

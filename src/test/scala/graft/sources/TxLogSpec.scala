@@ -808,6 +808,59 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(dir).read(spark).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("convert ignores committer litter; vacuum never touches foreign files") {
+    import spark.implicits._
+    // a directory holding a crashed write's _temporary duplicates and
+    // dot-files alongside the committed part files: convert must adopt
+    // exactly what spark.read.parquet(dir) reads — the visible files
+    val dir = Files.createTempDirectory("txconvert_litter").resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1).write.parquet(dir)
+    val committedRows = spark.read.parquet(dir).count()
+    val tmpDir = Paths.get(dir, "_temporary", "0")
+    Files.createDirectories(tmpDir)
+    Seq((99L, "litter")).toDF("k", "v").repartition(1)
+      .write.parquet(tmpDir.resolve("attempt_x").toString)
+    // a half-written duplicate as a dot-file at the root too
+    Files.write(Paths.get(dir, ".part-dup.parquet"), Array[Byte](1, 2, 3))
+    TxLog.convert(spark, dir)
+    assert(TxLog.snapshot(dir).read(spark).count() == committedRows,
+      "convert adopted hidden/committer litter")
+
+    // a NON-converted table rooted next to unrelated parquet: vacuum sweeps
+    // only data/, so the foreigner survives any retention setting
+    val root2 = Files.createTempDirectory("txvac_foreign")
+    val t2 = root2.resolve("t").toString
+    TxLog.append(Seq((1L, "x")).toDF("k", "v"), t2)
+    val foreign = Paths.get(t2, "unrelated.parquet")
+    Seq((7L, "keepme")).toDF("k", "v").repartition(1)
+      .write.parquet(root2.resolve("tmpwrite").toString)
+    import scala.jdk.CollectionConverters._
+    val part = scala.util.Using.resource(Files.list(root2.resolve("tmpwrite")))(
+      _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+    Files.copy(part, foreign)
+    TxLog.overwrite(Seq((2L, "y")).toDF("k", "v"), t2)
+    TxLog.vacuum(t2, retainVersions = 0L, graceMs = 0L)
+    assert(Files.exists(foreign),
+      "vacuum on a non-converted table must never delete files it does not own")
+  }
+
+  test("a truncating restore still fails the strict change feed loudly") {
+    import spark.implicits._
+    val t = freshTable("trunc_restore")
+    // v1 is a metadata-only commit (empty table + constraint): its replay
+    // is an EMPTY live set, so restoring to it later is a remove-only
+    // commit — a data change with no adds
+    TxLog.addConstraint(spark, t, "always", "1 = 1")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.restore(t, 1L)
+    assert(TxLog.snapshot(t).read(spark).count() == 0L, "restore truncated")
+    // the constraint commit itself is skipped exactly, but the truncation
+    // must NOT be silently skipped just because it added no files
+    val e = intercept[IllegalStateException](
+      TxLog.readChanges(spark, t, 0L).count())
+    assert(e.getMessage.contains("restore"), e.getMessage)
+  }
+
   test("catalog entries: acid_upsert merged state and acid_time_travel v1 state") {
     val d = sf("sf0.001")
     val up = graft.SparkEntry.queries("acid_upsert")(spark, d)

@@ -155,6 +155,16 @@ class TxSinkSpec extends SparkSpec {
       try q.processAllAvailable() finally q.stop()
     }
     assert(e.getMessage != null)
+    // partitionBy is refused rather than silently ignored
+    val e3 = intercept[Exception] {
+      val q = mem.toDF().toDF("k", "v").writeStream.format("txlog")
+        .partitionBy("v")
+        .option("appId", "x")
+        .option("checkpointLocation", Files.createTempDirectory("p_ck").toString)
+        .start(t)
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e3.getMessage != null)
     // Update mode is refused: a txlog append sink cannot merge
     val e2 = intercept[Exception] {
       val q = mem.toDF().toDF("k", "v").writeStream.format("txlog")
