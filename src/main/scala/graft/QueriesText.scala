@@ -819,6 +819,41 @@ object TextQueries {
                     AND nstop >= 2) AS keep
             FROM s ORDER BY doc_id"""))
 
+  // Last-touch attribution: for every conversion (purchase) event, the most
+  // recent PRIOR non-conversion event of the same user — the classic
+  // marketing-attribution shape, and a window pattern (filtered last_value
+  // IGNORE NULLS over an unbounded-to-minus-one frame) the catalog did not
+  // yet cover. One partitioned sort per user; the time delta is an exact
+  // integer microsecond difference so the twin hashes bit-identically. A
+  // user's first purchase has no prior touch and keeps NULLs (both engines).
+  private val eventsAttribution = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+        .withColumn("touch_ts", last(touchTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("touch_type"),
+          (expr("unix_micros(ts)") - expr("unix_micros(touch_ts)"))
+            .cast("long").as("usec_since_touch"))
+        .orderBy("event_id")
+    },
+    Some("""WITH w AS (SELECT user_id, event_id, ts, event_type,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER win AS touch_type,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+                   OVER win AS touch_ts
+               FROM events
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, touch_type,
+                   CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS usec_since_touch
+            FROM w WHERE event_type = 'purchase' ORDER BY event_id"""))
+
   // Lexical diversity per document: type-token ratio + hapax fraction (the
   // classic repetitiveness complement — low TTR flags boilerplate/template
   // text that n-gram repetition scores can miss). Computed as ONE per-row
@@ -1050,6 +1085,7 @@ object TextQueries {
     "text_ttr" -> textTtr,
     "agg_diversity" -> aggDiversity,
     "events_dedup_window" -> eventsDedupWindow,
+    "events_attribution" -> eventsAttribution,
     "agg_mode" -> aggMode,
     "skew_stats" -> skewStats,
     "multimodal_meta" -> multimodalMeta)
