@@ -260,7 +260,8 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
     AttributeReference("last_commit_at", TimestampType, nullable = true)(),
     AttributeReference("checkpoint_version", LongType, nullable = true)(),
     AttributeReference("schema_ddl", StringType, nullable = true)(),
-    AttributeReference("constraints", StringType, nullable = true)())
+    AttributeReference("constraints", StringType, nullable = true)(),
+    AttributeReference("num_rows", LongType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val d = TxLog.describeDetail(table)
@@ -279,7 +280,9 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
         .asInstanceOf[StructType].toDDL).orNull,
       if (d.constraints.isEmpty) null
       else d.constraints.toSeq.sortBy(_._1)
-        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "),
+      // metadata-only COUNT(*): present iff every live file recorded a count
+      TxLog.rowCount(table).map(Long.box).orNull))
   }
 }
 

@@ -417,16 +417,44 @@ object TxLog {
             }
           }.toMap
       }
+    // per-file row counts (Delta's numRecords) from the parquet FOOTERS —
+    // O(files) driver-side metadata reads, no data scan, recorded on EVERY
+    // write: with counts on all live files, COUNT(*) and DESCRIBE DETAIL
+    // answer from log metadata alone (see rowCount). Best-effort: a footer
+    // that fails to read just leaves that file count-less.
+    val rowsOf = footerRowCounts(df.sparkSession, files)
     files.map { p =>
       val name = p.substring(p.lastIndexOf('/') + 1)
-      stats.getOrElse(name, Seq.empty) match {
-        case Seq() => s"""{"add":{"path":${quote(p)}}}"""
-        case entries =>
-          val body = entries.map { case (k, mn, mx) =>
-            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
-          }.mkString(",")
-          s"""{"add":{"path":${quote(p)},"stats":[$body]}}"""
-      }
+      addLine(p, rowsOf.get(p), stats.getOrElse(name, Seq.empty))
+    }
+  }
+
+  /** Row count per file from parquet footer metadata (no data I/O). */
+  private def footerRowCounts(spark: SparkSession,
+      files: Seq[String]): Map[String, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.flatMap { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        scala.util.Using.resource(
+          org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+          Some(p -> r.getRecordCount)
+        }
+      } catch { case _: Exception => None }
+    }.toMap
+  }
+
+  /** One add-action line with optional row count + per-column stats. */
+  private def addLine(path: String, rows: Option[Long],
+      entries: Seq[(String, String, String)]): String = {
+    val rowsPart = rows.map(n => s""","rows":$n""").getOrElse("")
+    if (entries.isEmpty) s"""{"add":{"path":${quote(path)}$rowsPart}}"""
+    else {
+      val body = entries.map { case (k, mn, mx) =>
+        s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
+      }.mkString(",")
+      s"""{"add":{"path":${quote(path)}$rowsPart,"stats":[$body]}}"""
     }
   }
 
@@ -1047,16 +1075,10 @@ object TxLog {
             }
           }.toMap
       }
+    val rowsOf = footerRowCounts(spark, files)
     val adds = files.map { p =>
       val abs = normalize(p)
-      stats.getOrElse(abs, Seq.empty) match {
-        case Seq() => s"""{"add":{"path":${quote(abs)}}}"""
-        case entries =>
-          val body = entries.map { case (k, mn, mx) =>
-            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
-          }.mkString(",")
-          s"""{"add":{"path":${quote(abs)},"stats":[$body]}}"""
-      }
+      addLine(abs, rowsOf.get(p), stats.getOrElse(abs, Seq.empty))
     }
     commit(dir, 1L, adds :+ schemaLine(schema.json), "convert")
     1L
@@ -1214,15 +1236,7 @@ object TxLog {
     require(latestVersion(dst) == 0L,
       s"clone target $dst is already a txlog table (tip ${latestVersion(dst)})")
     val adds = r.live.toSeq.map { case (path, line) =>
-      val abs = normalize(path)
-      parseStatsAll(line) match {
-        case Seq() => s"""{"add":{"path":${quote(abs)}}}"""
-        case entries =>
-          val body = entries.map { case (k, mn, mx) =>
-            s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
-          }.mkString(",")
-          s"""{"add":{"path":${quote(abs)},"stats":[$body]}}"""
-      }
+      addLine(normalize(path), parseRows(line), parseStatsAll(line))
     }
     val schemaActs = r.schema.map(schemaLine).toSeq ++
       r.cons.map { case (n, e) => constraintLine(n, e) }.toSeq
@@ -1651,4 +1665,24 @@ object TxLog {
     StatsEntryRe.findAllMatchIn(line).map { m =>
       (unquote(m.group(1)), unquote(m.group(2)), unquote(m.group(3)))
     }.toSeq
+
+  private val RowsRe = """"rows":(\d+)""".r
+
+  /** The add-action's recorded row count (Delta's numRecords), if the
+    * writer's stats scan ran. */
+  private[sources] def parseRows(line: String): Option[Long] =
+    RowsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+
+  /** The table's exact row count FROM LOG METADATA — Some only when every
+    * live file carries a recorded count (all files written by a stats-
+    * recording writer); None means at least one file is opaque and a real
+    * COUNT(*) scan is needed. At 100 TB this is the difference between a
+    * dashboard count answered in milliseconds from O(files) driver-side
+    * metadata and a full-table scan. */
+  def rowCount(table: String, asOf: Long = Long.MaxValue): Option[Long] = {
+    val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
+    if (r.live.isEmpty) return Some(0L)
+    val counts = r.live.valuesIterator.map(parseRows).toSeq
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
 }

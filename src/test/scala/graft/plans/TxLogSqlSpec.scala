@@ -190,6 +190,7 @@ class TxLogSqlSpec extends SparkSpec {
       TxLog.addConstraint(s, t, "k_pos", "k > 0")
       val r2 = s.sql(s"DESCRIBE DETAIL TXLOG '$t'").collect().head
       assert(r2.getString(7) == "k_pos CHECK (k > 0)", s"constraints: ${r2.getString(7)}")
+      assert(r2.getLong(8) == 3L, "num_rows from log metadata")
       // statement-shape parse checks
       assert(TxLogSql.parse("describe detail txlog '/t';") ==
         Some(DescribeDetailTxLogCommand("/t")))

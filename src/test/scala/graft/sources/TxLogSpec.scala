@@ -808,6 +808,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(dir).read(spark).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("rowCount answers COUNT(*) from log metadata; opaque files disable it") {
+    import spark.implicits._
+    val t = freshTable("rowcount")
+    assert(TxLog.rowCount(t) == Some(0L), "an empty table counts zero")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t, statsCol = Some("k"))
+    assert(TxLog.rowCount(t) == Some(3L),
+      "every write records footer row counts, stats or not")
+    // rewrites keep counts current
+    TxLog.merge(Seq((2L, "B"), (4L, "d")).toDF("k", "v"), t, "k")
+    assert(TxLog.rowCount(t) == Some(4L))
+    TxLog.delete(spark, t, col("k") === 1L)
+    assert(TxLog.rowCount(t) == Some(3L))
+    // a clone inherits the counts without touching data
+    val dst = freshTable("rowcount_clone")
+    TxLog.clone(t, dst)
+    assert(TxLog.rowCount(dst) == Some(3L))
+    // a hand-written legacy add (no rows field) makes the count unknowable —
+    // None, never a wrong number
+    TxLog.commit(t, TxLog.latestVersion(t) + 1,
+      Seq(s"""{"add":{"path":"${TxLog.snapshot(t).files.head}"}}"""), "append")
+    assert(TxLog.rowCount(t) == None)
+  }
+
   test("convert ignores committer litter; vacuum never touches foreign files") {
     import spark.implicits._
     // a directory holding a crashed write's _temporary duplicates and
