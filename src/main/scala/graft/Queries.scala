@@ -679,6 +679,39 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""))
 
+  // Row-level transactional UPDATE on the log (the in-place edit verb —
+  // repricing, correction sweeps): the same four range-sliced stats-bearing
+  // appends as acid_delete, then ONE update recomputes two columns of a
+  // key-scatter slice (every 5th key) through the file-scoped rewrite —
+  // both SET expressions evaluate against the OLD row in one Project, and
+  // the int-literal increment exercises the implicit lossless widening
+  // (int → the table's bigint). TxLogSpec proves file scoping, NULL-keeps
+  // and simultaneous-assignment; this entry proves the ANSWER. NOTE: TIMES
+  // 4 writes + the update rewrite + the read.
+  private val acidUpdate = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_upd", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(
+          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.update(s, tbl, col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * lit(2.0)),
+          "o_custkey" -> (col("o_custkey") + lit(7))),
+        statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 7
+                   ELSE o_custkey END AS o_custkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders ORDER BY o_orderkey"""))
+
   // CONVERT TO TXLOG at the gate: a plain parquet directory (an orders
   // slice) adopted IN PLACE — no byte copied — with per-file stats computed
   // at convert time, then exercised as a full table by a file-scoped DELETE
@@ -1294,6 +1327,7 @@ object RelationalQueries {
     "acid_cdf" -> acidCdf,
     "acid_schema_evolution" -> acidSchemaEvolution,
     "acid_delete" -> acidDelete,
+    "acid_update" -> acidUpdate,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,
     "acid_timestamp_travel" -> acidTimestampTravel,

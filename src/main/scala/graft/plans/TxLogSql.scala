@@ -28,6 +28,7 @@ import graft.sources.TxLog
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DESCRIBE DETAIL  TXLOG '<path>'
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
+  *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   ALTER TXLOG '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
@@ -57,6 +58,11 @@ object TxLogSql {
   // parser inside the command); a trailing STATS clause is peeled off first
   private val DeleteRe = re(
     s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+  // SET assignments and the predicate are free SQL text (each right-hand
+  // side goes through Spark's own expression parser inside the command);
+  // assignments split on TOP-LEVEL commas only, so `round(x, 2)` survives
+  private val UpdateRe = re(
+    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
   // the source is free SQL text (validated by Spark's own plan parser
   // inside the command); upsert semantics are TxLog.merge's — same-key rows
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
@@ -74,6 +80,31 @@ object TxLogSql {
     s"""\\s*CONVERT\\s+TO\\s+TXLOG\\s+$P(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
 
   private def unq(s: String): String = s.replace("''", "'")
+
+  /** Split the SET clause on TOP-LEVEL commas only — commas inside parens
+    * (`round(x, 2)`) or string literals (`concat(v, ',')`) belong to their
+    * expression. A single-quote toggle is enough for SQL text: the `''`
+    * escape flips the state twice and lands back where it was. */
+  private[plans] def splitAssignments(setSql: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    setSql.foreach {
+      case '\'' => inStr = !inStr; sb += '\''
+      case '(' if !inStr => depth += 1; sb += '('
+      case ')' if !inStr => depth -= 1; sb += ')'
+      case ',' if !inStr && depth == 0 => parts += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    parts += sb.toString
+    val AssignRe = """(?s)\s*(\w+)\s*=\s*(.+)""".r
+    parts.toSeq.map {
+      case AssignRe(c, e) => (c, e.trim)
+      case bad => throw new IllegalArgumentException(
+        s"malformed SET assignment '$bad' (expected <col> = <expr>)")
+    }
+  }
 
   /** Parse one of the TXLOG statements, or None for anything else. */
   def parse(sqlText: String): Option[LogicalPlan] = {
@@ -106,6 +137,10 @@ object TxLogSql {
     if (del.matches())
       return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
         Option(del.group(3))))
+    val up = UpdateRe.matcher(sqlText)
+    if (up.matches())
+      return Some(UpdateTxLogCommand(unq(up.group(1)), up.group(2), up.group(3),
+        Option(up.group(4))))
     val m = MergeRe.matcher(sqlText)
     if (m.matches())
       return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),
@@ -225,6 +260,33 @@ case class DeleteTxLogCommand(table: String, predicateSql: String,
     val before = TxLog.snapshot(table).files.toSet
     val v = TxLog.delete(spark, table,
       org.apache.spark.sql.functions.expr(predicateSql), statsCol)
+    val after = TxLog.snapshot(table).files.toSet
+    Seq(Row(v, (before -- after).size))
+  }
+}
+
+case class UpdateTxLogCommand(table: String, setSql: String,
+    predicateSql: String, statsCol: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // each right-hand side and the predicate go through Spark's OWN
+    // expression parser (via expr) — standard SQL in, Spark's parse error
+    // out; simultaneous-assignment semantics live in TxLog.update
+    val parsed = TxLogSql.splitAssignments(setSql)
+    val dups = parsed.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
+    require(dups.isEmpty,
+      s"UPDATE assigns ${dups.mkString(", ")} more than once (SQL refuses " +
+        "duplicate SET targets — the winner would be silent)")
+    val assigns = parsed.map { case (c, e) =>
+      c -> org.apache.spark.sql.functions.expr(e)
+    }.toMap
+    val before = TxLog.snapshot(table).files.toSet
+    val v = TxLog.update(spark, table,
+      org.apache.spark.sql.functions.expr(predicateSql), assigns, statsCol)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
   }

@@ -834,6 +834,135 @@ object TxLog {
     -1L
   }
 
+  /** Candidate-file count of the last update's touch scan (test/diagnostic
+    * instrumentation for the phase-0 log-stats prune). -1 = no update ran. */
+  private[graft] val updateCandidateFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Row-level transactional UPDATE — the in-place edit verb that completes
+    * the write surface (append / overwrite / merge / delete have no way to
+    * say "recompute THIS column of THESE rows" without round-tripping the
+    * rows through the driver into a merge). SQL UPDATE semantics: rows where
+    * `predicate` is TRUE get each SET column replaced by its expression;
+    * rows where it is FALSE **or NULL** are kept byte-identical. Every SET
+    * expression evaluates against the OLD row simultaneously — `SET a = b,
+    * b = a` swaps, exactly as in SQL — because the rewrite is ONE Project
+    * over the old rows, never a chain of dependent column substitutions.
+    *
+    * SCHEMA discipline (UPDATE edits, never evolves): a SET column must
+    * already exist in the table schema, and its expression's type must
+    * match the column's — or widen losslessly (`Cast.canUpCast`: an int
+    * literal into a long column is fine, and the cast is inserted), while
+    * anything lossy or incompatible is refused with [[SchemaMismatch]]
+    * before any data is read (cast explicitly if you mean it).
+    *
+    * FILE-SCOPED like [[delete]] — a 1-row update on a 100 TB table must
+    * not rewrite 100 TB: phase 0 tests the resolved predicate per file
+    * against the log's recorded [min,max] envelopes (the shared
+    * [[StatsSkipping]] conservative three-valued logic), the column-pruned
+    * touch scan then collects the files holding at least one TRUE row, and
+    * only those rewrite (read under the log schema, so pre-evolution files
+    * null-fill); untouched files keep their add-actions by path identity.
+    * A no-match update commits nothing and returns the current tip.
+    *
+    * CHECK constraints gate the rewritten output — unlike delete (which
+    * only keeps rows that already passed), an UPDATE can move a row INTO
+    * violation, so the staged bytes are enforced before the commit
+    * publishes. The commit's op is `"update"` — a rewrite op, gating
+    * [[readChanges]] and the streaming source exactly like merge/delete.
+    * On a version conflict the WHOLE operation re-derives against the new
+    * tip (an arbitrary predicate offers no disjointness proof). `statsCol`
+    * re-records per-file min/max on the rewritten output. Returns the
+    * committed version. */
+  def update(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column], statsCol: Option[String] = None,
+      maxRetries: Int = 16): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    var attempt = 0
+    while (true) {
+      val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (replay.live.isEmpty) return replay.tip
+      val live = replay.live.keysIterator.toSeq
+      val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+      val tableDf = reader.parquet(live: _*)
+      val tableSchema = tableDf.schema
+      set.keys.find(c => !tableSchema.fieldNames.contains(c)).foreach { c =>
+        throw new SchemaMismatch(
+          s"update: SET column $c is not in the table schema " +
+            s"(${tableSchema.fieldNames.mkString(", ")}) — UPDATE never adds columns")
+      }
+      // resolved types of the SET expressions over the OLD row — an
+      // analysis-only probe (limit 0), no data read, no job
+      val setSeq = set.toSeq
+      val probe = tableDf.limit(0).select(setSeq.map(_._2): _*).schema
+      val assigns: Map[String, Column] = setSeq.zipWithIndex.map { case ((c, e), i) =>
+        val want = tableSchema(c).dataType
+        val got = probe(i).dataType
+        val v =
+          if (got == want) e
+          else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got, want))
+            e.cast(want)
+          else throw new SchemaMismatch(
+            s"update: SET $c is ${got.simpleString} but the column is " +
+              s"${want.simpleString} — only lossless widenings are implicit; " +
+              "cast explicitly for anything else")
+        c -> v
+      }.toMap
+      // phase 0: log-stats candidate prune (zero data I/O) — same shared
+      // conservative three-valued envelope test as delete and the public
+      // reader's FileIndex
+      val resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        try {
+          tableDf.where(predicate).queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+          }
+        } catch { case _: Exception => None }
+      val tzId = spark.sessionState.conf.sessionLocalTimeZone
+      val candidates: Seq[String] = resolvedCond match {
+        case Some(cond) => live.filter { p =>
+          val stats = parseStatsAll(replay.live(p))
+            .map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+          StatsSkipping.mayContain(stats, cond, tzId)
+        }
+        case None => live
+      }
+      updateCandidateFiles.set(candidates.size)
+      if (candidates.isEmpty) return replay.tip
+      val byAbs = candidates.map(p => normalize(p) -> p).toMap
+      val touched: Seq[String] = reader.parquet(candidates: _*)
+        .where(predicate)
+        .select(col("_metadata.file_path").as("__fp")).distinct()
+        .collect()
+        .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+        .toSeq
+      if (touched.isEmpty) return replay.tip
+      // ONE Project over the old rows: TRUE rows take the SET expressions
+      // (all evaluated against the old row), FALSE/NULL rows pass through
+      val updated = reader.parquet(touched: _*).select(tableSchema.fields.map { f =>
+        assigns.get(f.name) match {
+          case Some(v) =>
+            when(coalesce(predicate, lit(false)), v).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+      val adds = stageFiles(updated, table, statsCol)
+      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
+      try {
+        commit(table, replay.tip + 1, adds ++ removes, "update")
+        maybeCheckpoint(table, replay.tip + 1)
+        return replay.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"update lost $maxRetries version races on $table")
+        // staged files of the failed attempt stay unreferenced → vacuum
+      }
+    }
+    -1L
+  }
+
   /** Row-level CHANGE FEED over a version range — the batch CDF read that
     * completes the log-tailing story ([[changes]] gives files, this gives
     * ROWS): every row added by the commits in (`fromExclusive`,

@@ -102,6 +102,38 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE TXLOG runs end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("update")
+      TxLog.append((1 to 20).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+        .toDF("k", "n", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+        t, statsCol = Some("k"))
+      // multi-assignment with a top-level-comma-bearing function call and a
+      // string literal comma — the splitter must not break either; both
+      // right-hand sides see the OLD row
+      val r = s.sql(
+        s"UPDATE TXLOG '$t' SET n = greatest(n + 1, 5), v = concat(v, ',', 'x') " +
+          "WHERE k % 2 = 0 STATS k").head()
+      assert(r.getLong(0) == 2L, "update must commit version 2")
+      assert(r.getInt(1) == 4, "every file held an even key → all 4 rewritten")
+      val got = TxLog.snapshot(t).read(s).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+      val want = (1 to 20).map { i =>
+        if (i % 2 == 0) (i.toLong, i.toLong * 10 + 1, s"v$i,x")
+        else (i.toLong, i.toLong * 10, s"v$i")
+      }.toSet
+      assert(got == want)
+      // duplicate SET targets are refused
+      intercept[Exception](
+        s.sql(s"UPDATE TXLOG '$t' SET n = 1, n = 2 WHERE k = 1"))
+      // a malformed right-hand side fails in Spark's expression parser
+      intercept[Exception](
+        s.sql(s"UPDATE TXLOG '$t' SET n = ((( WHERE k = 1"))
+    }
+  }
+
   test("MERGE INTO TXLOG upserts through spark.sql; EVOLVE gates new columns") {
     withExtSession { s =>
       import s.implicits._

@@ -30,11 +30,11 @@ class TxChaosSpec extends SparkSpec {
 
     // thread i owns keys [i*1000, i*1000+999]; ops per thread:
     //   append {k0,k1} → merge {k0→B, k2 new} → append {k3} → merge {k1→C}
-    //   → delete {k3}
+    //   → update {k0→U} → delete {k3}
     // plus thread 0 racing two optimizes into the middle of the storm
     def expect(i: Int): Set[(Long, String)] = {
       val b = i * 1000L
-      Set(b -> s"t${i}B", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n")
+      Set(b -> s"t${i}U", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n")
     }
     val threads = (0 until nThreads).map { i =>
       new Thread(() => {
@@ -58,6 +58,13 @@ class TxChaosSpec extends SparkSpec {
             Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
           committed.add(TxLog.merge(
             Seq((b + 1) -> s"t${i}C").toDF("k", "v"), t, "k"))
+          // in-place edit under the storm: k0 exists (thread-owned), so the
+          // update always touches a row and commits a version; its rewrite
+          // races every other thread's commits and must re-derive cleanly
+          committed.add(TxLog.update(spark, t,
+            org.apache.spark.sql.functions.col("k") === b,
+            Map("v" -> org.apache.spark.sql.functions.lit(s"t${i}U")),
+            statsCol = Some("k")))
           // retraction under the storm: k3 exists (this thread appended it,
           // keys are thread-owned) so the delete always commits a version
           committed.add(TxLog.delete(spark, t,

@@ -533,6 +533,128 @@ class TxLogSpec extends SparkSpec {
     assert(re == Set((1L, 1L), (2L, 1L), (2L, 2L)))
   }
 
+  test("update is file-scoped: untouched files survive by path identity, answer exact") {
+    import spark.implicits._
+    val t = freshTable("update")
+    // 100 keys range-partitioned into 4 files with disjoint key ranges
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TxLog.append(base, t, statsCol = Some("k"))
+    val before = TxLog.snapshot(t).files
+    assert(before.size == 4)
+    // update three keys that live in ONE file's range
+    val v = TxLog.update(spark, t, col("k") >= 95L && col("k") <= 97L,
+      Map("v" -> upper(col("v"))), statsCol = Some("k"))
+    assert(v == 2L, "update must be one new commit")
+    val after = TxLog.snapshot(t).files.toSet
+    assert(before.count(after.contains) == 3,
+      "exactly the file holding 95..97 may be rewritten; the other three " +
+        "must survive IN PLACE (same path)")
+    assert(rows(t) == (1 to 100)
+      .map(i => (i.toLong, if (i >= 95 && i <= 97) s"V$i" else s"v$i")).toSet)
+    // an update matching nothing commits nothing — the tip stays put
+    assert(TxLog.update(spark, t, col("k") === 9999L, Map("v" -> lit("x"))) == 2L)
+    assert(TxLog.latestVersion(t) == 2L)
+    // history records the op; time travel above the update still works
+    assert(TxLog.history(t).head.op == "update")
+    assert(TxLog.snapshot(t, asOf = 1L).read(spark)
+      .filter(col("v").startsWith("V")).count() == 0L)
+  }
+
+  test("update keeps rows where the predicate is NULL unchanged (SQL UPDATE semantics)") {
+    import spark.implicits._
+    val t = freshTable("updnull")
+    TxLog.append(Seq((1L, Some("hit")), (2L, Some("miss")), (3L, None))
+      .toDF("k", "v"), t)
+    TxLog.update(spark, t, col("v") === "hit", Map("v" -> lit("HIT")))
+    // row 3's predicate evaluates NULL → kept byte-identical, like SQL
+    assert(TxLog.snapshot(t).read(spark).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((1L, Some("HIT")), (2L, Some("miss")), (3L, None)))
+  }
+
+  test("update SET expressions evaluate against the OLD row (simultaneous assignment)") {
+    import spark.implicits._
+    val t = freshTable("updswap")
+    TxLog.append(Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b"), t)
+    // SET a = b, b = a must SWAP (one Project over the old row) — a chained
+    // withColumn rewrite would yield a = b = 20 for key 1
+    TxLog.update(spark, t, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(TxLog.snapshot(t).read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 20L, 10L), (2L, 30L, 40L)))
+  }
+
+  test("update refuses unknown SET columns and lossy types; widens losslessly") {
+    import spark.implicits._
+    val t = freshTable("updschema")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    // UPDATE never adds columns
+    intercept[TxLog.SchemaMismatch](
+      TxLog.update(spark, t, lit(true), Map("nope" -> lit(1))))
+    // a string into a bigint column is not a lossless widening
+    intercept[TxLog.SchemaMismatch](
+      TxLog.update(spark, t, lit(true), Map("k" -> lit("text"))))
+    assert(TxLog.latestVersion(t) == 1L, "refused updates must commit nothing")
+    // an int literal into the bigint column widens implicitly (canUpCast)
+    TxLog.update(spark, t, col("k") === 1L, Map("k" -> lit(5)))
+    assert(TxLog.snapshot(t).read(spark).select("k").head.getLong(0) == 5L)
+  }
+
+  test("update commits gate the change feed and stream like other rewrites") {
+    import spark.implicits._
+    val t = freshTable("updcdf")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t)
+    TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit("A")))
+    val e = intercept[IllegalStateException](TxLog.readChanges(spark, t, 0L))
+    assert(e.getMessage.contains("update") && e.getMessage.contains("includeRewrites"))
+    val re = TxLog.readChanges(spark, t, 0L, includeRewrites = true)
+      .select("k", "v", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // both rows of the rewritten file re-emit stamped with the update's
+    // version — the updated one with its new value
+    assert(re == Set((1L, "a", 1L), (2L, "b", 1L), (1L, "A", 2L), (2L, "b", 2L)))
+  }
+
+  test("update enforces CHECK constraints on the rewritten rows") {
+    import spark.implicits._
+    val t = freshTable("updcheck")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0")
+    // an UPDATE can move a row INTO violation — it must abort pre-commit
+    val tip = TxLog.latestVersion(t)
+    intercept[TxLog.ConstraintViolation](
+      TxLog.update(spark, t, col("k") === 1L, Map("k" -> lit(-1L))))
+    assert(TxLog.latestVersion(t) == tip)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    // a valid update still lands under the constraint
+    TxLog.update(spark, t, col("k") === 1L, Map("k" -> lit(100L)))
+    assert(rows(t) == Set((100L, "a"), (2L, "b")))
+  }
+
+  test("update's phase-0 prune keeps the touch scan off provably-excluded files") {
+    import spark.implicits._
+    val t = freshTable("upd_prune")
+    // four range-disjoint stat files + one opaque (stats-less) file
+    for (slice <- 0 until 4)
+      TxLog.append((0 until 10).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.append(Seq((55L, "opaque")).toDF("k", "v").repartition(1), t)
+    // a narrow band inside slice 1: candidates = that file + the opaque one
+    TxLog.update(spark, t, col("k") >= 100L && col("k") <= 104L,
+      Map("v" -> lit("u")), statsCol = Some("k"))
+    assert(TxLog.updateCandidateFiles.get == 2L,
+      s"expected 2 candidates (1 stats hit + 1 opaque), got ${TxLog.updateCandidateFiles.get}")
+    assert(TxLog.snapshot(t).read(spark).filter(col("v") === "u").count() == 5L)
+    // a band no stats file can hold: only the opaque file is scanned
+    TxLog.update(spark, t, col("k") === 5555L, Map("v" -> lit("x")))
+    assert(TxLog.updateCandidateFiles.get == 1L)
+    // an unrecognized predicate shape conservatively keeps every file
+    TxLog.update(spark, t, col("k") % 1000L === 777L, Map("v" -> lit("y")))
+    assert(TxLog.updateCandidateFiles.get == TxLog.snapshot(t).files.size.toLong)
+  }
+
   test("merge keeps files with unparsable stats as rewrite candidates (no lost update)") {
     import spark.implicits._
     // A file whose recorded stat strings do not cast to the merge key's type
