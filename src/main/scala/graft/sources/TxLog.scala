@@ -388,7 +388,7 @@ object TxLog {
     // column (the Delta multi-column stats shape)
     val cols: Seq[String] =
       statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val stats: Map[String, Seq[(String, String, String)]] =
+    val stats: Map[String, Seq[ColStat]] =
       if (cols.isEmpty) Map.empty
       else {
         // keyed by file NAME (unique within this fresh stage dir) because
@@ -399,9 +399,14 @@ object TxLog {
         // spanning 0..3001 as envelope [0,3] — and a too-narrow envelope
         // makes merge's stats prune SKIP a file it must rewrite (a silent
         // lost remove; caught by TxChaosSpec's racing-writers model check)
+        // per-column NULL COUNT rides the same scan: min/max ignore nulls,
+        // so an envelope alone can never prove "every row matches" — the
+        // null count is what lets DELETE drop a fully-covered file as pure
+        // metadata (see mustMatchAll) without misreading a null-holding row
         val aggs = cols.flatMap(k => Seq(
           min(col(k)).cast("string").as(s"__mn_$k"),
-          max(col(k)).cast("string").as(s"__mx_$k")))
+          max(col(k)).cast("string").as(s"__mx_$k"),
+          sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nl_$k")))
         df.sparkSession.read.parquet(stage.toString)
           .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
           .groupBy("__fp").agg(aggs.head, aggs.tail: _*)
@@ -411,8 +416,9 @@ object TxLog {
             // an all-null column stays opaque for that file, never 0-range
             name -> cols.flatMap { k =>
               (Option(r.getAs[String](s"__mn_$k")), Option(r.getAs[String](s"__mx_$k"))) match {
-                case (Some(mn), Some(mx)) => Some((k, mn, mx))
-                case _                    => None
+                case (Some(mn), Some(mx)) =>
+                  Some(ColStat(k, mn, mx, Some(r.getAs[Long](s"__nl_$k"))))
+                case _ => None
               }
             }
           }.toMap
@@ -447,12 +453,13 @@ object TxLog {
 
   /** One add-action line with optional row count + per-column stats. */
   private def addLine(path: String, rows: Option[Long],
-      entries: Seq[(String, String, String)]): String = {
+      entries: Seq[ColStat]): String = {
     val rowsPart = rows.map(n => s""","rows":$n""").getOrElse("")
     if (entries.isEmpty) s"""{"add":{"path":${quote(path)}$rowsPart}}"""
     else {
-      val body = entries.map { case (k, mn, mx) =>
-        s"""{"col":${quote(k)},"min":${quote(mn)},"max":${quote(mx)}}"""
+      val body = entries.map { s =>
+        val nl = s.nulls.map(n => s""","nulls":$n""").getOrElse("")
+        s"""{"col":${quote(s.col)},"min":${quote(s.min)},"max":${quote(s.max)}$nl}"""
       }.mkString(",")
       s"""{"add":{"path":${quote(path)}$rowsPart,"stats":[$body]}}"""
     }
@@ -590,7 +597,7 @@ object TxLog {
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       val (liveMap, tip) = (replay.live, replay.tip)
       val withStats = liveMap.toSeq.flatMap { case (path, line) =>
-        parseStatsAll(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+        parseStatsAll(line).collect { case st if st.col == keyCol => (path, st.min, st.max) }
       }
       val opaque = liveMap.keysIterator.toSet -- withStats.map(_._1)
       val touched: Seq[String] =
@@ -720,7 +727,7 @@ object TxLog {
           case None => true // no non-null update keys ⇒ adds cannot collide
           case Some((lo, hi)) =>
             parseStatsAll(l)
-              .collectFirst { case (c, mn, mx) if c == keyCol => (mn, mx) }
+              .collectFirst { case st if st.col == keyCol => (st.min, st.max) }
               .exists { case (mn, mx) =>
                 proven(GreaterThan(
                   Cast(Literal(mn), keyType, Some(tzId), EvalMode.TRY), Literal(hi))) ||
@@ -742,6 +749,11 @@ object TxLog {
     *
     * FILE-SCOPED like [[merge]] — a 1-row delete on a 100 TB table must not
     * rewrite 100 TB:
+    *   0.5. whole-file drops: a candidate whose stats PROVE every row
+    *      matches (envelope inside the TRUE region, zero recorded nulls on
+    *      the referenced columns) is removed as pure metadata — no read,
+    *      no rewrite; a retention delete on a clustered table commits in
+    *      O(files) metadata (Delta's fully-covered-file rule);
     *   1. touch scan (distributed, column-pruned): read ONLY the predicate's
     *      columns of the live files and collect the distinct
     *      `_metadata.file_path`s holding at least one TRUE row — parquet
@@ -768,6 +780,13 @@ object TxLog {
   /** Candidate-file count of the last delete's touch scan (test/diagnostic
     * instrumentation for the phase-0 log-stats prune). -1 = no delete ran. */
   private[graft] val deleteCandidateFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Whole-file drops of the last delete (files whose stats proved every
+    * row matches — removed as pure metadata, never read or rewritten).
+    * Test/diagnostic instrumentation for the phase-0.5 covered-file path.
+    * -1 = no delete ran. */
+  private[graft] val deleteCoveredFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
   def delete(spark: SparkSession, table: String, predicate: Column,
@@ -798,27 +817,52 @@ object TxLog {
       val candidates: Seq[String] = resolvedCond match {
         case Some(cond) => live.filter { p =>
           val stats = parseStatsAll(replay.live(p))
-            .map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+            .map(st => st.col -> ((st.min, st.max))).toMap
           StatsSkipping.mayContain(stats, cond, tzId)
         }
         case None => live
       }
       deleteCandidateFiles.set(candidates.size)
       if (candidates.isEmpty) return replay.tip
-      val byAbs = candidates.map(p => normalize(p) -> p).toMap
-      val touched: Seq[String] = reader.parquet(candidates: _*)
-        .where(predicate)
-        .select(col("_metadata.file_path").as("__fp")).distinct()
-        .collect()
-        .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
-        .toSeq
-      if (touched.isEmpty) return replay.tip
+      // phase 0.5: WHOLE-FILE drops (Delta's fully-covered-file delete) —
+      // a file whose stats PROVE every row satisfies the predicate
+      // (envelope inside the TRUE region AND a recorded null count of zero
+      // on every referenced column — see mustMatchAll for why nulls gate
+      // the proof) is removed as a pure metadata action: no read, no
+      // rewrite, no staged bytes. A retention delete (`ts < cutoff`) on a
+      // time-clustered 100 TB table becomes an O(files) metadata commit
+      // instead of a table rewrite.
+      val covered: Set[String] = resolvedCond match {
+        case Some(cond) => candidates.filter { p =>
+          val ss = parseStatsAll(replay.live(p))
+          StatsSkipping.mustMatchAll(
+            ss.map(st => st.col -> ((st.min, st.max))).toMap,
+            ss.flatMap(st => st.nulls.map(st.col -> _)).toMap, cond, tzId)
+        }.toSet
+        case None => Set.empty
+      }
+      deleteCoveredFiles.set(covered.size)
+      val scanCands = candidates.filterNot(covered)
+      val byAbs = scanCands.map(p => normalize(p) -> p).toMap
+      val touched: Seq[String] =
+        if (scanCands.isEmpty) Seq.empty
+        else reader.parquet(scanCands: _*)
+          .where(predicate)
+          .select(col("_metadata.file_path").as("__fp")).distinct()
+          .collect()
+          .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+          .toSeq
+      if (covered.isEmpty && touched.isEmpty) return replay.tip
       // keep rows where the predicate is FALSE or NULL (SQL DELETE keeps
-      // null-valued predicates — only TRUE rows go)
-      val kept = reader.parquet(touched: _*)
-        .where(!coalesce(predicate, lit(false)))
-      val adds = stageFiles(kept, table, statsCol)
-      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      // null-valued predicates — only TRUE rows go); covered files stage
+      // nothing — every one of their rows provably goes
+      val adds =
+        if (touched.isEmpty) Seq.empty
+        else stageFiles(
+          reader.parquet(touched: _*).where(!coalesce(predicate, lit(false))),
+          table, statsCol)
+      val removes = (covered.toSeq ++ touched)
+        .map(p => s"""{"remove":{"path":${quote(p)}}}""")
       try {
         commit(table, replay.tip + 1, adds ++ removes, "delete")
         maybeCheckpoint(table, replay.tip + 1)
@@ -921,7 +965,7 @@ object TxLog {
       val candidates: Seq[String] = resolvedCond match {
         case Some(cond) => live.filter { p =>
           val stats = parseStatsAll(replay.live(p))
-            .map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+            .map(st => st.col -> ((st.min, st.max))).toMap
           StatsSkipping.mayContain(stats, cond, tzId)
         }
         case None => live
@@ -1074,7 +1118,7 @@ object TxLog {
   private def prunedFrom(spark: SparkSession, r: Replay,
       keyCol: String, lo: Any, hi: Any): Seq[String] = {
     val withStats = r.live.toSeq.flatMap { case (path, line) =>
-      parseStatsAll(line).collect { case (c, mn, mx) if c == keyCol => (path, mn, mx) }
+      parseStatsAll(line).collect { case st if st.col == keyCol => (path, st.min, st.max) }
     }
     val opaque = r.live.keysIterator.toSet -- withStats.map(_._1)
     if (withStats.isEmpty) return r.live.keysIterator.toSeq
@@ -1184,12 +1228,13 @@ object TxLog {
     // fresh single dir, a pre-existing tree can repeat file names)
     val cols: Seq[String] =
       statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val stats: Map[String, Seq[(String, String, String)]] =
+    val stats: Map[String, Seq[ColStat]] =
       if (cols.isEmpty) Map.empty
       else {
         val aggs = cols.flatMap(k => Seq(
           min(col(k)).cast("string").as(s"__mn_$k"),
-          max(col(k)).cast("string").as(s"__mx_$k")))
+          max(col(k)).cast("string").as(s"__mx_$k"),
+          sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nl_$k")))
         spark.read.parquet(files: _*)
           .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
           .groupBy("__fp").agg(aggs.head, aggs.tail: _*)
@@ -1198,8 +1243,9 @@ object TxLog {
             val abs = normalize(new java.net.URI(r.getString(0)).getPath)
             abs -> cols.flatMap { k =>
               (Option(r.getAs[String](s"__mn_$k")), Option(r.getAs[String](s"__mx_$k"))) match {
-                case (Some(mn), Some(mx)) => Some((k, mn, mx))
-                case _                    => None
+                case (Some(mn), Some(mx)) =>
+                  Some(ColStat(k, mn, mx, Some(r.getAs[Long](s"__nl_$k"))))
+                case _ => None
               }
             }
           }.toMap
@@ -1684,8 +1730,11 @@ object TxLog {
   // `"stats":{...}` object never bleeds into it
   private val ActRe = """\{"(add|remove)":\{"path":"((?:[^"\\]|\\.)*)".*""".r
   // one per-column stats ENTRY — matches inside both the modern array form
-  // ("stats":[{...},{...}]) and the legacy single-object form ("stats":{...})
-  private val StatsEntryRe = """\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"\}""".r
+  // ("stats":[{...},{...}]) and the legacy single-object form ("stats":{...});
+  // the trailing null count is OPTIONAL so pre-nulls lines keep parsing
+  // (their ColStat.nulls is None — envelope pruning still works, whole-file
+  // proofs are simply never attempted on them)
+  private val StatsEntryRe = """\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"(?:,"nulls":(\d+))?\}""".r
 
   private def parseAction(line: String): Option[(String, String)] = line match {
     case ActRe(kind, path) => Some((kind, unquote(path)))
@@ -1785,14 +1834,23 @@ object TxLog {
     case _               => None
   }
 
+  /** One recorded per-file column stat: [min,max] envelope as strings in
+    * the column's cast-to-string form, plus the column's null count when
+    * the writer recorded one (None on legacy lines). The null count is what
+    * upgrades an envelope from "may contain a matching row" (pruning) to
+    * "every row provably matches" (whole-file actions): min/max ignore
+    * nulls, and a null row evaluates any comparison to NULL, not TRUE. */
+  private[sources] final case class ColStat(col: String, min: String,
+      max: String, nulls: Option[Long])
+
   /** Per-file column stats attached to an add-action, if the writer
-    * recorded them: one (column, min, max) triple per recorded column, as
-    * strings in each column's cast-to-string form. Matches both the modern
-    * array form and legacy single-object lines. An absent column means the
-    * file is opaque to pruning ON THAT COLUMN. */
-  private[sources] def parseStatsAll(line: String): Seq[(String, String, String)] =
+    * recorded them: one [[ColStat]] per recorded column. Matches both the
+    * modern array form and legacy single-object lines. An absent column
+    * means the file is opaque to pruning ON THAT COLUMN. */
+  private[sources] def parseStatsAll(line: String): Seq[ColStat] =
     StatsEntryRe.findAllMatchIn(line).map { m =>
-      (unquote(m.group(1)), unquote(m.group(2)), unquote(m.group(3)))
+      ColStat(unquote(m.group(1)), unquote(m.group(2)), unquote(m.group(3)),
+        Option(m.group(4)).map(_.toLong))
     }.toSeq
 
   private val RowsRe = """"rows":(\d+)""".r

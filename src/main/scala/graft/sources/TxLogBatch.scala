@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualNullSafe, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualNullSafe, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
@@ -143,7 +143,7 @@ object TxLogBatch {
       spark.read.parquet(r.live.keysIterator.toSeq: _*).schema
     }
     val filesWithStats = r.live.toSeq.map { case (p, line) =>
-      p -> TxLog.parseStatsAll(line).map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+      p -> TxLog.parseStatsAll(line).map(st => st.col -> ((st.min, st.max))).toMap
     }
     val index = new TxLogFileIndex(spark, table, filesWithStats)
     HadoopFsRelation(index, new StructType(), schema, None,
@@ -279,4 +279,73 @@ private[sources] object StatsSkipping {
     r.forall { case (mn, mx) =>
       cmp(LessThanOrEqual, mn, l) && cmp(GreaterThanOrEqual, mx, l)
     }
+
+  /** The DUAL of [[mayContain]]: does EVERY row of the file provably
+    * satisfy `e`? Conservative the other way — an unrecognized shape, a
+    * column without stats, a missing or non-zero null count, or an
+    * unparsable stat answers FALSE (not provable) — so a whole-file action
+    * (DELETE dropping a fully-covered file as a pure metadata remove) is
+    * only ever taken when it is certainly right. The null-count gate is
+    * load-bearing, not pedantry: min/max envelopes IGNORE nulls, and a row
+    * whose referenced column is null evaluates a comparison to NULL, not
+    * TRUE — under SQL DELETE that row is KEPT, so a file with any null in
+    * a referenced column must never be dropped whole on envelope evidence.
+    */
+  def mustMatchAll(stats: Map[String, (String, String)],
+      nulls: Map[String, Long], e: Expression, tzId: String): Boolean = {
+    val tz = Some(tzId)
+    // stat-string vs literal comparison in the literal's own type; a cast
+    // that fails (TRY → null) or a non-boolean eval is NOT a proof
+    def cmp(mk: (Expression, Expression) => Expression, stat: String, lit: Literal): Boolean =
+      mk(Cast(Literal(stat), lit.dataType, tz, EvalMode.TRY), lit).eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _                    => false
+      }
+    def nullFree(a: Attribute): Boolean =
+      nulls.get(a.name).orElse(
+        nulls.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v })
+        .contains(0L)
+    // the envelope, admissible for a proof only when the column is
+    // provably null-free (otherwise the envelope describes a SUBSET of rows)
+    def range(a: Attribute): Option[(String, String)] =
+      if (!nullFree(a)) None
+      else stats.get(a.name).orElse(
+        stats.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v })
+    // all rows == l ⇔ min == l == max (over a null-free column)
+    def allEq(a: Attribute, l: Literal): Boolean =
+      range(a).exists { case (mn, mx) =>
+        cmp(EqualTo, mn, l) && cmp(EqualTo, mx, l)
+      }
+    def rec(e: Expression): Boolean = e match {
+      case And(l, r) => rec(l) && rec(r)
+      case Or(l, r)  => rec(l) || rec(r)
+      case EqualTo(a: Attribute, l: Literal) => allEq(a, l)
+      case EqualTo(l: Literal, a: Attribute) => allEq(a, l)
+      case EqualNullSafe(a: Attribute, l: Literal) if l.value != null => allEq(a, l)
+      case EqualNullSafe(l: Literal, a: Attribute) if l.value != null => allEq(a, l)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        range(a).exists { case (mn, _) => cmp(GreaterThan, mn, l) }
+      case GreaterThan(l: Literal, a: Attribute) => // l > a ⇔ a < l for all rows
+        range(a).exists { case (_, mx) => cmp(LessThan, mx, l) }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).exists { case (mn, _) => cmp(GreaterThanOrEqual, mn, l) }
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        range(a).exists { case (_, mx) => cmp(LessThanOrEqual, mx, l) }
+      case LessThan(a: Attribute, l: Literal) =>
+        range(a).exists { case (_, mx) => cmp(LessThan, mx, l) }
+      case LessThan(l: Literal, a: Attribute) =>
+        range(a).exists { case (mn, _) => cmp(GreaterThan, mn, l) }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).exists { case (_, mx) => cmp(LessThanOrEqual, mx, l) }
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        range(a).exists { case (mn, _) => cmp(GreaterThanOrEqual, mn, l) }
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // every row equals SOME listed literal ⇔ the (null-free) file is
+        // constant and that constant is listed
+        vs.exists(v => allEq(a, v.asInstanceOf[Literal]))
+      case IsNotNull(a: Attribute) => nullFree(a)
+      case _ => false
+    }
+    rec(e)
+  }
 }

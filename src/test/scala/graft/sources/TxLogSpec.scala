@@ -533,6 +533,75 @@ class TxLogSpec extends SparkSpec {
     assert(re == Set((1L, 1L), (2L, 1L), (2L, 2L)))
   }
 
+  test("delete drops provably-covered files as pure metadata (no read, no rewrite)") {
+    import spark.implicits._
+    val t = freshTable("del_cover")
+    // four range-disjoint stat files: slice s holds keys [s*100, s*100+9]
+    for (slice <- 0 until 4)
+      TxLog.append((0 until 10).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    val before = TxLog.snapshot(t).files.toSet
+    // k <= 109 covers slices 0 and 1 ENTIRELY: both drop as pure metadata —
+    // the commit carries removes only, nothing is read or staged
+    val v = TxLog.delete(spark, t, col("k") <= 109L, statsCol = Some("k"))
+    assert(TxLog.deleteCoveredFiles.get == 2L,
+      s"expected 2 covered files, got ${TxLog.deleteCoveredFiles.get}")
+    val commit = TxLog.changes(t, v - 1, v).head
+    assert(commit.op == "delete" && commit.added.isEmpty,
+      "a fully-covered delete must stage NO files (pure metadata removes)")
+    assert(TxLog.snapshot(t).files.toSet.subsetOf(before),
+      "survivors must be the original files by path identity")
+    assert(TxLog.snapshot(t).read(spark).count() == 20L)
+    // a PARTIALLY covered band still rewrites: slice 2 holds 200..209,
+    // k <= 205 proves nothing whole-file, so it goes through the touch scan
+    TxLog.delete(spark, t, col("k") <= 205L, statsCol = Some("k"))
+    assert(TxLog.deleteCoveredFiles.get == 0L)
+    assert(TxLog.snapshot(t).read(spark).select("k").collect()
+      .map(_.getLong(0)).toSet ==
+      ((206L to 209L) ++ (300L to 309L)).toSet)
+    // and a suffix delete covers slice 3 whole again
+    val v3 = TxLog.delete(spark, t, col("k") >= 300L, statsCol = Some("k"))
+    assert(TxLog.deleteCoveredFiles.get == 1L)
+    assert(TxLog.changes(t, v3 - 1, v3).head.added.isEmpty)
+    assert(TxLog.snapshot(t).read(spark).select("k").collect()
+      .map(_.getLong(0)).toSet == (206L to 209L).toSet)
+  }
+
+  test("a null in the predicate column blocks the whole-file proof (row must be KEPT)") {
+    import spark.implicits._
+    val t = freshTable("del_covnull")
+    // min=1, max=2 — the envelope lies inside k <= 5 — but the null row's
+    // predicate evaluates NULL and SQL DELETE keeps it: dropping the file
+    // whole on envelope evidence would silently erase that row
+    TxLog.append(Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n"))
+      .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.delete(spark, t, col("k") <= 5L, statsCol = Some("k"))
+    assert(TxLog.deleteCoveredFiles.get == 0L,
+      "a file with nulls in the referenced column must never be covered")
+    assert(TxLog.snapshot(t).read(spark).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet == Set((None, "n")))
+    // legacy stats lines (no recorded null count) are likewise never
+    // covered — the rewrite path handles them, the answer stays exact
+    val t2 = freshTable("del_covlegacy")
+    val stage = Paths.get(t2, "data", "manual")
+    Seq((0L, "x"), (5L, "y")).toDF("k", "v").repartition(1)
+      .write.parquet(stage.toString)
+    val file = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(stage))(
+        _.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList.head)
+    }
+    TxLog.commit(t2, 1L, Seq(
+      s"""{"add":{"path":"$file","stats":[{"col":"k","min":"0","max":"5"}]}}"""),
+      "append")
+    TxLog.delete(spark, t2, col("k") <= 10L)
+    assert(TxLog.deleteCoveredFiles.get == 0L,
+      "a legacy stats line without a null count offers no whole-file proof")
+    assert(TxLog.snapshot(t2).read(spark).count() == 0L,
+      "the rewrite path must still delete every matching row")
+  }
+
   test("update is file-scoped: untouched files survive by path identity, answer exact") {
     import spark.implicits._
     val t = freshTable("update")
