@@ -1153,6 +1153,125 @@ object RelationalQueries {
     },
     Some(tpchQ5Text))
 
+  private val tpchQ4Text =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // Order-priority checking (TPC-H Q4 adapted to this schema — the synthetic
+  // lineitem has no commit/receipt dates, so the EXISTS tests a ship-after-
+  // order lineitem instead; the SHAPE is Q4's: a correlated EXISTS that must
+  // plan as a LEFT SEMI join on the order key, never a per-row subquery).
+  // At 100 TB: date filter pushes to the orders scan, the semi join
+  // deduplicates lineitem BEFORE any count, one small grouped count after.
+  private val sqlTpchQ4 = Q(
+    (s, d) => {
+      Seq("orders", "lineitem").foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ4Text)
+    },
+    Some(tpchQ4Text))
+
+  private val tpchQ12Text =
+    """SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+       GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  // Shipping-mode priority counts (TPC-H Q12 adapted: l_linestatus stands in
+  // for the absent l_shipmode). Integer CASE sums — no decimal staging
+  // needed — over one fact⋈fact equi join with the date filter pushed to
+  // the lineitem scan; the grouped result is 2 rows.
+  private val sqlTpchQ12 = Q(
+    (s, d) => {
+      Seq("orders", "lineitem").foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ12Text)
+    },
+    Some(tpchQ12Text))
+
+  private val tpchQ14Text =
+    """SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))
+         ELSE CAST(0 AS DECIMAL(18,4)) * CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS promo_revenue,
+       count(*) AS n_rows
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'"""
+
+  // Promotion effect (TPC-H Q14 adapted: p_type = 'PROMO' — the synthetic
+  // types carry no 'PROMO%' prefix family). Both CASE branches are built
+  // from the SAME decimal product expression (the zero branch is a 0×0
+  // product), so each engine coerces the conditional sum to its own product
+  // type CONSISTENTLY and the exact sums agree; the promo ratio is one
+  // double division of two exact decimal sums. Plan shape: month filter
+  // pushed to the lineitem scan, part joined broadcast, single-row result.
+  private val sqlTpchQ14 = Q(
+    (s, d) => {
+      Seq("lineitem", "part").foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ14Text)
+    },
+    Some(tpchQ14Text))
+
+  private val tpchQ10Text =
+    """SELECT c_custkey, c_name, n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  // Returned-item reporting (TPC-H Q10): top-20 customers by returned
+  // revenue in a quarter — fact spine customer⋈orders⋈lineitem with the
+  // returnflag filter pushed to the lineitem scan and nation broadcast;
+  // the LIMIT plans as TakeOrderedAndProject (per-partition top-20 heaps,
+  // never a global sort of the grouped set). c_custkey tie-breaks the
+  // double ordering so the 20-row cut is deterministic on both engines.
+  private val sqlTpchQ10 = Q(
+    (s, d) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ10Text)
+    },
+    Some(tpchQ10Text))
+
+  private val tpchQ18Text =
+    """SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+       GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  // Large-volume customers (TPC-H Q18): the IN-subquery aggregates lineitem
+  // FIRST (grouped HAVING over the fact table — a semi join against an
+  // aggregate, not a row filter), then re-joins the surviving order keys to
+  // orders/customer/lineitem for the report. The aggregate-then-semi-join
+  // shape is what keeps the big join spine bounded by qualifying orders at
+  // 100 TB. o_orderkey tie-breaks the double ordering for a deterministic
+  // 100-row cut.
+  private val sqlTpchQ18 = Q(
+    (s, d) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ18Text)
+    },
+    Some(tpchQ18Text))
+
   /** TPC-H Q1 pricing-summary text shared verbatim by spark.sql and DuckDB.
     * Every aggregate is an exact decimal sum cast to double at the end; the
     * charge product is staged through explicit intermediate casts —
@@ -1340,8 +1459,13 @@ object RelationalQueries {
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q4" -> sqlTpchQ4,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q6" -> sqlTpchQ6,
+    "sql_tpch_q10" -> sqlTpchQ10,
+    "sql_tpch_q12" -> sqlTpchQ12,
+    "sql_tpch_q14" -> sqlTpchQ14,
+    "sql_tpch_q18" -> sqlTpchQ18,
     "join_skew_salted" -> joinSkewSalted,
     "upsert_snapshot" -> upsertSnapshot,
     "scd2_history" -> scd2History,

@@ -60,6 +60,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("plan lint: TPC-H q4 semi-joins, q10/q18 take ordered top-k") {
+    // q4's EXISTS must plan as a LEFT SEMI hash join (a per-row subquery or
+    // nested loop would re-scan lineitem per order); q10/q18's LIMIT must
+    // plan as TakeOrderedAndProject (per-partition heaps), never a global
+    // sort of the grouped set.
+    val q4 = graft.SparkEntry.queries("sql_tpch_q4")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), s"q4 lost its semi join:\n$q4")
+    for (name <- Seq("sql_tpch_q10", "sql_tpch_q18")) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name should plan its LIMIT as TakeOrderedAndProject:\n$p")
+    }
+  }
+
   test("plan lint: dedup_cluster per-round propagation join is a keyed equi-join") {
     // The shape that repeats every round: edges ⋈ labels on the node key,
     // then a grouped min — exactly what dedup_cluster's loop body builds.
