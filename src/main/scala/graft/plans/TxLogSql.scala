@@ -381,17 +381,99 @@ case class ResolveTxLogRelation(spark: SparkSession)
 
   private val Versioned = """(.+)@v(\d+)""".r
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-        if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
-          u.multipartIdentifier(1).contains("/") =>
-      val params = u.multipartIdentifier(1) match {
-        case Versioned(path, v) => Map("path" -> path, "versionAsOf" -> v)
-        case path               => Map("path" -> path)
-      }
-      org.apache.spark.sql.GraftBridge.logicalRelation(
-        graft.sources.TxLogBatch.relation(spark.sqlContext, params))
+  private def txlogShaped(
+      u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
+      u.multipartIdentifier(1).contains("/")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INSERT targets rewrite FIRST, top-down — before the bottom-up relation
+    // pass turns the target into a parquet LogicalRelation, which Spark
+    // would plan as a DIRECT file write into the table root: files on disk
+    // that no commit references, i.e. a write that silently VANISHES from
+    // every snapshot (and is eventually vacuumed). The transactional path
+    // is the only correct one, so INSERT INTO/OVERWRITE becomes the
+    // append/overwrite verb; the source query stays unanalyzed inside the
+    // command and resolves at run time (where a txlog.`…` READ inside it
+    // goes through this same rule again).
+    val withInserts = plan.resolveOperatorsDown {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if i.table.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
+            txlogShaped(i.table.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]) =>
+        val u = i.table.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]
+        require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
+          "INSERT into a txlog table supports neither PARTITION specs nor " +
+            "column lists — the log tracks files, not partitions; project " +
+            "the columns in the SELECT instead")
+        u.multipartIdentifier(1) match {
+          case Versioned(_, _) => throw new IllegalArgumentException(
+            "cannot INSERT into a versioned txlog reference (@vN is a read-only snapshot)")
+          case path => InsertTxLogCommand(path, i.overwrite, i.query)
+        }
+    }
+    withInserts.resolveOperatorsUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation if txlogShaped(u) =>
+        val params = u.multipartIdentifier(1) match {
+          case Versioned(path, v) => Map("path" -> path, "versionAsOf" -> v)
+          case path               => Map("path" -> path)
+        }
+        org.apache.spark.sql.GraftBridge.logicalRelation(
+          graft.sources.TxLogBatch.relation(spark.sqlContext, params))
+    }
+  }
+}
+
+/** `INSERT INTO txlog.`<path>`` / `INSERT OVERWRITE txlog.`<path>`` — the
+  * pure-SQL write path onto the transactional verbs (append / overwrite).
+  * The source query is captured UNANALYZED and resolved at run time; the
+  * write then goes through the same schema enforcement, CHECK constraints,
+  * and optimistic commit protocol as every other writer. Column matching
+  * is BY NAME against the table's recorded schema (TxLog's discipline):
+  * a query whose columns drift fails loudly with SchemaMismatch rather
+  * than silently writing positionally. */
+case class InsertTxLogCommand(table: String, overwrite: Boolean,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  // the deferred query is display-only here; it is NOT a child (analysis
+  // happens inside run), so the command itself is always resolved
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = org.apache.spark.sql.GraftBridge.ofRows(spark, query)
+    // SQL INSERT matches BY POSITION (a VALUES row has no names at all):
+    // reconcile the query's columns positionally against the table's
+    // recorded schema — rename, and insert lossless widening casts
+    // (an int literal into a bigint column) — then hand the result to the
+    // verb, whose by-name enforcement now sees the table's own shape and
+    // still refuses real type conflicts loudly. Arity drift is refused
+    // HERE (a positional write with the wrong column count is never
+    // meaningful). A brand-new/legacy table adopts the query's schema.
+    val df = TxLog.snapshot(table).schemaJson match {
+      case Some(j) =>
+        val ts = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]
+        require(df0.schema.length == ts.length,
+          s"INSERT provides ${df0.schema.length} column(s) but txlog table " +
+            s"$table has ${ts.length} (${ts.fieldNames.mkString(", ")})")
+        val renamed = df0.toDF(ts.fieldNames: _*)
+        renamed.select(ts.fields.map { f =>
+          val got = renamed.schema(f.name).dataType
+          val c = org.apache.spark.sql.functions.col(f.name)
+          if (got != f.dataType &&
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got, f.dataType))
+            c.cast(f.dataType).as(f.name)
+          else c // exact match passes; a real conflict fails in the verb
+        }.toSeq: _*)
+      case None => df0
+    }
+    val v =
+      if (overwrite) TxLog.overwrite(df, table)
+      else TxLog.append(df, table)
+    Seq(Row(v))
   }
 }
 

@@ -35,4 +35,12 @@ object GraftBridge {
   def logicalRelation(rel: org.apache.spark.sql.sources.BaseRelation):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     execution.datasources.LogicalRelation(rel)
+
+  /** Analyze + wrap a LogicalPlan as a DataFrame — the command-side
+    * counterpart of `spark.sql` for a plan captured BEFORE analysis (an
+    * INSERT command defers its source query to run time; `Dataset.ofRows`
+    * is `private[sql]`). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -134,6 +134,34 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO/OVERWRITE txlog.`path` writes through the transactional verbs") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("insert")
+      TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+      // INSERT INTO = transactional append: the new version commits and the
+      // row is visible to a log-backed read (a direct parquet write into
+      // the table root would be INVISIBLE — the hazard this path closes)
+      val r = s.sql(s"INSERT INTO txlog.`$t` VALUES (2, 'b')").head()
+      assert(r.getLong(0) == 2L, "INSERT must commit version 2")
+      assert(s.sql(s"SELECT k, v FROM txlog.`$t` ORDER BY k").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // the source query may itself read a txlog table (re-enters the rule)
+      s.sql(s"INSERT INTO txlog.`$t` SELECT k + 10 AS k, upper(v) AS v FROM txlog.`$t`")
+      assert(s.sql(s"SELECT count(*) FROM txlog.`$t`").head().getLong(0) == 4L)
+      // INSERT OVERWRITE = transactional full overwrite, history preserved
+      s.sql(s"INSERT OVERWRITE txlog.`$t` VALUES (9, 'z')")
+      assert(s.sql(s"SELECT k, v FROM txlog.`$t`").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((9L, "z")))
+      assert(TxLog.snapshot(t, asOf = 2L).read(s).count() == 2L,
+        "time travel below the overwrite must still read")
+      // a versioned reference is a read-only snapshot — refused loudly
+      val e = intercept[Exception](s.sql(s"INSERT INTO txlog.`$t@v2` VALUES (3, 'c')"))
+      assert(e.getMessage.contains("read-only"))
+    }
+  }
+
   test("MERGE INTO TXLOG upserts through spark.sql; EVOLVE gates new columns") {
     withExtSession { s =>
       import s.implicits._
