@@ -22,8 +22,8 @@ import graft.sources.TxLog
   * Grammar (case-insensitive keywords; `TXLOG` disambiguates from any
   * current or future Spark statement of the same head):
   *
-  *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [STATS <col[,col...]>]
-  *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>]
+  *   OPTIMIZE TXLOG '<path>' [TARGET <bytes>] [ZORDER BY (c1, c2)] [WHERE <pred>] [STATS <col[,col...]>]
+  *   VACUUM   TXLOG '<path>' [RETAIN <n> VERSIONS] [GRACE <ms>] [DRY RUN]
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DESCRIBE DETAIL  TXLOG '<path>'
@@ -47,9 +47,9 @@ object TxLogSql {
   // path is a single-quoted SQL string literal ('' escapes a quote)
   private val P = "'((?:[^']|'')*)'"
   private val OptimizeRe = re(
-    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+WHERE\\s+(.+?))?(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
   private val VacuumRe = re(
-    s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?\\s*;?\\s*""")
+    s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
   private val DetailRe = re(s"""\\s*DESCRIBE\\s+DETAIL\\s+TXLOG\\s+$P\\s*;?\\s*""")
   private val RestoreRe = re(
@@ -117,6 +117,7 @@ object TxLogSql {
           case (Some(x), Some(y)) => Some((x, y))
           case _                  => None
         },
+        Option(o.group(6)),
         Option(o.group(5))))
     }
     val v = VacuumRe.matcher(sqlText)
@@ -124,7 +125,8 @@ object TxLogSql {
       return Some(VacuumTxLogCommand(
         unq(v.group(1)),
         Option(v.group(2)).map(_.toLong).getOrElse(0L),
-        Option(v.group(3)).map(_.toLong).getOrElse(TxLog.DefaultVacuumGraceMs)))
+        Option(v.group(3)).map(_.toLong).getOrElse(TxLog.DefaultVacuumGraceMs),
+        dryRun = v.group(4) != null))
     }
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) return Some(DescribeHistoryTxLogCommand(unq(h.group(1))))
@@ -209,7 +211,8 @@ case class CloneTxLogCommand(src: String, dst: String, asOf: Long)
 }
 
 case class OptimizeTxLogCommand(table: String, targetBytes: Long,
-    zorder: Option[(String, String)], statsCol: Option[String])
+    zorder: Option[(String, String)], statsCol: Option[String],
+    whereSql: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -220,19 +223,22 @@ case class OptimizeTxLogCommand(table: String, targetBytes: Long,
   override def run(spark: SparkSession): Seq[Row] = {
     val before = TxLog.snapshot(table).files.size
     val v = TxLog.optimize(spark, table, targetBytes,
-      zorder = zorder, statsCol = statsCol)
+      zorder = zorder, statsCol = statsCol,
+      where = whereSql.map(org.apache.spark.sql.functions.expr))
     Seq(Row(v, before, TxLog.snapshot(table).files.size))
   }
 }
 
-case class VacuumTxLogCommand(table: String, retainVersions: Long, graceMs: Long)
+case class VacuumTxLogCommand(table: String, retainVersions: Long,
+    graceMs: Long, dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("deleted_files", LongType, nullable = false)())
+    AttributeReference("deleted_files", LongType, nullable = false)(),
+    AttributeReference("dry_run", BooleanType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.vacuum(table, retainVersions, graceMs)))
+    Seq(Row(TxLog.vacuum(table, retainVersions, graceMs, dryRun), dryRun))
 }
 
 case class RestoreTxLogCommand(table: String, version: Long)

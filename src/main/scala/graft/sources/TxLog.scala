@@ -1511,19 +1511,49 @@ object TxLog {
     * files, and swapped in a single optimistic commit (re-derived against
     * the fresh tip on conflict, like merge). `statsCol` re-records per-file
     * min/max so file-scoped MERGE keeps pruning against compacted output.
-    * Returns the committed version, or 0 if fewer than `minFiles`
-    * candidates made compaction worthwhile. */
+    * `where` bounds the compaction to files whose recorded stats MAY hold
+    * a matching row (Delta's scoped OPTIMIZE) — "compact yesterday's
+    * ingest" without touching the rest of a 100 TB table. Returns the
+    * committed version, or 0 if fewer than `minFiles` candidates made
+    * compaction worthwhile. */
   def optimize(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
       zorder: Option[(String, String)] = None, statsCol: Option[String] = None,
-      maxRetries: Int = 16): Long = {
+      maxRetries: Int = 16, where: Option[Column] = None): Long = {
     var attempt = 0
     while (true) {
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
-      val candidates = replay.live.keysIterator.filter { p =>
+      val small = replay.live.keysIterator.filter { p =>
         try Files.size(Paths.get(p)) < targetBytes
         catch { case _: java.io.IOException => false }
       }.toSeq
+      // OPTIMIZE WHERE (Delta's partition-scoped OPTIMIZE, on stats): bound
+      // the compaction to files that MAY hold a matching row — the recorded
+      // envelopes against the resolved predicate, same conservative test as
+      // every skipping site. On a 100 TB table "compact yesterday's ingest"
+      // must not re-read the other 99.9%; optimize is content-neutral, so a
+      // conservatively-included file costs I/O only, never correctness.
+      val candidates = where match {
+        case None => small
+        case Some(pred) =>
+          val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+          val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+            try {
+              reader.parquet(replay.live.keysIterator.toSeq: _*).where(pred)
+                .queryExecution.analyzed.collectFirst {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+                }
+            } catch { case _: Exception => None }
+          val tzId = spark.sessionState.conf.sessionLocalTimeZone
+          resolved match {
+            case Some(cond) => small.filter { p =>
+              val stats = parseStatsAll(replay.live(p))
+                .map(st => st.col -> ((st.min, st.max))).toMap
+              StatsSkipping.mayContain(stats, cond, tzId)
+            }
+            case None => small
+          }
+      }
       if (candidates.size < math.max(2, minFiles)) return 0L
       val totalBytes = candidates.map(p => Files.size(Paths.get(p))).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -1662,9 +1692,13 @@ object TxLog {
     * (relative, `./`-prefixed, …) while `Files.walk` yields the CALLER's
     * spelling — exact string comparison between the two can miss every live
     * file and delete the whole table. Both sides are normalized to absolute
-    * paths before the keep-set membership test. */
+    * paths before the keep-set membership test.
+    *
+    * `dryRun = true` (VACUUM's safety preview — Delta has the same switch)
+    * walks the identical eligibility logic and returns the would-delete
+    * count WITHOUT touching a byte — run it before a retention change. */
   def vacuum(table: String, retainVersions: Long = 0L,
-      graceMs: Long = DefaultVacuumGraceMs): Long = {
+      graceMs: Long = DefaultVacuumGraceMs, dryRun: Boolean = false): Long = {
     val tip = latestVersion(table)
     val keepFrom = math.max(1L, tip - retainVersions)
     // union of live sets of every retained snapshot, normalized
@@ -1696,7 +1730,7 @@ object TxLog {
              catch { case _: java.io.IOException => false }) // raced a delete: skip
         }
         .toList
-    }.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    }.foreach { p => if (!dryRun) Files.deleteIfExists(p); deleted += 1 }
     // a writer that crashed between createTempFile and its finally block
     // leaves .tmp-*/.ckpt-* litter in _txlog; published commits/checkpoints
     // never start with '.', so age-guarded dot-file deletion is safe
@@ -1710,7 +1744,7 @@ object TxLog {
                catch { case _: java.io.IOException => false })
           }
           .toList
-      }.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      }.foreach { p => if (!dryRun) Files.deleteIfExists(p); deleted += 1 }
     }
     deleted
   }

@@ -231,8 +231,20 @@ class TxLogFileIndex(spark: SparkSession, table: String,
   * stageFiles wrote them under). */
 private[sources] object StatsSkipping {
 
-  def mayContain(stats: Map[String, (String, String)], e: Expression,
+  /** Fold foldable subtrees to literals before pattern-matching: an
+    * ANALYZED (pre-optimizer) predicate spells `k <= 109` on a bigint
+    * column as `k <= CAST(109 AS BIGINT)` — a foldable Cast, not a Literal
+    * — and the shape patterns below would conservatively give up on it.
+    * A subtree whose eval throws stays unfolded (and therefore unproven). */
+  private def fold(e: Expression): Expression = e.transformUp {
+    case x if x.foldable && !x.isInstanceOf[Literal] =>
+      try Literal.create(x.eval(), x.dataType)
+      catch { case _: Exception => x }
+  }
+
+  def mayContain(stats: Map[String, (String, String)], e0: Expression,
       tzId: String): Boolean = {
+    val e = fold(e0)
     val tz = Some(tzId)
     // stat-string vs literal comparison in the literal's own type; a cast
     // that fails (TRY → null) or a non-boolean eval keeps the file
@@ -292,7 +304,8 @@ private[sources] object StatsSkipping {
     * a referenced column must never be dropped whole on envelope evidence.
     */
   def mustMatchAll(stats: Map[String, (String, String)],
-      nulls: Map[String, Long], e: Expression, tzId: String): Boolean = {
+      nulls: Map[String, Long], e0: Expression, tzId: String): Boolean = {
+    val e = fold(e0)
     val tz = Some(tzId)
     // stat-string vs literal comparison in the literal's own type; a cast
     // that fails (TRY → null) or a non-boolean eval is NOT a proof

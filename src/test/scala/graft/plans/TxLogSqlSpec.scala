@@ -134,6 +134,37 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE WHERE compacts only stat-matching files; VACUUM DRY RUN deletes nothing") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("optwhere")
+      // four small range-disjoint stat files: slice s holds [s*100, s*100+9]
+      for (slice <- 0 until 4)
+        TxLog.append((0 until 10).map(i => (slice * 100L + i, s"s$slice"))
+          .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+      val before = TxLog.snapshot(t).files.toSet
+      // k <= 109 scopes the compaction to slices 0 and 1; the other two
+      // files must survive IN PLACE
+      val r = s.sql(s"OPTIMIZE TXLOG '$t' WHERE k <= 109 STATS k").head()
+      assert(r.getLong(0) == 5L)
+      assert(r.getInt(1) == 4 && r.getInt(2) == 3,
+        "two scoped files compact into one; two out-of-scope files survive")
+      val after = TxLog.snapshot(t).files.toSet
+      assert(before.count(after.contains) == 2,
+        "the out-of-scope files must keep their paths")
+      assert(TxLog.snapshot(t).read(s).count() == 40L, "optimize is content-neutral")
+      // a rewrite made version 5; retain nothing, dry-run first
+      val dry = s.sql(s"VACUUM TXLOG '$t' GRACE 0 DRY RUN").head()
+      assert(dry.getLong(0) == 2L && dry.getBoolean(1),
+        s"dry run must count the two retired files, got ${dry.getLong(0)}")
+      assert(TxLog.snapshot(t, asOf = 4L).read(s).count() == 40L,
+        "dry run must not delete — the pre-optimize snapshot still reads")
+      val real = s.sql(s"VACUUM TXLOG '$t' GRACE 0").head()
+      assert(real.getLong(0) == 2L && !real.getBoolean(1))
+      assert(TxLog.snapshot(t).read(s).count() == 40L)
+    }
+  }
+
   test("INSERT INTO/OVERWRITE txlog.`path` writes through the transactional verbs") {
     withExtSession { s =>
       import s.implicits._
@@ -210,6 +241,13 @@ class TxLogSqlSpec extends SparkSpec {
       Some(VacuumTxLogCommand("/t", 3L, TxLog.DefaultVacuumGraceMs)))
     assert(TxLogSql.parse("vacuum txlog '/t' grace 0;") ==
       Some(VacuumTxLogCommand("/t", 0L, 0L)))
+    assert(TxLogSql.parse("OPTIMIZE TXLOG '/t' WHERE k <= 5 STATS k") ==
+      Some(OptimizeTxLogCommand("/t", 128L * 1024 * 1024, None, Some("k"), Some("k <= 5"))))
+    assert(TxLogSql.parse("VACUUM TXLOG '/t' GRACE 0 DRY RUN") ==
+      Some(VacuumTxLogCommand("/t", 0L, 0L, dryRun = true)))
+    assert(TxLogSql.parse("UPDATE TXLOG '/t' SET a = 1, b = a WHERE k = 5 STATS k") ==
+      Some(UpdateTxLogCommand("/t", "a = 1, b = a", "k = 5", Some("k"))))
+    assert(TxLogSql.parse("UPDATE plain SET a = 1 WHERE k = 5") == None)
     assert(TxLogSql.parse("DESCRIBE HISTORY TXLOG '/t'") ==
       Some(DescribeHistoryTxLogCommand("/t")))
     assert(TxLogSql.parse("restore txlog '/t' version as of 7") ==
