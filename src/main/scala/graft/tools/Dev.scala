@@ -598,6 +598,27 @@ object Dev {
           val after = graft.sources.TxLog.snapshot(t).files.toSet
           s"~0.5% key band removed, rewrote ${(before -- after).size} files"
         }
+        step("point-update") {
+          val k = src.agg(max("o_orderkey")).head.getLong(0)
+          val before = graft.sources.TxLog.snapshot(t).files.toSet
+          graft.sources.TxLog.update(spark, t, col("o_orderkey") === k,
+            Map("o_totalprice" -> (col("o_totalprice") * lit(2.0))),
+            statsCol = Some("o_orderkey"))
+          val after = graft.sources.TxLog.snapshot(t).files.toSet
+          s"1-row SET rewrote ${(before -- after).size} of ${before.size} files"
+        }
+        step("covered-delete") {
+          // the clustered append's re-keyed band sits wholly above the
+          // original keys: stats + zero nulls prove every row matches, so
+          // the retraction is pure metadata — nothing read, nothing staged
+          val v = graft.sources.TxLog.latestVersion(t)
+          graft.sources.TxLog.delete(spark, t,
+            col("o_orderkey") >= 1000000000000L, statsCol = Some("o_orderkey"))
+          val staged = graft.sources.TxLog.changes(t, v, v + 1)
+            .headOption.map(_.added.size).getOrElse(0)
+          s"whole-band retraction: ${graft.sources.TxLog.deleteCoveredFiles.get} " +
+            s"files dropped as metadata, $staged staged"
+        }
         step("reject-violation") {
           import spark.implicits._
           val tip = graft.sources.TxLog.latestVersion(t)
@@ -624,7 +645,10 @@ object Dev {
           s"as-of first commit reads $n rows (expected $srcRows): ${n == srcRows}"
         }
         step("vacuum") {
-          s"${graft.sources.TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)} unreferenced files collected"
+          val dry = graft.sources.TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L,
+            dryRun = true)
+          val real = graft.sources.TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)
+          s"dry-run previewed $dry, then collected $real (match=${dry == real})"
         }
         println(s"LAKE table=$t history=${graft.sources.TxLog.history(t).map(_.op).reverse.mkString("→")}")
 
