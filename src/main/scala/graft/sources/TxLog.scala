@@ -740,6 +740,44 @@ object TxLog {
     }
   }
 
+  /** Is `v`'s commit provably independent of a PREDICATE-scoped rewrite
+    * (delete/update) that removes/rewrites `ourFiles` under resolved
+    * condition `cond`? Provable from the commit file alone, no data I/O:
+    * it removed no file we touch, carried no schema or constraint action,
+    * and every file it ADDED has stats that PROVABLY EXCLUDE any
+    * predicate-matching row — `mayContain == false` is exactly that proof
+    * (the test is conservative-true, so false is never a guess). A
+    * stats-less add, an unresolvable predicate, or an unrecognized shape
+    * is NOT provable and forces the conservative re-derive. The serial
+    * history "winner, then us" then holds with our SAME actions: the
+    * winner's adds hold no row our predicate touches, and its removes
+    * touch none of our files. */
+  private def commitIsDisjointForPredicate(table: String, v: Long,
+      ourFiles: Set[String],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      tzId: String): Boolean = {
+    val p = versionPath(table, v)
+    if (!Files.exists(p)) return true
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    if (lines.exists(l => parseSchema(l).isDefined)) return false
+    if (lines.exists(l =>
+        parseConstraint(l).isDefined || parseDropConstraint(l).isDefined)) return false
+    cond match {
+      case None => false // nothing provable about an unresolved predicate
+      case Some(c) =>
+        lines.forall { l =>
+          parseAction(l) match {
+            case Some(("remove", path)) => !ourFiles.contains(path)
+            case Some(("add", _)) =>
+              val ss = parseStatsAll(l)
+              ss.nonEmpty && !StatsSkipping.mayContain(
+                ss.map(st => st.col -> ((st.min, st.max))).toMap, c, tzId)
+            case _ => true
+          }
+        }
+    }
+  }
+
   /** Row-level transactional DELETE — the retraction half of the lakehouse
     * write surface (GDPR erasure, bad-batch retraction; the reference's own
     * append-only design names exactly this gap: ingest dedup by "most
@@ -771,12 +809,18 @@ object TxLog {
     * same gating as merge/overwrite (a delete's adds are rewritten survivor
     * rows, not new data).
     *
-    * On a version conflict the WHOLE operation re-derives against the new
-    * tip — a concurrent append may land rows the predicate must also delete,
-    * and an arbitrary predicate offers no disjointness proof, so delete
-    * always takes the conservative serializable path. `statsCol` re-records
-    * per-file min/max on the rewritten output so merges/pruned reads keep
-    * pruning against post-delete files. Returns the committed version. */
+    * On a version conflict, DISJOINT-COMMIT ADMISSION (the same Delta §3.2
+    * rule merge applies, with the stats test as the proof): when every
+    * winning commit removed none of our files, changed no schema or
+    * constraint, and added only files whose recorded stats PROVABLY
+    * exclude a predicate-matching row (`mayContain == false`), the SAME
+    * actions re-commit at the next slot — concurrent retention deletes and
+    * appends on disjoint key ranges each pay one derivation. Anything
+    * unprovable (stats-less adds, unrecognized predicate shapes) re-derives
+    * against the new tip, the conservative serializable path. `statsCol`
+    * re-records per-file min/max on the rewritten output so merges/pruned
+    * reads keep pruning against post-delete files. Returns the committed
+    * version. */
   /** Candidate-file count of the last delete's touch scan (test/diagnostic
     * instrumentation for the phase-0 log-stats prune). -1 = no delete ran. */
   private[graft] val deleteCandidateFiles =
@@ -789,10 +833,25 @@ object TxLog {
   private[graft] val deleteCoveredFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Full delete derivations since JVM start (prune + touch scan +
+    * rewrite). An admitted conflict re-commits the SAME actions and must
+    * NOT increment this. */
+  private[graft] val deleteDerivations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook, invoked just before each delete commit attempt. */
+  private[graft] var deleteCommitHook: () => Unit = () => ()
+
+  /** Full update derivations since JVM start — see [[deleteDerivations]]. */
+  private[graft] val updateDerivations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook, invoked just before each update commit attempt. */
+  private[graft] var updateCommitHook: () => Unit = () => ()
+
   def delete(spark: SparkSession, table: String, predicate: Column,
       statsCol: Option[String] = None, maxRetries: Int = 16): Long = {
     var attempt = 0
     while (true) {
+      deleteDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (replay.live.isEmpty) return replay.tip
       val live = replay.live.keysIterator.toSeq
@@ -863,16 +922,27 @@ object TxLog {
           table, statsCol)
       val removes = (covered.toSeq ++ touched)
         .map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      try {
-        commit(table, replay.tip + 1, adds ++ removes, "delete")
-        maybeCheckpoint(table, replay.tip + 1)
-        return replay.tip + 1
-      } catch {
-        case _: VersionConflict =>
-          attempt += 1
-          if (attempt > maxRetries)
-            sys.error(s"delete lost $maxRetries version races on $table")
-        // staged files of the failed attempt stay unreferenced → vacuum
+      val ourFiles = covered ++ touched
+      var base = replay.tip
+      var rederive = false
+      while (!rederive) {
+        try {
+          deleteCommitHook()
+          commit(table, base + 1, adds ++ removes, "delete")
+          maybeCheckpoint(table, base + 1)
+          return base + 1
+        } catch {
+          case _: VersionConflict =>
+            attempt += 1
+            if (attempt > maxRetries)
+              sys.error(s"delete lost $maxRetries version races on $table")
+            val newTip = latestVersion(table)
+            if ((base + 1 to newTip).forall(v => commitIsDisjointForPredicate(
+                table, v, ourFiles, resolvedCond, tzId)))
+              base = newTip
+            else rederive = true
+          // staged files of a re-derived attempt stay unreferenced → vacuum
+        }
       }
     }
     -1L
@@ -914,16 +984,19 @@ object TxLog {
     * violation, so the staged bytes are enforced before the commit
     * publishes. The commit's op is `"update"` — a rewrite op, gating
     * [[readChanges]] and the streaming source exactly like merge/delete.
-    * On a version conflict the WHOLE operation re-derives against the new
-    * tip (an arbitrary predicate offers no disjointness proof). `statsCol`
-    * re-records per-file min/max on the rewritten output. Returns the
-    * committed version. */
+    * On a version conflict, the same DISJOINT-COMMIT ADMISSION as delete:
+    * a winner that removed none of our files, changed no schema or
+    * constraint, and added only files whose stats provably exclude a
+    * predicate-matching row lets the SAME actions re-commit; anything
+    * unprovable re-derives. `statsCol` re-records per-file min/max on the
+    * rewritten output. Returns the committed version. */
   def update(spark: SparkSession, table: String, predicate: Column,
       set: Map[String, Column], statsCol: Option[String] = None,
       maxRetries: Int = 16): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     var attempt = 0
     while (true) {
+      updateDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (replay.live.isEmpty) return replay.tip
       val live = replay.live.keysIterator.toSeq
@@ -992,16 +1065,27 @@ object TxLog {
       val adds = stageFiles(updated, table, statsCol)
       val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
-      try {
-        commit(table, replay.tip + 1, adds ++ removes, "update")
-        maybeCheckpoint(table, replay.tip + 1)
-        return replay.tip + 1
-      } catch {
-        case _: VersionConflict =>
-          attempt += 1
-          if (attempt > maxRetries)
-            sys.error(s"update lost $maxRetries version races on $table")
-        // staged files of the failed attempt stay unreferenced → vacuum
+      val ourFiles = touched.toSet
+      var base = replay.tip
+      var rederive = false
+      while (!rederive) {
+        try {
+          updateCommitHook()
+          commit(table, base + 1, adds ++ removes, "update")
+          maybeCheckpoint(table, base + 1)
+          return base + 1
+        } catch {
+          case _: VersionConflict =>
+            attempt += 1
+            if (attempt > maxRetries)
+              sys.error(s"update lost $maxRetries version races on $table")
+            val newTip = latestVersion(table)
+            if ((base + 1 to newTip).forall(v => commitIsDisjointForPredicate(
+                table, v, ourFiles, resolvedCond, tzId)))
+              base = newTip
+            else rederive = true
+          // staged files of a re-derived attempt stay unreferenced → vacuum
+        }
       }
     }
     -1L

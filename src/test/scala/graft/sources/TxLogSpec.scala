@@ -602,6 +602,103 @@ class TxLogSpec extends SparkSpec {
       "the rewrite path must still delete every matching row")
   }
 
+  test("delete admits provably-disjoint winners without re-deriving") {
+    import spark.implicits._
+    val t = freshTable("deladmit")
+    TxLog.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), t, statsCol = Some("k"))
+    // DISJOINT winner: a concurrent stats-bearing append far outside the
+    // predicate band steals the version slot mid-commit; the stats prove
+    // its adds hold no matching row, so the delete re-commits its SAME
+    // actions — exactly ONE derivation
+    TxLog.deleteDerivations.set(0L)
+    TxLog.deleteCommitHook = () => {
+      TxLog.deleteCommitHook = () => ()
+      TxLog.append((200 to 204).map(i => (i.toLong, s"n$i")).toDF("k", "v")
+        .repartition(1), t, statsCol = Some("k"))
+      ()
+    }
+    try {
+      val v = TxLog.delete(spark, t, col("k") >= 95L && col("k") <= 97L,
+        statsCol = Some("k"))
+      assert(v == 3L, "append won v2; the admitted delete lands at v3")
+    } finally TxLog.deleteCommitHook = () => ()
+    assert(TxLog.deleteDerivations.get == 1L,
+      s"disjoint winner must not force a re-derivation, saw ${TxLog.deleteDerivations.get}")
+    val ks = TxLog.snapshot(t).read(spark).select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(96L) && ks.contains(200L) && ks.contains(94L))
+
+    // OVERLAPPING winner: the concurrent append lands a row INSIDE the
+    // predicate — not provably disjoint, so the delete re-derives (two
+    // derivations) and, serialized after the winner, deletes BOTH copies
+    TxLog.deleteDerivations.set(0L)
+    TxLog.deleteCommitHook = () => {
+      TxLog.deleteCommitHook = () => ()
+      TxLog.append(Seq((50L, "dup")).toDF("k", "v").repartition(1), t,
+        statsCol = Some("k"))
+      ()
+    }
+    try TxLog.delete(spark, t, col("k") === 50L, statsCol = Some("k"))
+    finally TxLog.deleteCommitHook = () => ()
+    assert(TxLog.deleteDerivations.get == 2L,
+      s"an overlapping winner must re-derive, saw ${TxLog.deleteDerivations.get}")
+    assert(TxLog.snapshot(t).read(spark).filter(col("k") === 50L).count() == 0L,
+      "serialized after the winner, the delete must remove both copies")
+
+    // STATS-LESS winner: an opaque add is unprovable — conservative re-derive
+    TxLog.deleteDerivations.set(0L)
+    TxLog.deleteCommitHook = () => {
+      TxLog.deleteCommitHook = () => ()
+      TxLog.append(Seq((300L, "op")).toDF("k", "v").repartition(1), t) // no stats
+      ()
+    }
+    try TxLog.delete(spark, t, col("k") === 60L)
+    finally TxLog.deleteCommitHook = () => ()
+    assert(TxLog.deleteDerivations.get == 2L, "an opaque add is not provably disjoint")
+    val after = TxLog.snapshot(t).read(spark).select("k").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(60L) && after.contains(300L))
+  }
+
+  test("update admits provably-disjoint winners without re-deriving") {
+    import spark.implicits._
+    val t = freshTable("updadmit")
+    TxLog.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), t, statsCol = Some("k"))
+    TxLog.updateDerivations.set(0L)
+    TxLog.updateCommitHook = () => {
+      TxLog.updateCommitHook = () => ()
+      TxLog.append((200 to 204).map(i => (i.toLong, s"n$i")).toDF("k", "v")
+        .repartition(1), t, statsCol = Some("k"))
+      ()
+    }
+    try {
+      val v = TxLog.update(spark, t, col("k") >= 95L && col("k") <= 97L,
+        Map("v" -> upper(col("v"))), statsCol = Some("k"))
+      assert(v == 3L, "append won v2; the admitted update lands at v3")
+    } finally TxLog.updateCommitHook = () => ()
+    assert(TxLog.updateDerivations.get == 1L,
+      s"disjoint winner must not force a re-derivation, saw ${TxLog.updateDerivations.get}")
+    assert(rows(t).contains((96L, "V96")) && rows(t).contains((200L, "n200")))
+
+    // OVERLAPPING winner: its row is inside the predicate — re-derive and,
+    // serialized after the winner, update BOTH copies of the key
+    TxLog.updateDerivations.set(0L)
+    TxLog.updateCommitHook = () => {
+      TxLog.updateCommitHook = () => ()
+      TxLog.append(Seq((50L, "dup")).toDF("k", "v").repartition(1), t,
+        statsCol = Some("k"))
+      ()
+    }
+    try TxLog.update(spark, t, col("k") === 50L, Map("v" -> upper(col("v"))))
+    finally TxLog.updateCommitHook = () => ()
+    assert(TxLog.updateDerivations.get == 2L,
+      s"an overlapping winner must re-derive, saw ${TxLog.updateDerivations.get}")
+    val k50 = TxLog.snapshot(t).read(spark).filter(col("k") === 50L)
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(k50 == Set("V50", "DUP"),
+      s"serialized after the winner, both copies must be updated: $k50")
+  }
+
   test("update is file-scoped: untouched files survive by path identity, answer exact") {
     import spark.implicits._
     val t = freshTable("update")
