@@ -712,6 +712,44 @@ object RelationalQueries {
                    ELSE o_totalprice END AS o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
+  // EXACT row-level change feed at the gate: two appends, one UPDATE and
+  // one DELETE (both with change-data sidecars) replayed through
+  // readChangeFeed — every emitted row is an insert / update_preimage /
+  // update_postimage / delete stamped with its commit version, and the
+  // oracle reconstructs the exact same feed relationally. NOTE: TIMES the
+  // 4 writes (2 with sidecar staging) + the 3-scan feed read.
+  private val acidChangeFeed = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_cdf2", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(src.filter(col("o_orderkey") % 3 === 0).repartition(2), tbl)
+      graft.sources.TxLog.append(src.filter(col("o_orderkey") % 3 === 1).repartition(2), tbl)
+      graft.sources.TxLog.update(s, tbl, col("o_orderkey") % 10 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * lit(2.0))), changeFeed = true)
+      graft.sources.TxLog.delete(s, tbl, col("o_orderkey") % 10 === 1, changeFeed = true)
+      graft.sources.TxLog.readChangeFeed(s, tbl, 0L)
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+    },
+    Some("""SELECT * FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice, 'insert', 2
+              FROM orders WHERE o_orderkey % 3 = 1
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice, 'update_preimage', 3
+              FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice * 2.0, 'update_postimage', 3
+              FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 4
+              FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 1
+            ) ORDER BY _commit_version, o_orderkey, _change_type"""))
+
   // CONVERT TO TXLOG at the gate: a plain parquet directory (an orders
   // slice) adopted IN PLACE — no byte copied — with per-file stats computed
   // at convert time, then exercised as a full table by a file-scoped DELETE
@@ -1447,6 +1485,7 @@ object RelationalQueries {
     "acid_schema_evolution" -> acidSchemaEvolution,
     "acid_delete" -> acidDelete,
     "acid_update" -> acidUpdate,
+    "acid_change_feed" -> acidChangeFeed,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,
     "acid_timestamp_travel" -> acidTimestampTravel,

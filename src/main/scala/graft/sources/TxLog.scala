@@ -465,6 +465,38 @@ object TxLog {
     }
   }
 
+  /** Stage change-data rows (the Delta CDF sidecar shape): written under
+    * `<table>/_change_data/<uuid>/` — OUTSIDE the data area, so snapshot
+    * reads never see them — and referenced by `cdc` actions in the commit.
+    * The rows carry their own `_change_type` column. */
+  private def stageCdcFiles(df: DataFrame, table: String): Seq[String] = {
+    val stage = Paths.get(table, "_change_data", java.util.UUID.randomUUID().toString)
+    df.write.mode("error").parquet(stage.toString)
+    listParquet(stage).map(p => s"""{"cdc":{"path":${quote(p)}}}""")
+  }
+
+  private val CdcRe = """\{"cdc":\{"path":"((?:[^"\\]|\\.)*)"\}\}""".r
+
+  private def parseCdc(line: String): Option[String] = line match {
+    case CdcRe(p) => Some(unquote(p))
+    case _        => None
+  }
+
+  /** A remove whose file's rows were ALL deleted by the commit (the
+    * covered-file fast path) — flagged so the change feed can derive those
+    * deletions by reading the immutable removed file, keeping the
+    * whole-file drop a zero-read write while the feed stays exact. */
+  private def removeAllDeletedLine(path: String): String =
+    s"""{"remove":{"path":${quote(path)},"allDeleted":true}}"""
+
+  private val RemoveAllRe =
+    """\{"remove":\{"path":"((?:[^"\\]|\\.)*)","allDeleted":true\}\}""".r
+
+  private def parseRemoveAllDeleted(line: String): Option[String] = line match {
+    case RemoveAllRe(p) => Some(unquote(p))
+    case _              => None
+  }
+
   private def listParquet(dir: Path): Seq[String] =
     scala.util.Using.resource(Files.list(dir)) { s =>
       s.iterator().asScala
@@ -848,7 +880,8 @@ object TxLog {
   private[graft] var updateCommitHook: () => Unit = () => ()
 
   def delete(spark: SparkSession, table: String, predicate: Column,
-      statsCol: Option[String] = None, maxRetries: Int = 16): Long = {
+      statsCol: Option[String] = None, maxRetries: Int = 16,
+      changeFeed: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       deleteDerivations.incrementAndGet()
@@ -920,15 +953,26 @@ object TxLog {
         else stageFiles(
           reader.parquet(touched: _*).where(!coalesce(predicate, lit(false))),
           table, statsCol)
-      val removes = (covered.toSeq ++ touched)
-        .map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      // change-data sidecars (opt-in, Delta's enableChangeDataFeed shape):
+      // the rows this delete removes from REWRITTEN files, stamped
+      // 'delete' — one extra column-complete scan of the touched files.
+      // Covered files need no sidecar ever: their removes carry the
+      // allDeleted flag and the feed derives their deletions by reading
+      // the immutable removed file (the drop itself stays zero-read).
+      val cdcActs =
+        if (!changeFeed || touched.isEmpty) Seq.empty
+        else stageCdcFiles(
+          reader.parquet(touched: _*).where(coalesce(predicate, lit(false)))
+            .withColumn("_change_type", lit("delete")), table)
+      val removes = covered.toSeq.map(removeAllDeletedLine) ++
+        touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       val ourFiles = covered ++ touched
       var base = replay.tip
       var rederive = false
       while (!rederive) {
         try {
           deleteCommitHook()
-          commit(table, base + 1, adds ++ removes, "delete")
+          commit(table, base + 1, adds ++ cdcActs ++ removes, "delete")
           maybeCheckpoint(table, base + 1)
           return base + 1
         } catch {
@@ -992,7 +1036,7 @@ object TxLog {
     * rewritten output. Returns the committed version. */
   def update(spark: SparkSession, table: String, predicate: Column,
       set: Map[String, Column], statsCol: Option[String] = None,
-      maxRetries: Int = 16): Long = {
+      maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     var attempt = 0
     while (true) {
@@ -1063,6 +1107,19 @@ object TxLog {
         }
       }.toSeq: _*)
       val adds = stageFiles(updated, table, statsCol)
+      // change-data sidecars (opt-in): old and new images of exactly the
+      // rows the predicate hit — the assignments apply UNCONDITIONALLY to
+      // the post frame because every row in it is a TRUE row
+      val cdcActs =
+        if (!changeFeed) Seq.empty
+        else {
+          val hit = reader.parquet(touched: _*).where(coalesce(predicate, lit(false)))
+          val pre = hit.withColumn("_change_type", lit("update_preimage"))
+          val post = hit.select(tableSchema.fields.map { f =>
+            assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+          }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
+          stageCdcFiles(pre.unionByName(post), table)
+        }
       val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
       val ourFiles = touched.toSet
@@ -1071,7 +1128,7 @@ object TxLog {
       while (!rederive) {
         try {
           updateCommitHook()
-          commit(table, base + 1, adds ++ removes, "update")
+          commit(table, base + 1, adds ++ cdcActs ++ removes, "update")
           maybeCheckpoint(table, base + 1)
           return base + 1
         } catch {
@@ -1158,6 +1215,115 @@ object TxLog {
       .withColumn("__fp", uriPath(col("_metadata.file_path")))
     data.join(broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
       .drop("__fp")
+  }
+
+  /** EXACT row-level CHANGE FEED (Delta's CDF read): every row changed by
+    * the commits in (`fromExclusive`, `toInclusive`], stamped
+    * `_change_type` ('insert' / 'delete' / 'update_preimage' /
+    * 'update_postimage') and `_commit_version`. Unlike [[readChanges]] —
+    * the file-level feed whose rewrite handling re-emits whole files —
+    * this reads recorded change EVIDENCE:
+    *  - append/convert/clone commits: their adds, as 'insert';
+    *  - delete/update commits: their `cdc` sidecar files (written when
+    *    the verb ran with `changeFeed = true`), plus 'delete' rows derived
+    *    from removes flagged `allDeleted` (covered whole-file drops —
+    *    the flag is recorded free at write time, the rows read lazily
+    *    here, so the drop itself stays zero-read); a rewrite commit that
+    *    recorded NO sidecars is refused by version (the evidence does not
+    *    exist — rerun the verb with changeFeed on);
+    *  - overwrite/restore commits: derived exactly with no sidecars —
+    *    removes are 'delete' rows, adds are 'insert' rows (both file sets
+    *    are immutable and on disk until vacuum);
+    *  - optimize / metadata commits: skipped (no row changes);
+    *  - merge commits: refused (no sidecar recording on merge — use
+    *    [[readChanges]] with `includeRewrites` + key-dedup downstream).
+    *
+    * SCALE shape: THREE scans total (derived inserts, derived deletes,
+    * cdc rows), each attributed to its version by a broadcast O(files)
+    * join — never a per-version union plan. Reads under the range-end log
+    * schema. RETENTION: derived deletes read REMOVED files, so the feed
+    * reaches only as far back as vacuum retention — the same rule as time
+    * travel (and vacuum keeps each retained version's cdc sidecars). */
+  def readChangeFeed(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long = Long.MaxValue): DataFrame = {
+    val tip = math.min(latestVersion(table), toInclusive)
+    var inserts = Vector.empty[(String, Long)]
+    var deletes = Vector.empty[(String, Long)]
+    var cdcs    = Vector.empty[(String, Long)]
+    (math.max(1L, fromExclusive + 1) to tip).foreach { v =>
+      val p = versionPath(table, v)
+      if (Files.exists(p)) {
+        val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        val op = lines.iterator.flatMap(parseMeta).map(_._1).nextOption()
+          .getOrElse("append")
+        val adds = lines.flatMap(parseAction).collect { case ("add", path) => path }
+        val removes = lines.flatMap(parseAction).collect { case ("remove", path) => path }
+        val cdcFiles = lines.flatMap(parseCdc)
+        val allDel = lines.flatMap(parseRemoveAllDeleted)
+        op match {
+          case "append" | "convert" | "clone" =>
+            inserts ++= adds.map(_ -> v)
+          case "optimize" | "addConstraint" | "dropConstraint" => ()
+          case "delete" | "update" =>
+            if (cdcFiles.isEmpty && adds.nonEmpty)
+              throw new IllegalStateException(
+                s"readChangeFeed on $table: the $op at version $v rewrote files " +
+                  "but recorded no change-data sidecars — run the verb with " +
+                  "changeFeed = true (covered-only deletes need no sidecar)")
+            cdcs ++= cdcFiles.map(_ -> v)
+            deletes ++= allDel.map(_ -> v)
+          case "overwrite" | "restore" =>
+            deletes ++= removes.map(_ -> v)
+            inserts ++= adds.map(_ -> v)
+          case other =>
+            throw new IllegalStateException(
+              s"readChangeFeed on $table: no row-level change evidence for the " +
+                s"$other commit at version $v — use readChanges(includeRewrites " +
+                "= true) with key-dedup downstream")
+        }
+      }
+    }
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import spark.implicits._
+    val logSchema: StructType =
+      replayAdds(table, tip, useCheckpoint = true).schema match {
+        case Some(j) => schemaOf(j)
+        case None =>
+          val sample = (inserts ++ deletes ++ cdcs).map(_._1)
+          if (sample.isEmpty) snapshot(table, tip).read(spark).schema
+          else StructType(spark.read.parquet(sample: _*).schema
+            .filterNot(_.name == "_change_type"))
+      }
+    val cdcSchema = StructType(logSchema.fields :+
+      StructField("_change_type", StringType, nullable = true))
+    val uriPath = udf { (s: String) =>
+      if (s == null) null
+      else try new java.net.URI(s).getPath
+      catch { case _: java.net.URISyntaxException =>
+        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
+    }
+    def attributed(files: Vector[(String, Long)], readSchema: StructType,
+        typ: Option[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else {
+        val df = spark.read.schema(readSchema).parquet(files.map(_._1): _*)
+          .withColumn("__fp", uriPath(col("_metadata.file_path")))
+        val m = files.map { case (path, v) => (normalize(path), v) }
+        val joined = df
+          .join(broadcast(m.toDF("__fp", "_commit_version")), "__fp").drop("__fp")
+        Some(typ.fold(joined)(t => joined.withColumn("_change_type", lit(t))))
+      }
+    val frames = Seq(
+      attributed(inserts, logSchema, Some("insert")),
+      attributed(deletes, logSchema, Some("delete")),
+      attributed(cdcs, cdcSchema, None)).flatten
+    frames match {
+      case Nil =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), cdcSchema)
+          .withColumn("_commit_version", lit(null).cast("long"))
+      case fs => fs.reduce(_.unionByName(_))
+    }
   }
 
   /** Read-side DATA SKIPPING — the scan counterpart of merge's stats prune
@@ -1802,6 +1968,7 @@ object TxLog {
     val dataRoot = if (converted) Paths.get(table) else Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return 0L
     val logPrefix = logDir(table).toAbsolutePath.normalize
+    val cdcPrefix = Paths.get(table, "_change_data").toAbsolutePath.normalize
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     var deleted = 0L
     scala.util.Using.resource(Files.walk(dataRoot)) { s =>
@@ -1809,12 +1976,34 @@ object TxLog {
         .filter { p =>
           p.toString.endsWith(".parquet") &&
             !p.toAbsolutePath.normalize.startsWith(logPrefix) &&
+            !p.toAbsolutePath.normalize.startsWith(cdcPrefix) &&
             !keep.contains(normalize(p.toString)) &&
             (try Files.getLastModifiedTime(p).toMillis <= cutoff
              catch { case _: java.io.IOException => false }) // raced a delete: skip
         }
         .toList
     }.foreach { p => if (!dryRun) Files.deleteIfExists(p); deleted += 1 }
+    // change-data sidecars are retained with their COMMITS: a cdc file
+    // referenced by any commit in the retained window [keepFrom, tip]
+    // stays readable by readChangeFeed; older ones (and orphans from
+    // crashed writers, age-guarded like everything else) are collected
+    if (Files.isDirectory(cdcPrefix)) {
+      val keepCdc = (keepFrom to tip).flatMap { v =>
+        val cp = versionPath(table, v)
+        if (!Files.exists(cp)) Seq.empty
+        else Files.readAllLines(cp, StandardCharsets.UTF_8).asScala.flatMap(parseCdc)
+      }.map(normalize).toSet
+      scala.util.Using.resource(Files.walk(cdcPrefix)) { s =>
+        s.iterator().asScala
+          .filter { p =>
+            p.toString.endsWith(".parquet") &&
+              !keepCdc.contains(normalize(p.toString)) &&
+              (try Files.getLastModifiedTime(p).toMillis <= cutoff
+               catch { case _: java.io.IOException => false })
+          }
+          .toList
+      }.foreach { p => if (!dryRun) Files.deleteIfExists(p); deleted += 1 }
+    }
     // a writer that crashed between createTempFile and its finally block
     // leaves .tmp-*/.ckpt-* litter in _txlog; published commits/checkpoints
     // never start with '.', so age-guarded dot-file deletion is safe

@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.StructType
   *   spark.read.format("txlog").option("versionAsOf", 3).load(t)   // time travel
   *   spark.read.format("txlog").option("timestampAsOf", "2026-08-15T12:00:00Z").load(t)
   *   spark.read.format("txlog").option("startingVersion", 2).load(t) // batch CDF
+  *   spark.read.format("txlog").option("startingVersion", 2)
+  *     .option("readChangeFeed", "true").load(t)   // EXACT row-level feed
   *   df.write.format("txlog").mode("append"|"overwrite").save(t)
   *   df.write.format("txlog").option("clusterBy", "k").save(t)     // clustered write
   *
@@ -57,8 +59,17 @@ object TxLogBatch {
         require(!lower.contains("versionasof") && !lower.contains("timestampasof"),
           "startingVersion (change feed) cannot combine with versionAsOf/" +
             "timestampAsOf (snapshot) — pick one read mode")
-        changesRelation(sqlContext, table, sv.toLong,
-          lower.get("endingversion").map(_.toLong).getOrElse(Long.MaxValue),
+        val to = lower.get("endingversion").map(_.toLong).getOrElse(Long.MaxValue)
+        // readChangeFeed=true upgrades the file-level feed to the EXACT
+        // row-level one (sidecar-recorded + derived changes, _change_type
+        // stamped) — Delta's readChangeData option shape
+        if (lower.get("readchangefeed").exists(_.toBoolean)) {
+          require(!lower.contains("includerewrites"),
+            "readChangeFeed serves exact row-level changes — includeRewrites " +
+              "belongs to the file-level feed only")
+          dfRelation(sqlContext,
+            TxLog.readChangeFeed(sqlContext.sparkSession, table, sv.toLong, to))
+        } else changesRelation(sqlContext, table, sv.toLong, to,
           lower.get("includerewrites").exists(_.toBoolean))
       case None =>
         val byVersion = lower.get("versionasof").map(_.toLong)
@@ -159,14 +170,15 @@ object TxLogBatch {
     })
 
   private def changesRelation(ctx: SQLContext, table: String, from: Long,
-      to: Long, includeRewrites: Boolean): BaseRelation = {
-    val df = TxLog.readChanges(ctx.sparkSession, table, from, to, includeRewrites)
+      to: Long, includeRewrites: Boolean): BaseRelation =
+    dfRelation(ctx, TxLog.readChanges(ctx.sparkSession, table, from, to, includeRewrites))
+
+  private def dfRelation(ctx: SQLContext, df: DataFrame): BaseRelation =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = df.schema
       override def buildScan(): RDD[Row] = df.rdd
     }
-  }
 }
 
 /** [[FileIndex]] backed by the transaction log instead of a filesystem

@@ -97,6 +97,27 @@ class TxLogBatchSpec extends SparkSpec {
       "the delete rewrite re-emits its survivor row stamped with the delete")
   }
 
+  test("readChangeFeed option serves the exact row-level feed on the public reader") {
+    import spark.implicits._
+    val t = freshTable("cdfexact")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t) // v1
+    TxLog.update(spark, t, col("k") === 2L, Map("v" -> lit("B")),
+      changeFeed = true)                                                     // v2
+    TxLog.delete(spark, t, col("k") === 1L, changeFeed = true)               // v3
+    val feed = spark.read.format("txlog")
+      .option("startingVersion", 0).option("readChangeFeed", "true").load(t)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (1L, "a", "delete", 3L)))
+    // includeRewrites belongs to the file-level feed only
+    intercept[IllegalArgumentException](
+      spark.read.format("txlog").option("startingVersion", 0)
+        .option("readChangeFeed", "true").option("includeRewrites", "true").load(t))
+  }
+
   test("write path: SaveMode maps to the transactional verbs") {
     import spark.implicits._
     val t = freshTable("write")

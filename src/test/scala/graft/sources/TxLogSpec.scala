@@ -602,6 +602,85 @@ class TxLogSpec extends SparkSpec {
       "the rewrite path must still delete every matching row")
   }
 
+  test("readChangeFeed: exact row-level changes, derived and sidecar-recorded") {
+    import spark.implicits._
+    val t = freshTable("cdf2")
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1), t)                                             // v1
+    TxLog.update(spark, t, col("k") === 2L, Map("v" -> lit("B")),
+      changeFeed = true)                                              // v2
+    TxLog.delete(spark, t, col("k") === 1L, changeFeed = true)        // v3
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)                 // v4
+    TxLog.restore(t, 1L)                                              // v5
+    val feed = TxLog.readChangeFeed(spark, t, 0L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    val want = Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (1L, "a", "delete", 3L),
+      // overwrite derives exactly: survivors out, new rows in
+      (2L, "B", "delete", 4L), (3L, "c", "delete", 4L), (9L, "z", "insert", 4L),
+      // restore = the inverse, stamped with ITS version
+      (9L, "z", "delete", 5L),
+      (1L, "a", "insert", 5L), (2L, "b", "insert", 5L), (3L, "c", "insert", 5L))
+    assert(feed == want, s"feed mismatch:\n got ${feed.toSeq.sortBy(x => (x._4, x._1))}")
+    // a bounded range slices exactly
+    assert(TxLog.readChangeFeed(spark, t, 1L, 3L).collect().length == 3)
+  }
+
+  test("readChangeFeed: covered deletes derive free; unrecorded rewrites refuse") {
+    import spark.implicits._
+    val t = freshTable("cdf3")
+    // two range-disjoint stat files; delete one WHOLE band with NO sidecar
+    // opt-in — the allDeleted flag on the metadata drop is the evidence
+    for (slice <- 0 until 2)
+      TxLog.append((0 until 3).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.delete(spark, t, col("k") >= 100L)                          // v3, covered
+    assert(TxLog.deleteCoveredFiles.get == 1L)
+    val feed = TxLog.readChangeFeed(spark, t, 2L)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((100L, "delete", 3L), (101L, "delete", 3L), (102L, "delete", 3L)))
+    // a REWRITING delete without changeFeed recorded no evidence: refused,
+    // by version, with the remedy named
+    TxLog.delete(spark, t, col("k") === 1L)                           // v4, rewrite
+    val e = intercept[IllegalStateException](TxLog.readChangeFeed(spark, t, 3L))
+    assert(e.getMessage.contains("version 4") && e.getMessage.contains("changeFeed"))
+    // merge commits are refused too
+    TxLog.merge(Seq((2L, "M")).toDF("k", "v"), t, "k")                // v5
+    val e2 = intercept[IllegalStateException](TxLog.readChangeFeed(spark, t, 4L))
+    assert(e2.getMessage.contains("merge"))
+  }
+
+  test("vacuum keeps cdc sidecars of retained commits, collects older ones") {
+    import spark.implicits._
+    val t = freshTable("cdfvac")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t) // v1
+    TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit("A1")),
+      changeFeed = true)                                                     // v2
+    TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit("A2")),
+      changeFeed = true)                                                     // v3
+    def cdcCount = {
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(t, "_change_data")
+      if (!Files.isDirectory(d)) 0
+      else scala.util.Using.resource(Files.walk(d))(
+        _.iterator().asScala.count(_.toString.endsWith(".parquet")))
+    }
+    val before = cdcCount
+    assert(before > 0, "updates with changeFeed must stage sidecars")
+    // retain only the tip: v3's sidecars stay, v2's are collectible
+    TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)
+    assert(cdcCount < before, "v2's sidecars must be collected")
+    // the retained range still reads exactly
+    val recent = TxLog.readChangeFeed(spark, t, 2L)
+      .select("v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(recent == Set(("A1", "update_preimage"), ("A2", "update_postimage")))
+  }
+
   test("delete admits provably-disjoint winners without re-deriving") {
     import spark.implicits._
     val t = freshTable("deladmit")
