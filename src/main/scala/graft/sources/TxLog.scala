@@ -612,7 +612,8 @@ object TxLog {
   private[graft] var mergeCommitHook: () => Unit = () => ()
 
   def merge(updates: DataFrame, table: String, keyCol: String,
-      maxRetries: Int = 16, mergeSchema: Boolean = false): Long = {
+      maxRetries: Int = 16, mergeSchema: Boolean = false,
+      changeFeed: Boolean = false): Long = {
     val spark = updates.sparkSession
     val keyType = updates.schema(keyCol).dataType
     import spark.implicits._
@@ -681,7 +682,27 @@ object TxLog {
         }
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = mergeSchema)
-      val actions = stageFiles(merged, table, statsCol = Some(keyCol)) ++
+      // change-data sidecars (opt-in): a matched key emits its old row as
+      // 'update_preimage' and its update row as 'update_postimage'; an
+      // unmatched update row (null keys included — they match nothing) is
+      // an 'insert'. `touched` holds by construction EVERY file containing
+      // an update key, so `current` is the complete pre-image source.
+      val cdcActs =
+        if (!changeFeed) Seq.empty
+        else {
+          val presentKeys = current.select(col(keyCol)).distinct()
+          val pre = current
+            .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = updates.join(presentKeys, Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = updates.join(presentKeys, Seq(keyCol), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          stageCdcFiles(
+            pre.unionByName(post, allowMissingColumns = mergeSchema)
+              .unionByName(ins, allowMissingColumns = mergeSchema), table)
+        }
+      val actions = stageFiles(merged, table, statsCol = Some(keyCol)) ++ cdcActs ++
         touched.map(p => s"""{"remove":{"path":${quote(p)}}}""") ++ schemaActs
       // CHECK constraints gate the merged output (survivors + updates) —
       // one scan of the staged bytes, never the table; a violating update
@@ -1235,8 +1256,9 @@ object TxLog {
     *    removes are 'delete' rows, adds are 'insert' rows (both file sets
     *    are immutable and on disk until vacuum);
     *  - optimize / metadata commits: skipped (no row changes);
-    *  - merge commits: refused (no sidecar recording on merge — use
-    *    [[readChanges]] with `includeRewrites` + key-dedup downstream).
+    *  - merge commits: their sidecars when the merge ran with `changeFeed
+    *    = true` (matched keys as pre/post image pairs, unmatched update
+    *    rows as inserts); refused by version otherwise.
     *
     * SCALE shape: THREE scans total (derived inserts, derived deletes,
     * cdc rows), each attributed to its version by a broadcast O(files)
@@ -1275,6 +1297,12 @@ object TxLog {
           case "overwrite" | "restore" =>
             deletes ++= removes.map(_ -> v)
             inserts ++= adds.map(_ -> v)
+          case "merge" =>
+            if (cdcFiles.isEmpty)
+              throw new IllegalStateException(
+                s"readChangeFeed on $table: the merge at version $v recorded no " +
+                  "change-data sidecars — run the merge with changeFeed = true")
+            cdcs ++= cdcFiles.map(_ -> v)
           case other =>
             throw new IllegalStateException(
               s"readChangeFeed on $table: no row-level change evidence for the " +

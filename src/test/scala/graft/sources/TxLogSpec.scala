@@ -629,6 +629,20 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readChangeFeed(spark, t, 1L, 3L).collect().length == 3)
   }
 
+  test("readChangeFeed: merge sidecars emit pre/post pairs and inserts") {
+    import spark.implicits._
+    val t = freshTable("cdfmerge")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t) // v1
+    TxLog.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), t, "k",
+      changeFeed = true)                                                     // v2
+    val feed = TxLog.readChangeFeed(spark, t, 1L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(feed == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "insert", 2L)))
+  }
+
   test("readChangeFeed: covered deletes derive free; unrecorded rewrites refuse") {
     import spark.implicits._
     val t = freshTable("cdf3")
