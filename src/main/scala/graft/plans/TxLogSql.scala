@@ -27,9 +27,9 @@ import graft.sources.TxLog
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DESCRIBE DETAIL  TXLOG '<path>'
-  *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>]
-  *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>]
-  *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] USING <select-query>
+  *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED]
+  *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED]
+  *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] [CHANGEFEED] USING <select-query>
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   ALTER TXLOG '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TXLOG '<path>' DROP CONSTRAINT <name>
@@ -57,17 +57,17 @@ object TxLogSql {
   // the predicate is free SQL text (validated by Spark's own expression
   // parser inside the command); a trailing STATS clause is peeled off first
   private val DeleteRe = re(
-    s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+    s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
   // SET assignments and the predicate are free SQL text (each right-hand
   // side goes through Spark's own expression parser inside the command);
   // assignments split on TOP-LEVEL commas only, so `round(x, 2)` survives
   private val UpdateRe = re(
-    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
   // the source is free SQL text (validated by Spark's own plan parser
   // inside the command); upsert semantics are TxLog.merge's — same-key rows
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
   private val MergeRe = re(
-    s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
+    s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?(\\s+CHANGEFEED)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
   private val CloneRe = re(
     s"""\\s*CLONE\\s+TXLOG\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
   // the CHECK body is free SQL text inside the outer parens (validated by
@@ -138,15 +138,15 @@ object TxLogSql {
     val del = DeleteRe.matcher(sqlText)
     if (del.matches())
       return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
-        Option(del.group(3))))
+        Option(del.group(3)), changeFeed = del.group(4) != null))
     val up = UpdateRe.matcher(sqlText)
     if (up.matches())
       return Some(UpdateTxLogCommand(unq(up.group(1)), up.group(2), up.group(3),
-        Option(up.group(4))))
+        Option(up.group(4)), changeFeed = up.group(5) != null))
     val m = MergeRe.matcher(sqlText)
     if (m.matches())
       return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),
-        m.group(3) != null, m.group(4)))
+        m.group(3) != null, m.group(5), changeFeed = m.group(4) != null))
     val c = CloneRe.matcher(sqlText)
     if (c.matches())
       return Some(CloneTxLogCommand(unq(c.group(1)), unq(c.group(2)),
@@ -253,7 +253,8 @@ case class RestoreTxLogCommand(table: String, version: Long)
 }
 
 case class DeleteTxLogCommand(table: String, predicateSql: String,
-    statsCol: Option[String]) extends LeafRunnableCommand {
+    statsCol: Option[String], changeFeed: Boolean = false)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -265,14 +266,16 @@ case class DeleteTxLogCommand(table: String, predicateSql: String,
     // fails with Spark's parse error, not a regex surprise
     val before = TxLog.snapshot(table).files.toSet
     val v = TxLog.delete(spark, table,
-      org.apache.spark.sql.functions.expr(predicateSql), statsCol)
+      org.apache.spark.sql.functions.expr(predicateSql), statsCol,
+      changeFeed = changeFeed)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
   }
 }
 
 case class UpdateTxLogCommand(table: String, setSql: String,
-    predicateSql: String, statsCol: Option[String]) extends LeafRunnableCommand {
+    predicateSql: String, statsCol: Option[String], changeFeed: Boolean = false)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -292,14 +295,16 @@ case class UpdateTxLogCommand(table: String, setSql: String,
     }.toMap
     val before = TxLog.snapshot(table).files.toSet
     val v = TxLog.update(spark, table,
-      org.apache.spark.sql.functions.expr(predicateSql), assigns, statsCol)
+      org.apache.spark.sql.functions.expr(predicateSql), assigns, statsCol,
+      changeFeed = changeFeed)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
   }
 }
 
 case class MergeTxLogCommand(table: String, keyCol: String,
-    mergeSchema: Boolean, sourceSql: String) extends LeafRunnableCommand {
+    mergeSchema: Boolean, sourceSql: String, changeFeed: Boolean = false)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -310,7 +315,8 @@ case class MergeTxLogCommand(table: String, keyCol: String,
     // parse error; the delegating parser is not re-entered for TXLOG heads
     // because the source of a MERGE is a query, never a command
     val updates = spark.sql(sourceSql)
-    Seq(Row(TxLog.merge(updates, table, keyCol, mergeSchema = mergeSchema)))
+    Seq(Row(TxLog.merge(updates, table, keyCol, mergeSchema = mergeSchema,
+      changeFeed = changeFeed)))
   }
 }
 

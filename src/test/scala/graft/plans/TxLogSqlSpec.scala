@@ -134,6 +134,24 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("CHANGEFEED clause records sidecars readable by readChangeFeed") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("sqlcdf")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t)
+      s.sql(s"UPDATE TXLOG '$t' SET v = upper(v) WHERE k = 2 CHANGEFEED")
+      s.sql(s"DELETE FROM TXLOG '$t' WHERE k = 1 CHANGEFEED")
+      Seq((3L, "c")).toDF("k", "v").createOrReplaceTempView("mupd")
+      s.sql(s"MERGE INTO TXLOG '$t' KEY k CHANGEFEED USING SELECT * FROM mupd")
+      val feed = TxLog.readChangeFeed(s, t, 1L)
+        .select("k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed == Set(
+        (2L, "update_preimage"), (2L, "update_postimage"),
+        (1L, "delete"), (3L, "insert")))
+    }
+  }
+
   test("OPTIMIZE WHERE compacts only stat-matching files; VACUUM DRY RUN deletes nothing") {
     withExtSession { s =>
       import s.implicits._
@@ -248,6 +266,12 @@ class TxLogSqlSpec extends SparkSpec {
     assert(TxLogSql.parse("UPDATE TXLOG '/t' SET a = 1, b = a WHERE k = 5 STATS k") ==
       Some(UpdateTxLogCommand("/t", "a = 1, b = a", "k = 5", Some("k"))))
     assert(TxLogSql.parse("UPDATE plain SET a = 1 WHERE k = 5") == None)
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE k = 5 STATS k CHANGEFEED") ==
+      Some(DeleteTxLogCommand("/t", "k = 5", Some("k"), changeFeed = true)))
+    assert(TxLogSql.parse("UPDATE TXLOG '/t' SET a = 1 WHERE k = 5 CHANGEFEED") ==
+      Some(UpdateTxLogCommand("/t", "a = 1", "k = 5", None, changeFeed = true)))
+    assert(TxLogSql.parse("MERGE INTO TXLOG '/t' KEY k CHANGEFEED USING SELECT 1 AS k") ==
+      Some(MergeTxLogCommand("/t", "k", false, "SELECT 1 AS k", changeFeed = true)))
     assert(TxLogSql.parse("DESCRIBE HISTORY TXLOG '/t'") ==
       Some(DescribeHistoryTxLogCommand("/t")))
     assert(TxLogSql.parse("restore txlog '/t' version as of 7") ==
