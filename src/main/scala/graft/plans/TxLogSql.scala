@@ -60,9 +60,12 @@ object TxLogSql {
     s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
   // SET assignments and the predicate are free SQL text (each right-hand
   // side goes through Spark's own expression parser inside the command);
-  // assignments split on TOP-LEVEL commas only, so `round(x, 2)` survives
+  // assignments split on TOP-LEVEL commas only, so `round(x, 2)` survives.
+  // The SET/WHERE boundary is found by a quote/paren-aware scan, NOT by
+  // the regex — a lazy `(.+?)\s+WHERE` would split inside a string literal
+  // (`SET v = 'x where y' WHERE …`) and fail a valid statement.
   private val UpdateRe = re(
-    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
+    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
   // the source is free SQL text (validated by Spark's own plan parser
   // inside the command); upsert semantics are TxLog.merge's — same-key rows
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
@@ -106,6 +109,30 @@ object TxLogSql {
     }
   }
 
+  /** Find the first TOP-LEVEL occurrence of keyword `kw` (whitespace-
+    * delimited, case-insensitive, outside string literals and parens) and
+    * split around it. `SET v = 'x where y' WHERE k = 1` splits at the real
+    * WHERE, never inside the literal. */
+  private[plans] def splitTopLevelKeyword(s: String,
+      kw: String): Option[(String, String)] = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      else if (!inStr && depth == 0 &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          i > 0 && s.charAt(i - 1).isWhitespace &&
+          i + kw.length < s.length && s.charAt(i + kw.length).isWhitespace)
+        return Some((s.substring(0, i).trim, s.substring(i + kw.length).trim))
+      i += 1
+    }
+    None
+  }
+
   /** Parse one of the TXLOG statements, or None for anything else. */
   def parse(sqlText: String): Option[LogicalPlan] = {
     val o = OptimizeRe.matcher(sqlText)
@@ -140,9 +167,14 @@ object TxLogSql {
       return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
         Option(del.group(3)), changeFeed = del.group(4) != null))
     val up = UpdateRe.matcher(sqlText)
-    if (up.matches())
-      return Some(UpdateTxLogCommand(unq(up.group(1)), up.group(2), up.group(3),
-        Option(up.group(4)), changeFeed = up.group(5) != null))
+    if (up.matches()) {
+      val (setSql, predicateSql) = splitTopLevelKeyword(up.group(2), "WHERE")
+        .getOrElse(throw new IllegalArgumentException(
+          "UPDATE TXLOG needs a WHERE clause (an unconditional update is " +
+            "almost always a mistake — use WHERE true to mean it)"))
+      return Some(UpdateTxLogCommand(unq(up.group(1)), setSql, predicateSql,
+        Option(up.group(3)), changeFeed = up.group(4) != null))
+    }
     val m = MergeRe.matcher(sqlText)
     if (m.matches())
       return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),

@@ -624,7 +624,7 @@ object TxLog {
     val updBounds: Option[(Any, Any)] =
       updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx")).collect()
         .headOption.filterNot(_.isNullAt(0)).map(r => (r.get(0), r.get(1)))
-    var attempt = 0
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       mergeDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
@@ -722,28 +722,12 @@ object TxLog {
       // scoping + rewrite is not repeated. On a partitioned 100 TB table
       // two merges on disjoint key ranges are the common case; each now
       // pays exactly one derivation. Anything unprovable re-derives.
-      var base = tip
-      var rederive = false
-      while (!rederive) {
-        try {
-          mergeCommitHook()
-          commit(table, base + 1, actions, "merge")
-          maybeCheckpoint(table, base + 1)
-          return base + 1
-        } catch {
-          case _: VersionConflict =>
-            attempt += 1
-            if (attempt > maxRetries)
-              sys.error(s"merge lost $maxRetries version races on $table")
-            val newTip = latestVersion(table)
-            if ((base + 1 to newTip).forall(v => commitIsDisjoint(table, v,
-                ourRemoves, keyCol, keyType, updBounds,
-                spark.sessionState.conf.sessionLocalTimeZone)))
-              base = newTip
-            else rederive = true
-          // staged files of a re-derived attempt stay unreferenced → vacuum
-        }
-      }
+      commitAdmitting(table, tip, actions, "merge", () => mergeCommitHook,
+        attempts, maxRetries,
+        v => commitIsDisjoint(table, v, ourRemoves, keyCol, keyType, updBounds,
+          spark.sessionState.conf.sessionLocalTimeZone))
+        .foreach(v => return v)
+      // an unprovable winner: loop re-derives against the fresh tip
     }
     -1L
   }
@@ -831,6 +815,82 @@ object TxLog {
     }
   }
 
+  /** Resolve `predicate` against the table's rows — ANALYSIS only, no job:
+    * the Filter condition of `df.where(predicate)`, or None when the
+    * predicate does not analyze (callers then treat every file as a
+    * candidate). Shared by DELETE, UPDATE, and OPTIMIZE WHERE — one
+    * resolution discipline, not three. */
+  private def resolveCondition(df: DataFrame, predicate: Column):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try df.where(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    } catch { case _: Exception => None }
+
+  /** Phase-0 log-stats candidate prune shared by the predicate-scoped
+    * verbs: of `files`, those whose recorded envelopes MAY hold a
+    * cond-TRUE row (the conservative three-valued [[StatsSkipping]] test;
+    * an unresolved condition keeps everything). Zero data I/O. */
+  private def pruneByStats(files: Seq[String], replay: Replay,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      tzId: String): Seq[String] = cond match {
+    case None => files
+    case Some(c) => files.filter { p =>
+      val stats = parseStatsAll(replay.live(p))
+        .map(st => st.col -> ((st.min, st.max))).toMap
+      StatsSkipping.mayContain(stats, c, tzId)
+    }
+  }
+
+  /** Distributed TOUCH SCAN shared by DELETE/UPDATE: the files among
+    * `candidates` holding at least one predicate-TRUE row — column-pruned
+    * (only the predicate's columns are read), attributed back to log
+    * spellings through the URI decode. */
+  private def touchScan(reader: org.apache.spark.sql.DataFrameReader,
+      candidates: Seq[String], predicate: Column): Seq[String] =
+    if (candidates.isEmpty) Seq.empty
+    else {
+      val byAbs = candidates.map(p => normalize(p) -> p).toMap
+      reader.parquet(candidates: _*)
+        .where(predicate)
+        .select(col("_metadata.file_path").as("__fp")).distinct()
+        .collect()
+        .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
+        .toSeq
+    }
+
+  /** Optimistic commit loop with DISJOINT-COMMIT ADMISSION, shared by
+    * merge/delete/update: claims slots from `baseTip` + 1, advancing past
+    * winners `admits` proves independent (committing the SAME actions is
+    * then the serial history "winners, then us"). Returns Some(version) on
+    * success, None when an unprovable winner forces the caller to
+    * re-derive. `attempts` accumulates across re-derivations so the total
+    * race budget is `maxRetries`, not per-derivation. */
+  private def commitAdmitting(table: String, baseTip: Long, actions: Seq[String],
+      op: String, hook: () => (() => Unit),
+      attempts: java.util.concurrent.atomic.AtomicInteger, maxRetries: Int,
+      admits: Long => Boolean): Option[Long] = {
+    var base = baseTip
+    while (true) {
+      try {
+        // the hook FIELD is re-read per attempt (a test hook that replaces
+        // itself must not keep firing on retries), hence hook-of-hook
+        hook()()
+        commit(table, base + 1, actions, op)
+        maybeCheckpoint(table, base + 1)
+        return Some(base + 1)
+      } catch {
+        case _: VersionConflict =>
+          if (attempts.incrementAndGet() > maxRetries)
+            sys.error(s"$op lost $maxRetries version races on $table")
+          val newTip = latestVersion(table)
+          if ((base + 1 to newTip).forall(admits)) base = newTip
+          else return None
+        // staged files of a re-derived attempt stay unreferenced → vacuum
+      }
+    }
+    None
+  }
+
   /** Row-level transactional DELETE — the retraction half of the lakehouse
     * write surface (GDPR erasure, bad-batch retraction; the reference's own
     * append-only design names exactly this gap: ingest dedup by "most
@@ -903,38 +963,22 @@ object TxLog {
   def delete(spark: SparkSession, table: String, predicate: Column,
       statsCol: Option[String] = None, maxRetries: Int = 16,
       changeFeed: Boolean = false): Long = {
-    var attempt = 0
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       deleteDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (replay.live.isEmpty) return replay.tip
       val live = replay.live.keysIterator.toSeq
       val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-      // phase 0: log-stats candidate prune (zero data I/O) — resolve the
-      // predicate against the table schema, then test it per file against
-      // the recorded [min,max] envelopes with the SAME conservative
-      // three-valued logic the public reader's FileIndex skips with. A file
-      // whose stats provably exclude every predicate-TRUE row cannot be
-      // touched, so it never even reaches the touch scan — at 100k files a
-      // range delete stops paying per-file open/footer cost for the 99%
-      // of the table it cannot affect. Anything unprovable (no stats,
-      // unrecognized shapes, unparsable strings) stays a candidate.
-      val resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-        try {
-          reader.parquet(live: _*).where(predicate)
-            .queryExecution.analyzed.collectFirst {
-              case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-            }
-        } catch { case _: Exception => None }
+      // phase 0: log-stats candidate prune (zero data I/O) — a file whose
+      // stats provably exclude every predicate-TRUE row never even reaches
+      // the touch scan: at 100k files a range delete stops paying per-file
+      // open/footer cost for the 99% of the table it cannot affect.
+      // Anything unprovable (no stats, unrecognized shapes, unparsable
+      // strings) stays a candidate.
+      val resolvedCond = resolveCondition(reader.parquet(live: _*), predicate)
       val tzId = spark.sessionState.conf.sessionLocalTimeZone
-      val candidates: Seq[String] = resolvedCond match {
-        case Some(cond) => live.filter { p =>
-          val stats = parseStatsAll(replay.live(p))
-            .map(st => st.col -> ((st.min, st.max))).toMap
-          StatsSkipping.mayContain(stats, cond, tzId)
-        }
-        case None => live
-      }
+      val candidates = pruneByStats(live, replay, resolvedCond, tzId)
       deleteCandidateFiles.set(candidates.size)
       if (candidates.isEmpty) return replay.tip
       // phase 0.5: WHOLE-FILE drops (Delta's fully-covered-file delete) —
@@ -955,16 +999,7 @@ object TxLog {
         case None => Set.empty
       }
       deleteCoveredFiles.set(covered.size)
-      val scanCands = candidates.filterNot(covered)
-      val byAbs = scanCands.map(p => normalize(p) -> p).toMap
-      val touched: Seq[String] =
-        if (scanCands.isEmpty) Seq.empty
-        else reader.parquet(scanCands: _*)
-          .where(predicate)
-          .select(col("_metadata.file_path").as("__fp")).distinct()
-          .collect()
-          .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
-          .toSeq
+      val touched = touchScan(reader, candidates.filterNot(covered), predicate)
       if (covered.isEmpty && touched.isEmpty) return replay.tip
       // keep rows where the predicate is FALSE or NULL (SQL DELETE keeps
       // null-valued predicates — only TRUE rows go); covered files stage
@@ -988,27 +1023,11 @@ object TxLog {
       val removes = covered.toSeq.map(removeAllDeletedLine) ++
         touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       val ourFiles = covered ++ touched
-      var base = replay.tip
-      var rederive = false
-      while (!rederive) {
-        try {
-          deleteCommitHook()
-          commit(table, base + 1, adds ++ cdcActs ++ removes, "delete")
-          maybeCheckpoint(table, base + 1)
-          return base + 1
-        } catch {
-          case _: VersionConflict =>
-            attempt += 1
-            if (attempt > maxRetries)
-              sys.error(s"delete lost $maxRetries version races on $table")
-            val newTip = latestVersion(table)
-            if ((base + 1 to newTip).forall(v => commitIsDisjointForPredicate(
-                table, v, ourFiles, resolvedCond, tzId)))
-              base = newTip
-            else rederive = true
-          // staged files of a re-derived attempt stay unreferenced → vacuum
-        }
-      }
+      commitAdmitting(table, replay.tip, adds ++ cdcActs ++ removes, "delete",
+        () => deleteCommitHook, attempts, maxRetries,
+        v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
+        .foreach(v => return v)
+      // an unprovable winner: loop re-derives against the fresh tip
     }
     -1L
   }
@@ -1059,7 +1078,7 @@ object TxLog {
       set: Map[String, Column], statsCol: Option[String] = None,
       maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
-    var attempt = 0
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       updateDerivations.incrementAndGet()
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
@@ -1090,33 +1109,14 @@ object TxLog {
               "cast explicitly for anything else")
         c -> v
       }.toMap
-      // phase 0: log-stats candidate prune (zero data I/O) — same shared
-      // conservative three-valued envelope test as delete and the public
-      // reader's FileIndex
-      val resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-        try {
-          tableDf.where(predicate).queryExecution.analyzed.collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-          }
-        } catch { case _: Exception => None }
+      // phase 0 + touch scan: the same shared machinery as delete —
+      // conservative envelope prune, then the column-pruned TRUE-row scan
+      val resolvedCond = resolveCondition(tableDf, predicate)
       val tzId = spark.sessionState.conf.sessionLocalTimeZone
-      val candidates: Seq[String] = resolvedCond match {
-        case Some(cond) => live.filter { p =>
-          val stats = parseStatsAll(replay.live(p))
-            .map(st => st.col -> ((st.min, st.max))).toMap
-          StatsSkipping.mayContain(stats, cond, tzId)
-        }
-        case None => live
-      }
+      val candidates = pruneByStats(live, replay, resolvedCond, tzId)
       updateCandidateFiles.set(candidates.size)
       if (candidates.isEmpty) return replay.tip
-      val byAbs = candidates.map(p => normalize(p) -> p).toMap
-      val touched: Seq[String] = reader.parquet(candidates: _*)
-        .where(predicate)
-        .select(col("_metadata.file_path").as("__fp")).distinct()
-        .collect()
-        .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
-        .toSeq
+      val touched = touchScan(reader, candidates, predicate)
       if (touched.isEmpty) return replay.tip
       // ONE Project over the old rows: TRUE rows take the SET expressions
       // (all evaluated against the old row), FALSE/NULL rows pass through
@@ -1144,27 +1144,11 @@ object TxLog {
       val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
       val ourFiles = touched.toSet
-      var base = replay.tip
-      var rederive = false
-      while (!rederive) {
-        try {
-          updateCommitHook()
-          commit(table, base + 1, adds ++ cdcActs ++ removes, "update")
-          maybeCheckpoint(table, base + 1)
-          return base + 1
-        } catch {
-          case _: VersionConflict =>
-            attempt += 1
-            if (attempt > maxRetries)
-              sys.error(s"update lost $maxRetries version races on $table")
-            val newTip = latestVersion(table)
-            if ((base + 1 to newTip).forall(v => commitIsDisjointForPredicate(
-                table, v, ourFiles, resolvedCond, tzId)))
-              base = newTip
-            else rederive = true
-          // staged files of a re-derived attempt stay unreferenced → vacuum
-        }
-      }
+      commitAdmitting(table, replay.tip, adds ++ cdcActs ++ removes, "update",
+        () => updateCommitHook, attempts, maxRetries,
+        v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
+        .foreach(v => return v)
+      // an unprovable winner: loop re-derives against the fresh tip
     }
     -1L
   }
@@ -1219,21 +1203,8 @@ object TxLog {
     }
     import spark.implicits._
     val reader = schemaOpt.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-    // _metadata.file_path is URI-spelled (file:///a%20b/…) and
-    // percent-encodes specials; the broadcast side holds plain decoded
-    // paths, so the join key must DECODE, not just strip the scheme — a
-    // table path with a space would otherwise silently drop every row from
-    // the feed. java.net.URI does exactly the %XX decode the encoder did
-    // (the same discipline as merge's touch-scan attribution); the fallback
-    // covers a raw unencoded path, where stripping the scheme suffices.
-    val uriPath = udf { (s: String) =>
-      if (s == null) null
-      else try new java.net.URI(s).getPath
-      catch { case _: java.net.URISyntaxException =>
-        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
-    }
-    val data = reader.parquet(fileVer.map(_._1): _*)
-      .withColumn("__fp", uriPath(col("_metadata.file_path")))
+    val data = reader.parquet(fileVer.map(_._1).distinct: _*)
+      .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
     data.join(broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
       .drop("__fp")
   }
@@ -1324,19 +1295,21 @@ object TxLog {
       }
     val cdcSchema = StructType(logSchema.fields :+
       StructField("_change_type", StringType, nullable = true))
-    val uriPath = udf { (s: String) =>
-      if (s == null) null
-      else try new java.net.URI(s).getPath
-      catch { case _: java.net.URISyntaxException =>
-        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
-    }
     def attributed(files: Vector[(String, Long)], readSchema: StructType,
         typ: Option[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val df = spark.read.schema(readSchema).parquet(files.map(_._1): _*)
-          .withColumn("__fp", uriPath(col("_metadata.file_path")))
-        val m = files.map { case (path, v) => (normalize(path), v) }
+        // paths MUST dedupe before the scan: a file attributed to several
+        // versions (append v1, overwrite-removed v4, restore re-added v5)
+        // appears once per version in `files`, and spark.read.parquet(p, p)
+        // reads the rows TWICE — each physical copy would then join every
+        // matching version entry, squaring the duplication. One physical
+        // read per file; the broadcast join alone fans rows out to their
+        // versions, which is exactly the multiplicity the feed owes.
+        val df = spark.read.schema(readSchema)
+          .parquet(files.map(_._1).distinct: _*)
+          .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
+        val m = files.map { case (path, v) => (normalize(path), v) }.distinct
         val joined = df
           .join(broadcast(m.toDF("__fp", "_commit_version")), "__fp").drop("__fp")
         Some(typ.fold(joined)(t => joined.withColumn("_change_type", lit(t))))
@@ -1815,22 +1788,9 @@ object TxLog {
         case None => small
         case Some(pred) =>
           val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-          val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-            try {
-              reader.parquet(replay.live.keysIterator.toSeq: _*).where(pred)
-                .queryExecution.analyzed.collectFirst {
-                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-                }
-            } catch { case _: Exception => None }
-          val tzId = spark.sessionState.conf.sessionLocalTimeZone
-          resolved match {
-            case Some(cond) => small.filter { p =>
-              val stats = parseStatsAll(replay.live(p))
-                .map(st => st.col -> ((st.min, st.max))).toMap
-              StatsSkipping.mayContain(stats, cond, tzId)
-            }
-            case None => small
-          }
+          pruneByStats(small, replay,
+            resolveCondition(reader.parquet(replay.live.keysIterator.toSeq: _*), pred),
+            spark.sessionState.conf.sessionLocalTimeZone)
       }
       if (candidates.size < math.max(2, minFiles)) return 0L
       val totalBytes = candidates.map(p => Files.size(Paths.get(p))).sum
@@ -1979,9 +1939,27 @@ object TxLog {
       graceMs: Long = DefaultVacuumGraceMs, dryRun: Boolean = false): Long = {
     val tip = latestVersion(table)
     val keepFrom = math.max(1L, tip - retainVersions)
-    // union of live sets of every retained snapshot, normalized
-    val keep = (keepFrom to tip).flatMap(v => snapshot(table, v).files)
-      .map(normalize).toSet
+    // derived change-feed EVIDENCE of retained commits: a covered delete's
+    // allDeleted remove is the ONLY record of its deleted rows (no sidecar,
+    // by design), so those files survive exactly as long as their commits
+    // are retained — the same retention the cdc sidecars get below;
+    // without this, the oldest retained version's feed would lose its
+    // derived deletions while keeping its sidecars. Deliberately NOT
+    // extended to overwrite/restore removes: inside the retained window
+    // those files are live in the PRECEDING retained snapshot (feed for
+    // commit v reads version v−1's files), and keeping them past snapshot
+    // retention would let an overwrite-churn table defeat vacuum entirely
+    // — only the boundary commit keepFrom loses derived overwrite
+    // evidence, the same edge time travel has.
+    val keepEvidence = (keepFrom to tip).flatMap { v =>
+      val cp = versionPath(table, v)
+      if (!Files.exists(cp)) Seq.empty
+      else Files.readAllLines(cp, StandardCharsets.UTF_8).asScala
+        .flatMap(parseRemoveAllDeleted)
+    }
+    // union of live sets of every retained snapshot + retained evidence
+    val keep = ((keepFrom to tip).flatMap(v => snapshot(table, v).files) ++
+      keepEvidence).map(normalize).toSet
     // sweep scope: CONVERTed tables (version 1's op is "convert") own their
     // WHOLE root — the adopted originals live outside data/ and must be
     // collectible once a rewrite retires them. Every other table sweeps
@@ -2052,6 +2030,22 @@ object TxLog {
 
   private def normalize(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** `_metadata.file_path` is URI-spelled (file:///a%20b/…) and percent-
+    * encodes specials, while log lines hold plain decoded paths — so every
+    * file→version attribution join must DECODE, not just strip the scheme,
+    * or a table path containing e.g. a space silently drops its rows from
+    * the feed. `java.net.URI` does exactly the %XX decode the encoder did;
+    * the fallback covers a raw unencoded path, where stripping the scheme
+    * suffices. ONE definition, shared by readChanges and readChangeFeed —
+    * the decode discipline is too subtle to keep two copies honest. */
+  private lazy val uriPathUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else try new java.net.URI(s).getPath
+      catch { case _: java.net.URISyntaxException =>
+        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
+    }
 
   // -- tiny JSON helpers (actions are a fixed shape; no parser dependency) --
 

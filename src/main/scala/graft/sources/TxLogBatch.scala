@@ -72,6 +72,11 @@ object TxLogBatch {
         } else changesRelation(sqlContext, table, sv.toLong, to,
           lower.get("includerewrites").exists(_.toBoolean))
       case None =>
+        // a feed ask without a range must fail loudly — serving a snapshot
+        // where change events were expected is a silent wrong answer
+        require(!lower.contains("readchangefeed"),
+          "readChangeFeed needs a version range: set option(\"startingVersion\", " +
+            "...) [and optionally endingVersion]")
         val byVersion = lower.get("versionasof").map(_.toLong)
         val byTime = lower.get("timestampasof").map(parseTs)
         require(byVersion.isEmpty || byTime.isEmpty,

@@ -125,6 +125,12 @@ class TxLogSqlSpec extends SparkSpec {
         else (i.toLong, i.toLong * 10, s"v$i")
       }.toSet
       assert(got == want)
+      // the SET/WHERE boundary is quote-aware: a literal containing the
+      // word 'where' must not split the statement there
+      s.sql(s"UPDATE TXLOG '$t' SET v = 'x where y' WHERE k = 1")
+      assert(TxLog.snapshot(t).read(s).filter(
+        org.apache.spark.sql.functions.col("k") === 1L)
+        .select("v").head().getString(0) == "x where y")
       // duplicate SET targets are refused
       intercept[Exception](
         s.sql(s"UPDATE TXLOG '$t' SET n = 1, n = 2 WHERE k = 1"))

@@ -116,6 +116,10 @@ class TxLogBatchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.read.format("txlog").option("startingVersion", 0)
         .option("readChangeFeed", "true").option("includeRewrites", "true").load(t))
+    // a feed ask without a range is refused — a silent snapshot where
+    // change events were expected would be a wrong answer
+    intercept[IllegalArgumentException](
+      spark.read.format("txlog").option("readChangeFeed", "true").load(t))
   }
 
   test("write path: SaveMode maps to the transactional verbs") {

@@ -625,6 +625,13 @@ class TxLogSpec extends SparkSpec {
       (9L, "z", "delete", 5L),
       (1L, "a", "insert", 5L), (2L, "b", "insert", 5L), (3L, "c", "insert", 5L))
     assert(feed == want, s"feed mismatch:\n got ${feed.toSeq.sortBy(x => (x._4, x._1))}")
+    // EXACT multiplicity, not just the set: the restore re-adds v1's file,
+    // so the same path carries versions 1 AND 5 — the scan must read each
+    // file once and let the attribution join alone fan rows to versions
+    // (duplicate paths into one parquet() call would read rows twice and
+    // square the duplication)
+    assert(TxLog.readChangeFeed(spark, t, 0L).count() == want.size.toLong,
+      "feed must emit each change exactly once")
     // a bounded range slices exactly
     assert(TxLog.readChangeFeed(spark, t, 1L, 3L).collect().length == 3)
   }
@@ -693,6 +700,26 @@ class TxLogSpec extends SparkSpec {
       .select("v", "_change_type").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(recent == Set(("A1", "update_preimage"), ("A2", "update_postimage")))
+  }
+
+  test("vacuum keeps the derived-delete evidence of retained commits") {
+    import spark.implicits._
+    val t = freshTable("cdfvac2")
+    // a covered whole-file drop records NO sidecar — its evidence IS the
+    // removed file, which must survive vacuum exactly as long as its
+    // commit is retained, or the retained tip's feed breaks while its
+    // sidecars (had it been a rewrite) would have been kept
+    for (slice <- 0 until 2)
+      TxLog.append((0 until 3).map(i => (slice * 100L + i, s"s$slice"))
+        .toDF("k", "v").repartition(1), t, statsCol = Some("k"))
+    TxLog.delete(spark, t, col("k") >= 100L)          // v3 = covered drop (tip)
+    assert(TxLog.deleteCoveredFiles.get == 1L)
+    TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)
+    val feed = TxLog.readChangeFeed(spark, t, 2L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((100L, "delete"), (101L, "delete"), (102L, "delete")),
+      "the retained tip's derived deletions must still read after vacuum")
   }
 
   test("delete admits provably-disjoint winners without re-deriving") {
