@@ -45,7 +45,8 @@ class TxChaosSpec extends SparkSpec {
             Seq(b -> s"t${i}a", (b + 1) -> s"t${i}a").toDF("k", "v"), t,
             statsCol = Some("k")))
           committed.add(TxLog.merge(
-            Seq(b -> s"t${i}B", (b + 2) -> s"t${i}n").toDF("k", "v"), t, "k"))
+            Seq(b -> s"t${i}B", (b + 2) -> s"t${i}n").toDF("k", "v"), t, "k",
+            changeFeed = true))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
           // thread 1 races a CHECK constraint into the middle of the storm:
@@ -57,19 +58,19 @@ class TxChaosSpec extends SparkSpec {
           committed.add(TxLog.append(
             Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
           committed.add(TxLog.merge(
-            Seq((b + 1) -> s"t${i}C").toDF("k", "v"), t, "k"))
+            Seq((b + 1) -> s"t${i}C").toDF("k", "v"), t, "k", changeFeed = true))
           // in-place edit under the storm: k0 exists (thread-owned), so the
           // update always touches a row and commits a version; its rewrite
           // races every other thread's commits and must re-derive cleanly
           committed.add(TxLog.update(spark, t,
             org.apache.spark.sql.functions.col("k") === b,
             Map("v" -> org.apache.spark.sql.functions.lit(s"t${i}U")),
-            statsCol = Some("k")))
+            statsCol = Some("k"), changeFeed = true))
           // retraction under the storm: k3 exists (this thread appended it,
           // keys are thread-owned) so the delete always commits a version
           committed.add(TxLog.delete(spark, t,
             org.apache.spark.sql.functions.col("k") === (b + 3),
-            statsCol = Some("k")))
+            statsCol = Some("k"), changeFeed = true))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
           if (i == 1) committed.add(TxLog.dropConstraint(t, "nonneg"))
@@ -129,5 +130,24 @@ class TxChaosSpec extends SparkSpec {
         s"version $v references a missing file")
       TxLog.snapshot(t, v).read(spark).count() // must not throw
     }
+
+    // the EXACT change feed, recorded under full contention (every verb ran
+    // with changeFeed = true), REPLAYS to the final table: fold each key's
+    // changes in version order — within one version an update's preimage
+    // sorts before its postimage — and the derived end state must equal the
+    // table byte for byte. This is the CDC consumer's contract: a feed that
+    // drops, duplicates, or mis-orders a change under racing writers would
+    // diverge here.
+    val feedRows = TxLog.readChangeFeed(spark, t, 0L)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+    val derived: Set[(Long, String)] = feedRows.groupBy(_.getLong(0)).flatMap {
+      case (k, rs) =>
+        val last = rs.maxBy(r => (r.getLong(3),
+          if (r.getString(2) == "update_preimage") 0 else 1))
+        if (last.getString(2) == "delete") None
+        else Some((k, last.getString(1)))
+    }.toSet
+    assert(derived == want,
+      s"feed-derived state diverged from the table under contention")
   }
 }
