@@ -46,8 +46,12 @@ object TxLogSql {
 
   // path is a single-quoted SQL string literal ('' escapes a quote)
   private val P = "'((?:[^']|'')*)'"
+  // when WHERE is present its free text swallows everything to the end and
+  // a trailing STATS clause is peeled by [[peelTail]] (quote/paren-aware and
+  // parse-checked, not regex); without WHERE the fixed-position STATS group
+  // still applies
   private val OptimizeRe = re(
-    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+WHERE\\s+(.+?))?(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
+    s"""\\s*OPTIMIZE\\s+TXLOG\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?(?:\\s+WHERE\\s+(.+?)|\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
   private val VacuumRe = re(
     s"""\\s*VACUUM\\s+TXLOG\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
   private val HistoryRe = re(s"""\\s*DESCRIBE\\s+HISTORY\\s+TXLOG\\s+$P\\s*;?\\s*""")
@@ -55,17 +59,22 @@ object TxLogSql {
   private val RestoreRe = re(
     s"""\\s*RESTORE\\s+TXLOG\\s+$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
   // the predicate is free SQL text (validated by Spark's own expression
-  // parser inside the command); a trailing STATS clause is peeled off first
+  // parser inside the command); it captures to the end of the statement and
+  // trailing STATS/CHANGEFEED clauses are peeled by [[peelTail]] — a
+  // quote/paren-aware, parse-checked scan, NOT regex groups, because a
+  // predicate legitimately ending in a bare identifier named like a clause
+  // keyword (`WHERE is_active AND changefeed`) must stay a predicate
   private val DeleteRe = re(
-    s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
+    s"""\\s*DELETE\\s+FROM\\s+TXLOG\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*""")
   // SET assignments and the predicate are free SQL text (each right-hand
   // side goes through Spark's own expression parser inside the command);
   // assignments split on TOP-LEVEL commas only, so `round(x, 2)` survives.
   // The SET/WHERE boundary is found by a quote/paren-aware scan, NOT by
   // the regex — a lazy `(.+?)\s+WHERE` would split inside a string literal
-  // (`SET v = 'x where y' WHERE …`) and fail a valid statement.
+  // (`SET v = 'x where y' WHERE …`) and fail a valid statement. The
+  // predicate side then peels STATS/CHANGEFEED via [[peelTail]].
   private val UpdateRe = re(
-    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)(?:\\s+STATS\\s+([\\w,]+))?(?:\\s+(CHANGEFEED))?\\s*;?\\s*""")
+    s"""\\s*UPDATE\\s+TXLOG\\s+$P\\s+SET\\s+(.+?)\\s*;?\\s*""")
   // the source is free SQL text (validated by Spark's own plan parser
   // inside the command); upsert semantics are TxLog.merge's — same-key rows
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
@@ -133,10 +142,90 @@ object TxLogSql {
     None
   }
 
+  /** Index of the LAST top-level occurrence of keyword `kw` — whitespace-
+    * delimited (or string-final), case-insensitive, outside string literals
+    * and parens. The backward-looking sibling of [[splitTopLevelKeyword]],
+    * for peeling TRAILING clauses. */
+  private def lastTopLevelKeyword(s: String, kw: String): Option[Int] = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    var last = -1
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      else if (!inStr && depth == 0 &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          i > 0 && s.charAt(i - 1).isWhitespace &&
+          (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace))
+        last = i
+      i += 1
+    }
+    if (last < 0) None else Some(last)
+  }
+
+  private def parsesAsExpression(s: String): Boolean =
+    try {
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      // parseExpression accepts a trailing bare word as an ALIAS (`a AND`
+      // parses as a AS `AND`, not a syntax error) — but a predicate is
+      // never a top-level alias, so an Alias result means the candidate
+      // was NOT a complete predicate and the peel that produced it is wrong
+      !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
+    } catch { case _: Exception => false }
+
+  /** Peel optional trailing `STATS <col[,col…]>` / `CHANGEFEED` clauses off
+    * free predicate text. Quote/paren-aware AND parse-checked: a candidate
+    * peel is accepted only when the remaining predicate parses as a SQL
+    * expression, so `WHERE is_active AND changefeed` (a COLUMN named
+    * changefeed) stays a whole predicate — peeling it would leave the
+    * unparsable `is_active AND` — while `WHERE is_active CHANGEFEED` peels
+    * the flag. When both readings parse, the clause interpretation wins
+    * (quote the identifier into a subexpression to force the other).
+    * Returns (predicateSql, statsCols, changeFeed). */
+  private[plans] def peelTail(raw: String,
+      allowChangeFeed: Boolean = true): (String, Option[String], Boolean) = {
+    val s = raw.trim
+    val StatsColsRe = """(?is)\s*([\w,]+)\s*""".r
+    def peelStats(t: String): Option[(String, String)] =
+      lastTopLevelKeyword(t, "STATS").flatMap { i =>
+        t.substring(i + "STATS".length) match {
+          case StatsColsRe(cols) => Some((t.substring(0, i).trim, cols))
+          case _                 => None
+        }
+      }
+    val candidates: Seq[(String, Option[String], Boolean)] = {
+      val cf: Seq[(String, Option[String], Boolean)] =
+        if (!allowChangeFeed) Seq.empty
+        else lastTopLevelKeyword(s, "CHANGEFEED").toSeq
+          .filter(i => s.substring(i + "CHANGEFEED".length).isBlank)
+          .map(i => s.substring(0, i).trim)
+          .flatMap { pre =>
+            peelStats(pre).map { case (p, cols) => (p, Some(cols), true) }.toSeq :+
+              ((pre, Option.empty[String], true))
+          }
+      val st = peelStats(s).map { case (p, cols) => (p, Some(cols), false) }.toSeq
+      cf ++ st
+    }
+    candidates.find(c => parsesAsExpression(c._1))
+      .getOrElse((s, None, false)) // no peel parses: the whole text is the
+                                   // predicate and fails loudly downstream
+                                   // in Spark's own parser if malformed
+  }
+
   /** Parse one of the TXLOG statements, or None for anything else. */
   def parse(sqlText: String): Option[LogicalPlan] = {
     val o = OptimizeRe.matcher(sqlText)
     if (o.matches()) {
+      // WHERE text swallows a trailing STATS clause; peel it parse-checked
+      val (whereSql, peeledStats) = Option(o.group(5)) match {
+        case Some(w) =>
+          val (pred, st, _) = peelTail(w, allowChangeFeed = false)
+          (Some(pred), st)
+        case None => (None, None)
+      }
       return Some(OptimizeTxLogCommand(
         unq(o.group(1)),
         Option(o.group(2)).map(_.toLong).getOrElse(128L * 1024 * 1024),
@@ -144,8 +233,8 @@ object TxLogSql {
           case (Some(x), Some(y)) => Some((x, y))
           case _                  => None
         },
-        Option(o.group(6)),
-        Option(o.group(5))))
+        peeledStats.orElse(Option(o.group(6))),
+        whereSql))
     }
     val v = VacuumRe.matcher(sqlText)
     if (v.matches()) {
@@ -163,17 +252,20 @@ object TxLogSql {
     if (r.matches())
       return Some(RestoreTxLogCommand(unq(r.group(1)), r.group(2).toLong))
     val del = DeleteRe.matcher(sqlText)
-    if (del.matches())
-      return Some(DeleteTxLogCommand(unq(del.group(1)), del.group(2),
-        Option(del.group(3)), changeFeed = del.group(4) != null))
+    if (del.matches()) {
+      val (pred, stats, cf) = peelTail(del.group(2))
+      return Some(DeleteTxLogCommand(unq(del.group(1)), pred, stats,
+        changeFeed = cf))
+    }
     val up = UpdateRe.matcher(sqlText)
     if (up.matches()) {
-      val (setSql, predicateSql) = splitTopLevelKeyword(up.group(2), "WHERE")
+      val (setSql, whereTail) = splitTopLevelKeyword(up.group(2), "WHERE")
         .getOrElse(throw new IllegalArgumentException(
           "UPDATE TXLOG needs a WHERE clause (an unconditional update is " +
             "almost always a mistake — use WHERE true to mean it)"))
+      val (predicateSql, stats, cf) = peelTail(whereTail)
       return Some(UpdateTxLogCommand(unq(up.group(1)), setSql, predicateSql,
-        Option(up.group(3)), changeFeed = up.group(4) != null))
+        stats, changeFeed = cf))
     }
     val m = MergeRe.matcher(sqlText)
     if (m.matches())
@@ -318,7 +410,14 @@ case class UpdateTxLogCommand(table: String, setSql: String,
     // expression parser (via expr) — standard SQL in, Spark's parse error
     // out; simultaneous-assignment semantics live in TxLog.update
     val parsed = TxLogSql.splitAssignments(setSql)
-    val dups = parsed.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
+    // dedupe under the SESSION's resolution semantics: with the default
+    // case-insensitive analysis, `SET a=1, A=2` is a duplicate target and
+    // must be refused HERE — .toMap below would silently keep both spellings
+    // as distinct keys and the resolver inside TxLog.update picks a winner
+    val ci = !spark.sessionState.conf.caseSensitiveAnalysis
+    val dups = parsed
+      .groupBy(p => if (ci) p._1.toLowerCase(Locale.ROOT) else p._1)
+      .collect { case (c, as) if as.size > 1 => c }
     require(dups.isEmpty,
       s"UPDATE assigns ${dups.mkString(", ")} more than once (SQL refuses " +
         "duplicate SET targets — the winner would be silent)")

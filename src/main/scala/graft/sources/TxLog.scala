@@ -1087,14 +1087,29 @@ object TxLog {
       val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
       val tableDf = reader.parquet(live: _*)
       val tableSchema = tableDf.schema
-      set.keys.find(c => !tableSchema.fieldNames.contains(c)).foreach { c =>
-        throw new SchemaMismatch(
-          s"update: SET column $c is not in the table schema " +
-            s"(${tableSchema.fieldNames.mkString(", ")}) — UPDATE never adds columns")
+      // SET targets resolve with the SESSION resolver (case-insensitive by
+      // default, like every column reference Spark analyzes) and are keyed
+      // by the TABLE's spelling from here on — `SET V = ...` on column `v`
+      // must hit `v`, not throw, and two targets that resolve to the SAME
+      // field (`SET a=1, A=2` under the default resolver) are refused:
+      // a Map would keep both and the rewrite Project would pick one winner
+      // silently
+      val resolver = spark.sessionState.conf.resolver
+      val setSeq: Seq[(String, Column)] = set.toSeq.map { case (c, e) =>
+        val f = tableSchema.fields.find(f => resolver(f.name, c)).getOrElse(
+          throw new SchemaMismatch(
+            s"update: SET column $c is not in the table schema " +
+              s"(${tableSchema.fieldNames.mkString(", ")}) — UPDATE never adds columns"))
+        f.name -> e
+      }
+      setSeq.groupBy(_._1).collect { case (n, as) if as.size > 1 => n } match {
+        case dups if dups.nonEmpty => throw new SchemaMismatch(
+          s"update: SET assigns ${dups.mkString(", ")} more than once after " +
+            "column resolution — the winner would be silent")
+        case _ => ()
       }
       // resolved types of the SET expressions over the OLD row — an
       // analysis-only probe (limit 0), no data read, no job
-      val setSeq = set.toSeq
       val probe = tableDf.limit(0).select(setSeq.map(_._2): _*).schema
       val assigns: Map[String, Column] = setSeq.zipWithIndex.map { case ((c, e), i) =>
         val want = tableSchema(c).dataType
@@ -1258,9 +1273,15 @@ object TxLog {
             inserts ++= adds.map(_ -> v)
           case "optimize" | "addConstraint" | "dropConstraint" => ()
           case "delete" | "update" =>
-            if (cdcFiles.isEmpty && adds.nonEmpty)
+            // the refusal condition is UNRECORDED ROW REMOVALS, not "staged
+            // adds": any remove not flagged allDeleted means rows went away
+            // whose evidence is neither derivable (the flag) nor recorded
+            // (a sidecar) — including a rewrite that happened to stage zero
+            // survivor files, which the old adds-based proxy would have
+            // silently omitted from the feed
+            if (cdcFiles.isEmpty && removes.exists(!allDel.toSet(_)))
               throw new IllegalStateException(
-                s"readChangeFeed on $table: the $op at version $v rewrote files " +
+                s"readChangeFeed on $table: the $op at version $v removed rows " +
                   "but recorded no change-data sidecars — run the verb with " +
                   "changeFeed = true (covered-only deletes need no sidecar)")
             cdcs ++= cdcFiles.map(_ -> v)

@@ -301,6 +301,55 @@ class TxLogSqlSpec extends SparkSpec {
       Some(CloneTxLogCommand("/a", "/b", 3L)))
   }
 
+  test("trailing STATS/CHANGEFEED peel is quote/paren-aware and parse-checked") {
+    // a predicate ENDING in a bare identifier that happens to be named like
+    // a clause keyword stays a predicate — the old regex peel truncated it
+    // to the unparsable `is_active AND` and rejected a valid statement
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE is_active AND changefeed") ==
+      Some(DeleteTxLogCommand("/t", "is_active AND changefeed", None)))
+    // STATS with no column list after it is predicate text, not a clause
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE a AND stats") ==
+      Some(DeleteTxLogCommand("/t", "a AND stats", None)))
+    // a real flag still peels
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE is_active CHANGEFEED") ==
+      Some(DeleteTxLogCommand("/t", "is_active", None, changeFeed = true)))
+    // clause keywords inside string literals never peel
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE v = 'a STATS b'") ==
+      Some(DeleteTxLogCommand("/t", "v = 'a STATS b'", None)))
+    assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE v = 'x CHANGEFEED'") ==
+      Some(DeleteTxLogCommand("/t", "v = 'x CHANGEFEED'", None)))
+    // both clauses after free predicate text with parens and commas
+    assert(TxLogSql.parse(
+      "UPDATE TXLOG '/t' SET a = 1 WHERE coalesce(flag, false) STATS k,ts CHANGEFEED") ==
+      Some(UpdateTxLogCommand("/t", "a = 1", "coalesce(flag, false)",
+        Some("k,ts"), changeFeed = true)))
+    // update predicate ending in the bare identifier keeps it too
+    assert(TxLogSql.parse("UPDATE TXLOG '/t' SET a = 1 WHERE b AND changefeed") ==
+      Some(UpdateTxLogCommand("/t", "a = 1", "b AND changefeed", None)))
+    // OPTIMIZE's WHERE text gets the same discipline (no CHANGEFEED there)
+    assert(TxLogSql.parse("OPTIMIZE TXLOG '/t' WHERE a AND stats") ==
+      Some(OptimizeTxLogCommand("/t", 128L * 1024 * 1024, None, None,
+        Some("a AND stats"))))
+    assert(TxLogSql.parse("OPTIMIZE TXLOG '/t' WHERE k <= 5 AND note = 'x' STATS k") ==
+      Some(OptimizeTxLogCommand("/t", 128L * 1024 * 1024, None, Some("k"),
+        Some("k <= 5 AND note = 'x'"))))
+  }
+
+  test("UPDATE SET duplicate targets are refused case-insensitively") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("setdup")
+      TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"UPDATE TXLOG '$t' SET v = 'x', V = 'y' WHERE k = 1").collect()
+      }
+      assert(e.getMessage.contains("more than once"))
+      // and a case-flipped single target resolves to the real column
+      s.sql(s"UPDATE TXLOG '$t' SET V = 'z' WHERE k = 1").collect()
+      assert(TxLog.snapshot(t).read(s).select("v").as[String].collect() === Array("z"))
+    }
+  }
+
   test("DESCRIBE DETAIL TXLOG summarizes the table in one metadata row") {
     withExtSession { s =>
       import s.implicits._

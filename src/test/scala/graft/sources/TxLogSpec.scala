@@ -675,6 +675,33 @@ class TxLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("merge"))
   }
 
+  test("readChangeFeed refuses a remove-only rewrite with no evidence (no adds)") {
+    import spark.implicits._
+    val t = freshTable("cdf4")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v").repartition(1), t)     // v1
+    // hand-crafted pathological commit: a delete that removed a file but
+    // staged NO adds and recorded no sidecar or allDeleted flag — the old
+    // adds-based guard silently omitted its deletions from the feed
+    val victim = TxLog.snapshot(t).files.head
+    TxLog.commit(t, 2L, Seq(s"""{"remove":{"path":"$victim"}}"""), "delete")
+    val e = intercept[IllegalStateException](TxLog.readChangeFeed(spark, t, 0L))
+    assert(e.getMessage.contains("version 2") && e.getMessage.contains("removed rows"))
+  }
+
+  test("update resolves SET targets with the session resolver (case-insensitive)") {
+    import spark.implicits._
+    val t = freshTable("updcase")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1), t)
+    // `SET V = ...` on column `v` resolves under the default resolver
+    TxLog.update(spark, t, col("k") === 1L, Map("V" -> lit("up")))
+    assert(TxLog.snapshot(t).read(spark).where(col("k") === 1L)
+      .select("v").as[String].head() == "up")
+    // two spellings of one column are a duplicate target, refused whole
+    val e = intercept[TxLog.SchemaMismatch](
+      TxLog.update(spark, t, lit(true), Map("v" -> lit("x"), "V" -> lit("y"))))
+    assert(e.getMessage.contains("more than once"))
+  }
+
   test("vacuum keeps cdc sidecars of retained commits, collects older ones") {
     import spark.implicits._
     val t = freshTable("cdfvac")
