@@ -712,6 +712,38 @@ object RelationalQueries {
                    ELSE o_totalprice END AS o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
+  // DELETION-VECTOR verbs at the gate (Delta's DV design): the same four
+  // range-sliced appends as acid_delete, then a ~1%-scatter DELETE and a
+  // ~1%-scatter UPDATE both through the DV path — neither rewrites a
+  // touched file; each publishes per-file bitmaps (the delete stages ZERO
+  // parquet, the update stages only postimage rows) and every later read
+  // masks. TxLogDvSpec proves the O(deleted rows) cost shape, feed
+  // derivation and absorption; this entry proves the ANSWER over the
+  // masked snapshot. NOTE: TIMES 4 writes + 2 bitmap commits + the read.
+  private val acidDeleteDv = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_dv", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(
+          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.delete(s, tbl, col("o_orderkey") % 101 === 0,
+        statsCol = Some("o_orderkey"), useDV = true)
+      graft.sources.TxLog.update(s, tbl, col("o_orderkey") % 103 === 0,
+        Map("o_custkey" -> (col("o_custkey") + lit(7))),
+        statsCol = Some("o_orderkey"), useDV = true)
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 7
+                   ELSE o_custkey END AS o_custkey,
+              o_totalprice
+            FROM orders WHERE o_orderkey % 101 <> 0 ORDER BY o_orderkey"""))
+
   // EXACT row-level change feed at the gate: two appends, one UPDATE and
   // one DELETE (both with change-data sidecars) replayed through
   // readChangeFeed — every emitted row is an insert / update_preimage /
@@ -1485,6 +1517,7 @@ object RelationalQueries {
     "acid_schema_evolution" -> acidSchemaEvolution,
     "acid_delete" -> acidDelete,
     "acid_update" -> acidUpdate,
+    "acid_delete_dv" -> acidDeleteDv,
     "acid_change_feed" -> acidChangeFeed,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,

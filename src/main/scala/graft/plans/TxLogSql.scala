@@ -27,8 +27,8 @@ import graft.sources.TxLog
   *   RESTORE  TXLOG '<path>' VERSION AS OF <n>
   *   DESCRIBE HISTORY TXLOG '<path>'
   *   DESCRIBE DETAIL  TXLOG '<path>'
-  *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED]
-  *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED]
+  *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED] [DV]
+  *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED] [DV]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] [CHANGEFEED] USING <select-query>
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   ALTER TXLOG '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
@@ -176,17 +176,22 @@ object TxLogSql {
       !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
     } catch { case _: Exception => false }
 
-  /** Peel optional trailing `STATS <col[,col…]>` / `CHANGEFEED` clauses off
-    * free predicate text. Quote/paren-aware AND parse-checked: a candidate
-    * peel is accepted only when the remaining predicate parses as a SQL
-    * expression, so `WHERE is_active AND changefeed` (a COLUMN named
-    * changefeed) stays a whole predicate — peeling it would leave the
-    * unparsable `is_active AND` — while `WHERE is_active CHANGEFEED` peels
-    * the flag. When both readings parse, the clause interpretation wins
-    * (quote the identifier into a subexpression to force the other).
-    * Returns (predicateSql, statsCols, changeFeed). */
+  /** Trailing clauses peeled off free predicate text. */
+  private[plans] final case class Peeled(predicateSql: String,
+      statsCol: Option[String], changeFeed: Boolean, dv: Boolean)
+
+  /** Peel optional trailing `STATS <col[,col…]>` and flag (`CHANGEFEED`,
+    * `DV`) clauses off free predicate text. Quote/paren-aware AND
+    * parse-checked: a candidate peel is accepted only when the remaining
+    * predicate parses as a SQL expression, so `WHERE is_active AND
+    * changefeed` (a COLUMN named changefeed) stays a whole predicate —
+    * peeling it would leave the unparsable `is_active AND` — while
+    * `WHERE is_active CHANGEFEED` peels the flag. When both readings parse,
+    * the clause interpretation wins (quote the identifier into a
+    * subexpression to force the other). Candidates try the most-peeled
+    * interpretation first. */
   private[plans] def peelTail(raw: String,
-      allowChangeFeed: Boolean = true): (String, Option[String], Boolean) = {
+      allowFlags: Boolean = true): Peeled = {
     val s = raw.trim
     val StatsColsRe = """(?is)\s*([\w,]+)\s*""".r
     def peelStats(t: String): Option[(String, String)] =
@@ -196,23 +201,33 @@ object TxLogSql {
           case _                 => None
         }
       }
-    val candidates: Seq[(String, Option[String], Boolean)] = {
-      val cf: Seq[(String, Option[String], Boolean)] =
-        if (!allowChangeFeed) Seq.empty
-        else lastTopLevelKeyword(s, "CHANGEFEED").toSeq
-          .filter(i => s.substring(i + "CHANGEFEED".length).isBlank)
-          .map(i => s.substring(0, i).trim)
-          .flatMap { pre =>
-            peelStats(pre).map { case (p, cols) => (p, Some(cols), true) }.toSeq :+
-              ((pre, Option.empty[String], true))
-          }
-      val st = peelStats(s).map { case (p, cols) => (p, Some(cols), false) }.toSeq
-      cf ++ st
+    val flagWords = if (allowFlags) Seq("CHANGEFEED", "DV") else Seq.empty
+    // strip trailing flag words greedily from the outside in (each at most
+    // once, any order): ["<pred> STATS k DV CHANGEFEED"] → prefixes with
+    // 2, 1, 0 flags stripped — most-stripped tried first
+    var prefixes = List((s, Set.empty[String]))
+    var cont = true
+    while (cont) {
+      val (cur, have) = prefixes.head
+      flagWords.filterNot(have).flatMap { f =>
+        lastTopLevelKeyword(cur, f)
+          .filter(i => cur.substring(i + f.length).forall(_.isWhitespace))
+          .map(i => (cur.substring(0, i).trim, have + f))
+      }.headOption match {
+        case Some(next) => prefixes ::= next
+        case None       => cont = false
+      }
     }
-    candidates.find(c => parsesAsExpression(c._1))
-      .getOrElse((s, None, false)) // no peel parses: the whole text is the
-                                   // predicate and fails loudly downstream
-                                   // in Spark's own parser if malformed
+    val candidates: Seq[Peeled] = prefixes.flatMap { case (pre, flags) =>
+      val cf = flags("CHANGEFEED")
+      val dv = flags("DV")
+      peelStats(pre).map { case (p, cols) => Peeled(p, Some(cols), cf, dv) }.toSeq :+
+        Peeled(pre, None, cf, dv)
+    }
+    candidates.find(c => parsesAsExpression(c.predicateSql))
+      .getOrElse(Peeled(s, None, changeFeed = false, dv = false))
+      // no peel parses: the whole text is the predicate and fails loudly
+      // downstream in Spark's own parser if malformed
   }
 
   /** Parse one of the TXLOG statements, or None for anything else. */
@@ -222,8 +237,8 @@ object TxLogSql {
       // WHERE text swallows a trailing STATS clause; peel it parse-checked
       val (whereSql, peeledStats) = Option(o.group(5)) match {
         case Some(w) =>
-          val (pred, st, _) = peelTail(w, allowChangeFeed = false)
-          (Some(pred), st)
+          val peeled = peelTail(w, allowFlags = false)
+          (Some(peeled.predicateSql), peeled.statsCol)
         case None => (None, None)
       }
       return Some(OptimizeTxLogCommand(
@@ -253,9 +268,9 @@ object TxLogSql {
       return Some(RestoreTxLogCommand(unq(r.group(1)), r.group(2).toLong))
     val del = DeleteRe.matcher(sqlText)
     if (del.matches()) {
-      val (pred, stats, cf) = peelTail(del.group(2))
-      return Some(DeleteTxLogCommand(unq(del.group(1)), pred, stats,
-        changeFeed = cf))
+      val pl = peelTail(del.group(2))
+      return Some(DeleteTxLogCommand(unq(del.group(1)), pl.predicateSql,
+        pl.statsCol, changeFeed = pl.changeFeed, dv = pl.dv))
     }
     val up = UpdateRe.matcher(sqlText)
     if (up.matches()) {
@@ -263,9 +278,9 @@ object TxLogSql {
         .getOrElse(throw new IllegalArgumentException(
           "UPDATE TXLOG needs a WHERE clause (an unconditional update is " +
             "almost always a mistake — use WHERE true to mean it)"))
-      val (predicateSql, stats, cf) = peelTail(whereTail)
-      return Some(UpdateTxLogCommand(unq(up.group(1)), setSql, predicateSql,
-        stats, changeFeed = cf))
+      val pl = peelTail(whereTail)
+      return Some(UpdateTxLogCommand(unq(up.group(1)), setSql, pl.predicateSql,
+        pl.statsCol, changeFeed = pl.changeFeed, dv = pl.dv))
     }
     val m = MergeRe.matcher(sqlText)
     if (m.matches())
@@ -377,7 +392,7 @@ case class RestoreTxLogCommand(table: String, version: Long)
 }
 
 case class DeleteTxLogCommand(table: String, predicateSql: String,
-    statsCol: Option[String], changeFeed: Boolean = false)
+    statsCol: Option[String], changeFeed: Boolean = false, dv: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -391,14 +406,15 @@ case class DeleteTxLogCommand(table: String, predicateSql: String,
     val before = TxLog.snapshot(table).files.toSet
     val v = TxLog.delete(spark, table,
       org.apache.spark.sql.functions.expr(predicateSql), statsCol,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed, useDV = dv)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
   }
 }
 
 case class UpdateTxLogCommand(table: String, setSql: String,
-    predicateSql: String, statsCol: Option[String], changeFeed: Boolean = false)
+    predicateSql: String, statsCol: Option[String], changeFeed: Boolean = false,
+    dv: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -427,7 +443,7 @@ case class UpdateTxLogCommand(table: String, setSql: String,
     val before = TxLog.snapshot(table).files.toSet
     val v = TxLog.update(spark, table,
       org.apache.spark.sql.functions.expr(predicateSql), assigns, statsCol,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed, useDV = dv)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
   }

@@ -62,17 +62,22 @@ import org.apache.spark.sql.functions._
 object TxLog {
 
   final case class Snapshot(version: Long, files: Seq[String],
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      dvs: Map[String, Dv.Ref] = Map.empty) {
     /** Read the snapshot. When the log recorded a table schema (every table
       * created since schema tracking), the read is pinned to it: files
       * written BEFORE a schema evolution lack the later columns and are
       * null-filled by the scan — the standard lakehouse read-time fill —
       * and column order is the log's, not an arbitrary file's. Legacy
-      * tables without a recorded schema read by file inference as before. */
-    def read(spark: SparkSession): DataFrame = schemaJson match {
-      case _ if files.isEmpty => spark.emptyDataFrame
-      case Some(j)            => spark.read.schema(schemaOf(j)).parquet(files: _*)
-      case None               => spark.read.parquet(files: _*)
+      * tables without a recorded schema read by file inference as before.
+      * Files carrying a DELETION VECTOR read through the masked path (their
+      * deleted row positions filtered out); clean files — the steady state
+      * — stay on the plain vectorized scan. */
+    def read(spark: SparkSession): DataFrame = {
+      val reader = schemaJson.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+      if (files.isEmpty) spark.emptyDataFrame
+      else if (dvs.isEmpty) reader.parquet(files: _*)
+      else Dv.maskedRead(spark, reader, files, dvs.map { case (p, r) => p -> r.path })
     }
   }
 
@@ -212,7 +217,26 @@ object TxLog {
   def snapshot(table: String, asOf: Long = Long.MaxValue): Snapshot = {
     val tip = math.min(latestVersion(table), asOf)
     val r = replayAdds(table, tip, useCheckpoint = true)
-    Snapshot(tip, r.live.keysIterator.toSeq, r.schema)
+    Snapshot(tip, r.live.keysIterator.toSeq, r.schema, dvRefs(r.live))
+  }
+
+  /** DV references of live add-lines, keyed by data-file path. */
+  private[sources] def dvRefs(
+      live: scala.collection.Map[String, String]): Map[String, Dv.Ref] =
+    live.iterator.flatMap { case (p, line) => parseDv(line).map(p -> _) }.toMap
+
+  /** Read `files` (a subset of `live`'s keys) under `reader`, masking any
+    * recorded deletion vectors — THE one internal read path every verb that
+    * touches live bytes must use: an unmasked read would resurrect deleted
+    * rows into a rewrite. */
+  private def readLive(spark: SparkSession,
+      reader: org.apache.spark.sql.DataFrameReader, files: Seq[String],
+      live: scala.collection.Map[String, String]): DataFrame = {
+    val dvs = files.flatMap(p =>
+      live.get(p).flatMap(parseDv).map(r => p -> r.path)).toMap
+    if (files.isEmpty) sys.error("readLive on an empty file list")
+    else if (dvs.isEmpty) reader.parquet(files: _*)
+    else Dv.maskedRead(spark, reader, files, dvs)
   }
 
   /** Replayed log state at some version: live file map of path → original
@@ -497,6 +521,31 @@ object TxLog {
     case _              => None
   }
 
+  // -- deletion-vector field on add-actions (see [[Dv]]) --
+
+  private val DvRe =
+    """"dv":\{"path":"((?:[^"\\]|\\.)*)","card":(\d+)\}""".r
+
+  private[sources] def parseDv(line: String): Option[Dv.Ref] =
+    DvRe.findFirstMatchIn(line).map(m => Dv.Ref(unquote(m.group(1)), m.group(2).toLong))
+
+  // the writer always injects dv with its leading comma, so the strip
+  // removes exactly that token — never a comma belonging to another field
+  private val DvWithCommaRe =
+    ""","dv":\{"path":"((?:[^"\\]|\\.)*)","card":(\d+)\}""".r
+
+  /** The add-line with its DV reference set to `ref` — stats, row count and
+    * every other recorded field survive verbatim (a DV'd file's envelope
+    * stays a valid SUPERSET bound: masking rows can only shrink the true
+    * range, so pruning and whole-file proofs remain conservative/exact). */
+  private def withDvLine(addLine: String, ref: Dv.Ref): String = {
+    val stripped = DvWithCommaRe.replaceAllIn(addLine,
+      java.util.regex.Matcher.quoteReplacement(""))
+    require(stripped.endsWith("}}"), s"malformed add line: $addLine")
+    stripped.dropRight(2) +
+      s""","dv":{"path":${quote(ref.path)},"card":${ref.card}}}}"""
+  }
+
   private def listParquet(dir: Path): Seq[String] =
     scala.util.Using.resource(Files.list(dir)) { s =>
       s.iterator().asScala
@@ -673,13 +722,13 @@ object TxLog {
         }
       val schemaActs = schemaActions(replay, updates, mergeSchema, "merge")
       // rewritten files read under the LOG schema (touched files may
-      // predate an evolution and null-fill the later columns)
+      // predate an evolution and null-fill the later columns), deletion
+      // vectors masked — an unmasked rewrite would resurrect deleted rows
       val current =
         if (touched.isEmpty) updates.limit(0)
-        else replay.schema match {
-          case Some(j) => spark.read.schema(schemaOf(j)).parquet(touched: _*)
-          case None    => spark.read.parquet(touched: _*)
-        }
+        else readLive(spark,
+          replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
+          touched, replay.live)
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = mergeSchema)
       // change-data sidecars (opt-in): a matched key emits its old row as
@@ -842,21 +891,42 @@ object TxLog {
   }
 
   /** Distributed TOUCH SCAN shared by DELETE/UPDATE: the files among
-    * `candidates` holding at least one predicate-TRUE row — column-pruned
-    * (only the predicate's columns are read), attributed back to log
-    * spellings through the URI decode. */
-  private def touchScan(reader: org.apache.spark.sql.DataFrameReader,
-      candidates: Seq[String], predicate: Column): Seq[String] =
+    * `candidates` holding at least one predicate-TRUE **live** row —
+    * column-pruned (only the predicate's columns are read), deletion
+    * vectors masked (an already-deleted row must not drag its file back
+    * into a rewrite), attributed back to log spellings through the URI
+    * decode. */
+  private def touchScan(spark: SparkSession,
+      reader: org.apache.spark.sql.DataFrameReader,
+      candidates: Seq[String], live: scala.collection.Map[String, String],
+      predicate: Column): Seq[String] =
     if (candidates.isEmpty) Seq.empty
     else {
       val byAbs = candidates.map(p => normalize(p) -> p).toMap
-      reader.parquet(candidates: _*)
-        .where(predicate)
+      val dvs = candidates.flatMap(p =>
+        live.get(p).flatMap(parseDv).map(r => p -> r.path)).toMap
+      val base = reader.parquet(candidates: _*).where(predicate)
+      val masked = if (dvs.isEmpty) base else base.where(Dv.liveRowFilter(spark, dvs))
+      masked
         .select(col("_metadata.file_path").as("__fp")).distinct()
         .collect()
         .flatMap(r => byAbs.get(normalize(new java.net.URI(r.getString(0)).getPath)))
         .toSeq
     }
+
+  /** Live rows of `files` with their physical position attached: `__fp`
+    * (decoded file path) and `__idx` (`_metadata.row_index`), deletion
+    * vectors masked — the frame DV construction aggregates over. */
+  private def liveRowsWithPos(spark: SparkSession,
+      reader: org.apache.spark.sql.DataFrameReader, files: Seq[String],
+      live: scala.collection.Map[String, String]): DataFrame = {
+    val dvs = files.flatMap(p =>
+      live.get(p).flatMap(parseDv).map(r => p -> r.path)).toMap
+    val base = reader.parquet(files: _*)
+      .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
+      .withColumn("__idx", col("_metadata.row_index"))
+    if (dvs.isEmpty) base else base.where(Dv.liveRowFilter(spark, dvs))
+  }
 
   /** Optimistic commit loop with DISJOINT-COMMIT ADMISSION, shared by
     * merge/delete/update: claims slots from `baseTip` + 1, advancing past
@@ -960,9 +1030,15 @@ object TxLog {
   /** Test hook, invoked just before each update commit attempt. */
   private[graft] var updateCommitHook: () => Unit = () => ()
 
+  /** DV-path files of the last delete/update (re-added with a deletion
+    * vector instead of rewritten). Test/diagnostic instrumentation.
+    * -1 = no DV verb ran. */
+  private[graft] val dvSwapFiles = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def delete(spark: SparkSession, table: String, predicate: Column,
       statsCol: Option[String] = None, maxRetries: Int = 16,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false, useDV: Boolean = false,
+      dvMaxFraction: Double = 0.5): Long = {
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       deleteDerivations.incrementAndGet()
@@ -988,7 +1064,8 @@ object TxLog {
       // the proof) is removed as a pure metadata action: no read, no
       // rewrite, no staged bytes. A retention delete (`ts < cutoff`) on a
       // time-clustered 100 TB table becomes an O(files) metadata commit
-      // instead of a table rewrite.
+      // instead of a table rewrite. (Valid on a DV'd file too: every
+      // remaining LIVE row is a subset of "every physical row".)
       val covered: Set[String] = resolvedCond match {
         case Some(cond) => candidates.filter { p =>
           val ss = parseStatsAll(replay.live(p))
@@ -999,31 +1076,86 @@ object TxLog {
         case None => Set.empty
       }
       deleteCoveredFiles.set(covered.size)
-      val touched = touchScan(reader, candidates.filterNot(covered), predicate)
+      val touched = touchScan(spark, reader, candidates.filterNot(covered),
+        replay.live, predicate)
       if (covered.isEmpty && touched.isEmpty) return replay.tip
+      // phase 1.5 (opt-in): DELETION VECTORS — instead of rewriting a
+      // touched file without its matching rows, publish a bitmap of the
+      // deleted row positions and re-add the file with it: O(deleted rows)
+      // commit cost instead of O(file bytes). A file whose accumulated
+      // deleted fraction would exceed `dvMaxFraction` falls back to the
+      // rewrite (read amplification on every later scan would outweigh the
+      // write saving — the same rewrite-when-too-dirty rule Delta applies
+      // at OPTIMIZE). Bitmaps are built DISTRIBUTED (per-file Roaring
+      // aggregate); the driver collects compressed bitmaps, never row ids.
+      val newBits: Map[String, org.roaringbitmap.RoaringBitmap] =
+        if (!useDV || touched.isEmpty) Map.empty
+        else Dv.bitmapsByFile(
+          liveRowsWithPos(spark, reader, touched, replay.live)
+            .where(coalesce(predicate, lit(false)))
+            .select(col("__fp"), col("__idx")))
+      val physRows: Map[String, Long] =
+        if (!useDV || touched.isEmpty) Map.empty
+        else {
+          val recorded = touched.flatMap(p =>
+            parseRows(replay.live(p)).map(p -> _)).toMap
+          recorded ++ footerRowCounts(spark, touched.filterNot(recorded.contains))
+        }
+      val (dvTargets, rewriteTargets) =
+        if (!useDV) (Seq.empty[String], touched)
+        else touched.partition { p =>
+          val bits = newBits.get(normalize(p))
+          val phys = physRows.get(p)
+          val oldCard = parseDv(replay.live(p)).map(_.card).getOrElse(0L)
+          (bits, phys) match {
+            case (Some(b), Some(n)) if n > 0 =>
+              (oldCard + b.getLongCardinality).toDouble / n <= dvMaxFraction
+            case _ => false // unknowable size or no hits: conservative rewrite
+          }
+        }
+      dvSwapFiles.set(if (useDV) dvTargets.size else -1L)
+      // DV swaps: remove + re-add the SAME path with old∪new bitmap; the
+      // original line's stats/rows ride along verbatim
+      val dvActs: Seq[(String, String)] = dvTargets.map { p =>
+        val merged = parseDv(replay.live(p)) match {
+          case Some(old) => org.roaringbitmap.RoaringBitmap.or(
+            Dv.read(old.path), newBits(normalize(p)))
+          case None => newBits(normalize(p))
+        }
+        val ref = Dv.write(table, merged)
+        (s"""{"remove":{"path":${quote(p)}}}""", withDvLine(replay.live(p), ref))
+      }
       // keep rows where the predicate is FALSE or NULL (SQL DELETE keeps
       // null-valued predicates — only TRUE rows go); covered files stage
-      // nothing — every one of their rows provably goes
+      // nothing — every one of their rows provably goes. The survivor read
+      // is DV-masked: a row deleted by an earlier commit must not resurrect.
       val adds =
-        if (touched.isEmpty) Seq.empty
+        if (rewriteTargets.isEmpty) Seq.empty
         else stageFiles(
-          reader.parquet(touched: _*).where(!coalesce(predicate, lit(false))),
+          readLive(spark, reader, rewriteTargets, replay.live)
+            .where(!coalesce(predicate, lit(false))),
           table, statsCol)
       // change-data sidecars (opt-in, Delta's enableChangeDataFeed shape):
       // the rows this delete removes from REWRITTEN files, stamped
-      // 'delete' — one extra column-complete scan of the touched files.
-      // Covered files need no sidecar ever: their removes carry the
-      // allDeleted flag and the feed derives their deletions by reading
-      // the immutable removed file (the drop itself stays zero-read).
+      // 'delete' — one extra column-complete scan of those files. Covered
+      // files need no sidecar ever (the allDeleted flag derives them), and
+      // DV-swapped files need none either: the feed derives their deletions
+      // exactly from the bitmap DIFF (new minus old) against the immutable
+      // file — a DV delete feeds for free.
       val cdcActs =
-        if (!changeFeed || touched.isEmpty) Seq.empty
+        if (!changeFeed || rewriteTargets.isEmpty) Seq.empty
         else stageCdcFiles(
-          reader.parquet(touched: _*).where(coalesce(predicate, lit(false)))
+          readLive(spark, reader, rewriteTargets, replay.live)
+            .where(coalesce(predicate, lit(false)))
             .withColumn("_change_type", lit("delete")), table)
       val removes = covered.toSeq.map(removeAllDeletedLine) ++
-        touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+        rewriteTargets.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       val ourFiles = covered ++ touched
-      commitAdmitting(table, replay.tip, adds ++ cdcActs ++ removes, "delete",
+      // ORDER: removes precede adds so a same-path DV swap replays as
+      // remove-then-add (replay's take() is order-sensitive per commit)
+      val actions = removes ++ dvActs.map(_._1) ++ dvActs.map(_._2) ++
+        adds ++ cdcActs
+      commitAdmitting(table, replay.tip, actions, "delete",
         () => deleteCommitHook, attempts, maxRetries,
         v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
         .foreach(v => return v)
@@ -1076,7 +1208,8 @@ object TxLog {
     * rewritten output. Returns the committed version. */
   def update(spark: SparkSession, table: String, predicate: Column,
       set: Map[String, Column], statsCol: Option[String] = None,
-      maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
+      maxRetries: Int = 16, changeFeed: Boolean = false,
+      useDV: Boolean = false, dvMaxFraction: Double = 0.5): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
@@ -1131,38 +1264,103 @@ object TxLog {
       val candidates = pruneByStats(live, replay, resolvedCond, tzId)
       updateCandidateFiles.set(candidates.size)
       if (candidates.isEmpty) return replay.tip
-      val touched = touchScan(reader, candidates, predicate)
+      val touched = touchScan(spark, reader, candidates, replay.live, predicate)
       if (touched.isEmpty) return replay.tip
-      // ONE Project over the old rows: TRUE rows take the SET expressions
-      // (all evaluated against the old row), FALSE/NULL rows pass through
-      val updated = reader.parquet(touched: _*).select(tableSchema.fields.map { f =>
-        assigns.get(f.name) match {
-          case Some(v) =>
-            when(coalesce(predicate, lit(false)), v).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toSeq: _*)
-      val adds = stageFiles(updated, table, statsCol)
-      // change-data sidecars (opt-in): old and new images of exactly the
-      // rows the predicate hit — the assignments apply UNCONDITIONALLY to
-      // the post frame because every row in it is a TRUE row
-      val cdcActs =
-        if (!changeFeed) Seq.empty
+      // DELETION-VECTOR path (opt-in, ALL-OR-NOTHING per commit): the
+      // updated rows append as fresh POSTIMAGE-ONLY files and their old
+      // versions mask via per-file bitmaps — O(updated rows), never a
+      // touched-file rewrite. All-or-nothing because the change feed
+      // derives a DV update exactly (bitmap diff = preimages, fresh adds =
+      // postimages) ONLY when every fresh add is pure postimage; one
+      // rewrite-path file in the same commit would make its adds
+      // indistinguishable mixed rows. A file over `dvMaxFraction` fails
+      // the whole commit over to the rewrite path below.
+      var dvFellBack = !useDV
+      val dvDone: Option[Long] =
+        if (!useDV) None
         else {
-          val hit = reader.parquet(touched: _*).where(coalesce(predicate, lit(false)))
-          val pre = hit.withColumn("_change_type", lit("update_preimage"))
-          val post = hit.select(tableSchema.fields.map { f =>
-            assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
-          }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
-          stageCdcFiles(pre.unionByName(post), table)
+          val hits = liveRowsWithPos(spark, reader, touched, replay.live)
+            .where(coalesce(predicate, lit(false)))
+          val newBits = Dv.bitmapsByFile(hits.select(col("__fp"), col("__idx")))
+          val recorded = touched.flatMap(p =>
+            parseRows(replay.live(p)).map(p -> _)).toMap
+          val physRows = recorded ++
+            footerRowCounts(spark, touched.filterNot(recorded.contains))
+          val allOk = touched.forall { p =>
+            (newBits.get(normalize(p)), physRows.get(p)) match {
+              case (Some(b), Some(n)) if n > 0 =>
+                (parseDv(replay.live(p)).map(_.card).getOrElse(0L) +
+                  b.getLongCardinality).toDouble / n <= dvMaxFraction
+              case _ => false
+            }
+          }
+          if (!allOk) { dvFellBack = true; None }
+          else {
+            dvSwapFiles.set(touched.size)
+            // postimage rows: assignments apply UNCONDITIONALLY (every row
+            // here is predicate-TRUE), projected back to the table schema
+            val post = hits.select(tableSchema.fields.map { f =>
+              assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+            }.toSeq: _*)
+            val adds = stageFiles(post, table, statsCol)
+            val dvActs = touched.map { p =>
+              val merged = parseDv(replay.live(p)) match {
+                case Some(old) => org.roaringbitmap.RoaringBitmap.or(
+                  Dv.read(old.path), newBits(normalize(p)))
+                case None => newBits(normalize(p))
+              }
+              val ref = Dv.write(table, merged)
+              (s"""{"remove":{"path":${quote(p)}}}""",
+                withDvLine(replay.live(p), ref))
+            }
+            // the fresh adds are exactly the NEW row versions — enforcement
+            // on them covers everything this commit changes
+            enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
+            // no sidecars even with changeFeed: the feed derives a pure-DV
+            // update exactly (and for free) from the bitmap diff + adds
+            val actions = dvActs.map(_._1) ++ dvActs.map(_._2) ++ adds
+            commitAdmitting(table, replay.tip, actions, "update",
+              () => updateCommitHook, attempts, maxRetries,
+              v => commitIsDisjointForPredicate(table, v, touched.toSet,
+                resolvedCond, tzId))
+          }
         }
-      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
-      enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
-      val ourFiles = touched.toSet
-      commitAdmitting(table, replay.tip, adds ++ cdcActs ++ removes, "update",
-        () => updateCommitHook, attempts, maxRetries,
-        v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
-        .foreach(v => return v)
+      dvDone.foreach(v => return v)
+      if (dvFellBack) {
+        // rewrite path (the default, and the DV fallback): ONE Project over
+        // the old LIVE rows — TRUE rows take the SET expressions (all
+        // evaluated against the old row), FALSE/NULL rows pass through
+        val updated = readLive(spark, reader, touched, replay.live)
+          .select(tableSchema.fields.map { f =>
+            assigns.get(f.name) match {
+              case Some(v) =>
+                when(coalesce(predicate, lit(false)), v).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq: _*)
+        val adds = stageFiles(updated, table, statsCol)
+        // change-data sidecars (opt-in): old and new images of exactly the
+        // rows the predicate hit — the assignments apply UNCONDITIONALLY to
+        // the post frame because every row in it is a TRUE row
+        val cdcActs =
+          if (!changeFeed) Seq.empty
+          else {
+            val hit = readLive(spark, reader, touched, replay.live)
+              .where(coalesce(predicate, lit(false)))
+            val pre = hit.withColumn("_change_type", lit("update_preimage"))
+            val post = hit.select(tableSchema.fields.map { f =>
+              assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+            }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
+            stageCdcFiles(pre.unionByName(post), table)
+          }
+        val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+        enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
+        val ourFiles = touched.toSet
+        commitAdmitting(table, replay.tip, removes ++ adds ++ cdcActs, "update",
+          () => updateCommitHook, attempts, maxRetries,
+          v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
+          .foreach(v => return v)
+      }
       // an unprovable winner: loop re-derives against the fresh tip
     }
     -1L
@@ -1255,40 +1453,78 @@ object TxLog {
   def readChangeFeed(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long = Long.MaxValue): DataFrame = {
     val tip = math.min(latestVersion(table), toInclusive)
-    var inserts = Vector.empty[(String, Long)]
-    var deletes = Vector.empty[(String, Long)]
-    var cdcs    = Vector.empty[(String, Long)]
+    // one row SOURCE per (file, version, change type): emit the file's rows
+    // whose physical position is in `inDv` (None ⇒ all rows) and NOT in
+    // `notInDv` (None ⇒ none masked). The one shape serves every derived
+    // kind — plain inserts (None, None), DV-masked inserts of clone/restore
+    // lines (None, dv), covered-file drops on a previously-DV'd file
+    // (None, oldDv), and the DV DIFF of a vectorized delete/update
+    // (newDv, oldDv) — so the read below stays a fixed number of scans.
+    final case class Src(path: String, v: Long, typ: String,
+        inDv: Option[String], notInDv: Option[String])
+    var srcs = Vector.empty[Src]
+    var cdcs = Vector.empty[(String, Long)]
+    // DV state AT the range start: diffs and covered drops must not
+    // re-emit rows already deleted before the range
+    val dvState = scala.collection.mutable.Map.empty[String, String]
+    replayAdds(table, math.max(0L, fromExclusive), useCheckpoint = true)
+      .live.foreach { case (p, line) =>
+        parseDv(line).foreach(r => dvState(p) = r.path) }
     (math.max(1L, fromExclusive + 1) to tip).foreach { v =>
       val p = versionPath(table, v)
       if (Files.exists(p)) {
         val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         val op = lines.iterator.flatMap(parseMeta).map(_._1).nextOption()
           .getOrElse("append")
-        val adds = lines.flatMap(parseAction).collect { case ("add", path) => path }
+        val addLines = lines.filter(l => parseAction(l).exists(_._1 == "add"))
+        val adds = addLines.flatMap(l => parseAction(l).map(_._2))
+        val addDv: Map[String, Option[String]] =
+          addLines.flatMap(l =>
+            parseAction(l).map(a => a._2 -> parseDv(l).map(_.path))).toMap
         val removes = lines.flatMap(parseAction).collect { case ("remove", path) => path }
         val cdcFiles = lines.flatMap(parseCdc)
         val allDel = lines.flatMap(parseRemoveAllDeleted)
+        // a DV SWAP: the same path removed and re-added with a bitmap —
+        // the file did not move, rows at (new − old) positions went away
+        val swaps: Set[String] =
+          adds.filter(a => addDv(a).isDefined && removes.contains(a)).toSet
         op match {
           case "append" | "convert" | "clone" =>
-            inserts ++= adds.map(_ -> v)
+            // a clone records src lines verbatim — a DV'd line inserts
+            // only its live rows
+            srcs ++= adds.map(a => Src(a, v, "insert", None, addDv(a)))
           case "optimize" | "addConstraint" | "dropConstraint" => ()
           case "delete" | "update" =>
-            // the refusal condition is UNRECORDED ROW REMOVALS, not "staged
-            // adds": any remove not flagged allDeleted means rows went away
-            // whose evidence is neither derivable (the flag) nor recorded
-            // (a sidecar) — including a rewrite that happened to stage zero
-            // survivor files, which the old adds-based proxy would have
-            // silently omitted from the feed
-            if (cdcFiles.isEmpty && removes.exists(!allDel.toSet(_)))
+            // the refusal condition is UNRECORDED ROW REMOVALS: any remove
+            // that is neither allDeleted-flagged (derivable from the file)
+            // nor a DV swap (derivable from the bitmap diff) means rows
+            // went away whose evidence is neither derivable nor recorded —
+            // including a rewrite that staged zero survivor files, which
+            // an adds-based proxy would silently omit from the feed
+            val plain = removes.filter(r => !allDel.contains(r) && !swaps(r))
+            if (cdcFiles.isEmpty && plain.nonEmpty)
               throw new IllegalStateException(
                 s"readChangeFeed on $table: the $op at version $v removed rows " +
                   "but recorded no change-data sidecars — run the verb with " +
-                  "changeFeed = true (covered-only deletes need no sidecar)")
+                  "changeFeed = true (covered-only and DV deletes need no sidecar)")
             cdcs ++= cdcFiles.map(_ -> v)
-            deletes ++= allDel.map(_ -> v)
+            // covered whole-file drop: every LIVE row deleted — mask the
+            // rows an earlier DV already removed
+            srcs ++= allDel.map(a => Src(a, v, "delete", None, dvState.get(a)))
+            // DV swaps: bitmap DIFF (new minus old) = exactly this commit's
+            // removals, read from the immutable file — the write recorded
+            // nothing but the bitmap, the feed stays exact
+            val diffType = if (op == "delete") "delete" else "update_preimage"
+            srcs ++= swaps.toSeq.sorted.map(a =>
+              Src(a, v, diffType, addDv(a), dvState.get(a)))
+            // a pure-DV update's fresh adds are POSTIMAGE-ONLY by
+            // construction (the writer's all-or-nothing rule)
+            if (op == "update" && cdcFiles.isEmpty && swaps.nonEmpty)
+              srcs ++= adds.filterNot(swaps).map(a =>
+                Src(a, v, "update_postimage", None, None))
           case "overwrite" | "restore" =>
-            deletes ++= removes.map(_ -> v)
-            inserts ++= adds.map(_ -> v)
+            srcs ++= removes.map(r => Src(r, v, "delete", None, dvState.get(r)))
+            srcs ++= adds.map(a => Src(a, v, "insert", None, addDv(a)))
           case "merge" =>
             if (cdcFiles.isEmpty)
               throw new IllegalStateException(
@@ -1301,6 +1537,13 @@ object TxLog {
                 s"$other commit at version $v — use readChanges(includeRewrites " +
                 "= true) with key-dedup downstream")
         }
+        // carry DV state THROUGH the commit: removes clear, dv-adds set,
+        // plain adds clear any stale entry (a fresh path never has one)
+        removes.foreach(dvState.remove)
+        adds.foreach(a => addDv(a) match {
+          case Some(dv) => dvState(a) = dv
+          case None     => dvState.remove(a)
+        })
       }
     }
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -1309,36 +1552,71 @@ object TxLog {
       replayAdds(table, tip, useCheckpoint = true).schema match {
         case Some(j) => schemaOf(j)
         case None =>
-          val sample = (inserts ++ deletes ++ cdcs).map(_._1)
+          val sample = srcs.map(_.path) ++ cdcs.map(_._1)
           if (sample.isEmpty) snapshot(table, tip).read(spark).schema
           else StructType(spark.read.parquet(sample: _*).schema
             .filterNot(_.name == "_change_type"))
       }
     val cdcSchema = StructType(logSchema.fields :+
       StructField("_change_type", StringType, nullable = true))
-    def attributed(files: Vector[(String, Long)], readSchema: StructType,
-        typ: Option[String]): Option[DataFrame] =
+    // paths MUST dedupe before each scan: a file attributed to several
+    // versions (append v1, overwrite-removed v4, restore re-added v5)
+    // appears once per version in the source list, and
+    // spark.read.parquet(p, p) reads the rows TWICE — each physical copy
+    // would then join every matching version entry, squaring the
+    // duplication. One physical read per file; the broadcast join alone
+    // fans rows out to their versions, which is exactly the multiplicity
+    // the feed owes.
+    // Sources WITHOUT bitmaps (the bulk — plain appends) take the
+    // codegen-clean broadcast-join path; bitmap-bearing sources add the
+    // per-row position test against broadcast-referenced sidecars.
+    val (plainSrcs, dvSrcs) =
+      srcs.partition(s => s.inDv.isEmpty && s.notInDv.isEmpty)
+    def plainFrame(files: Vector[(String, Long, String)]): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        // paths MUST dedupe before the scan: a file attributed to several
-        // versions (append v1, overwrite-removed v4, restore re-added v5)
-        // appears once per version in `files`, and spark.read.parquet(p, p)
-        // reads the rows TWICE — each physical copy would then join every
-        // matching version entry, squaring the duplication. One physical
-        // read per file; the broadcast join alone fans rows out to their
-        // versions, which is exactly the multiplicity the feed owes.
-        val df = spark.read.schema(readSchema)
+        val df = spark.read.schema(logSchema)
           .parquet(files.map(_._1).distinct: _*)
           .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
-        val m = files.map { case (path, v) => (normalize(path), v) }.distinct
-        val joined = df
-          .join(broadcast(m.toDF("__fp", "_commit_version")), "__fp").drop("__fp")
-        Some(typ.fold(joined)(t => joined.withColumn("_change_type", lit(t))))
+        val m = files.map { case (p, v, t) => (normalize(p), v, t) }.distinct
+        Some(df.join(
+          broadcast(m.toDF("__fp", "_commit_version", "_change_type")), "__fp")
+          .drop("__fp"))
+      }
+    def dvFrame: Option[DataFrame] =
+      if (dvSrcs.isEmpty) None
+      else {
+        val df = spark.read.schema(logSchema)
+          .parquet(dvSrcs.map(_.path).distinct: _*)
+          .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
+          .withColumn("__idx", col("_metadata.row_index"))
+        val m = dvSrcs.map(s =>
+          (normalize(s.path), s.v, s.typ, s.inDv.orNull, s.notInDv.orNull)).distinct
+        val keep = udf { (inDv: String, notDv: String, idx: Long) =>
+          (inDv == null ||
+            (idx <= Int.MaxValue && Dv.read(inDv).contains(idx.toInt))) &&
+          (notDv == null || idx > Int.MaxValue ||
+            !Dv.read(notDv).contains(idx.toInt))
+        }
+        Some(df.join(
+          broadcast(m.toDF("__fp", "_commit_version", "_change_type", "__in", "__not")),
+          "__fp")
+          .where(keep(col("__in"), col("__not"), col("__idx")))
+          .drop("__fp", "__idx", "__in", "__not"))
+      }
+    def cdcFrame: Option[DataFrame] =
+      if (cdcs.isEmpty) None
+      else {
+        val df = spark.read.schema(cdcSchema)
+          .parquet(cdcs.map(_._1).distinct: _*)
+          .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
+        val m = cdcs.map { case (p, v) => (normalize(p), v) }.distinct
+        Some(df.join(broadcast(m.toDF("__fp", "_commit_version")), "__fp")
+          .drop("__fp"))
       }
     val frames = Seq(
-      attributed(inserts, logSchema, Some("insert")),
-      attributed(deletes, logSchema, Some("delete")),
-      attributed(cdcs, cdcSchema, None)).flatten
+      plainFrame(plainSrcs.map(s => (s.path, s.v, s.typ))),
+      dvFrame, cdcFrame).flatten
     frames match {
       case Nil =>
         spark.createDataFrame(
@@ -1374,9 +1652,10 @@ object TxLog {
     else {
       // pinned to the LOG schema like Snapshot.read and merge's rewrite
       // read: pre-evolution files in the pruned set must null-fill the
-      // later columns, not narrow the output schema by footer inference
+      // later columns, not narrow the output schema by footer inference;
+      // deletion vectors masked like every live read
       val reader = r.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-      reader.parquet(files: _*)
+      readLive(spark, reader, files, r.live)
         .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
     }
   }
@@ -1795,9 +2074,13 @@ object TxLog {
     var attempt = 0
     while (true) {
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
-      val small = replay.live.keysIterator.filter { p =>
-        try Files.size(Paths.get(p)) < targetBytes
-        catch { case _: java.io.IOException => false }
+      // DV'd files are candidates REGARDLESS of size: compaction is where
+      // deletion vectors get absorbed (the rewrite drops masked rows and
+      // the output carries no DV) — Delta's OPTIMIZE does exactly this
+      val small = replay.live.iterator.collect {
+        case (p, line) if parseDv(line).isDefined ||
+          (try Files.size(Paths.get(p)) < targetBytes
+           catch { case _: java.io.IOException => false }) => p
       }.toSeq
       // OPTIMIZE WHERE (Delta's partition-scoped OPTIMIZE, on stats): bound
       // the compaction to files that MAY hold a matching row — the recorded
@@ -1813,13 +2096,17 @@ object TxLog {
             resolveCondition(reader.parquet(replay.live.keysIterator.toSeq: _*), pred),
             spark.sessionState.conf.sessionLocalTimeZone)
       }
-      if (candidates.size < math.max(2, minFiles)) return 0L
+      // a lone DV'd file still compacts (absorbing its DV is the point even
+      // with nothing to merge it with); the minFiles economy test applies
+      // only to the pure small-file case
+      val anyDv = candidates.exists(p => parseDv(replay.live(p)).isDefined)
+      if (candidates.size < math.max(2, minFiles) && !anyDv) return 0L
+      if (candidates.isEmpty) return 0L
       val totalBytes = candidates.map(p => Files.size(Paths.get(p))).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-      val df = replay.schema match {
-        case Some(j) => spark.read.schema(schemaOf(j)).parquet(candidates: _*)
-        case None    => spark.read.parquet(candidates: _*)
-      }
+      val df = readLive(spark,
+        replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
+        candidates, replay.live)
       val packed = zorder match {
         case Some((x, y)) => graft.ops.Layout.zorderBy(df, col(x), col(y), nOut)
         case None         => df.repartition(nOut)
@@ -1979,8 +2266,17 @@ object TxLog {
         .flatMap(parseRemoveAllDeleted)
     }
     // union of live sets of every retained snapshot + retained evidence
-    val keep = ((keepFrom to tip).flatMap(v => snapshot(table, v).files) ++
+    val retainedSnaps = (keepFrom to tip).map(v => snapshot(table, v))
+    val keep = (retainedSnaps.flatMap(_.files) ++
       keepEvidence).map(normalize).toSet
+    // deletion-vector sidecars referenced by retained snapshots survive;
+    // ONE version further back too (keepFrom−1): the feed's DV-diff and
+    // covered-drop derivations for the oldest retained commit mask against
+    // the PRIOR version's bitmap — without it that boundary feed would
+    // re-emit rows an earlier DV already deleted
+    val keepDvs = (retainedSnaps ++
+      (if (keepFrom > 1) Seq(snapshot(table, keepFrom - 1)) else Seq.empty))
+      .flatMap(_.dvs.valuesIterator.map(_.path)).map(normalize).toSet
     // sweep scope: CONVERTed tables (version 1's op is "convert") own their
     // WHOLE root — the adopted originals live outside data/ and must be
     // collectible once a rewrite retires them. Every other table sweeps
@@ -2025,6 +2321,22 @@ object TxLog {
           .filter { p =>
             p.toString.endsWith(".parquet") &&
               !keepCdc.contains(normalize(p.toString)) &&
+              (try Files.getLastModifiedTime(p).toMillis <= cutoff
+               catch { case _: java.io.IOException => false })
+          }
+          .toList
+      }.foreach { p => if (!dryRun) Files.deleteIfExists(p); deleted += 1 }
+    }
+    // deletion-vector sidecars: unreferenced (superseded by a newer bitmap
+    // for the same file, absorbed by OPTIMIZE, or orphaned by a crashed
+    // writer) and past the grace window — same age guard as data files
+    val dvDirPath = Paths.get(table, "_deletion_vectors")
+    if (Files.isDirectory(dvDirPath)) {
+      scala.util.Using.resource(Files.walk(dvDirPath)) { s =>
+        s.iterator().asScala
+          .filter { p =>
+            p.toString.endsWith(".dv") &&
+              !keepDvs.contains(normalize(p.toString)) &&
               (try Files.getLastModifiedTime(p).toMillis <= cutoff
                catch { case _: java.io.IOException => false })
           }
@@ -2219,7 +2531,11 @@ object TxLog {
   def rowCount(table: String, asOf: Long = Long.MaxValue): Option[Long] = {
     val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
     if (r.live.isEmpty) return Some(0L)
-    val counts = r.live.valuesIterator.map(parseRows).toSeq
+    // a file's LIVE count = recorded physical rows − its DV cardinality
+    // (both pure log metadata, so the count stays an O(files) driver answer
+    // even on a table full of point deletes)
+    val counts = r.live.valuesIterator.map(line =>
+      parseRows(line).map(_ - parseDv(line).map(_.card).getOrElse(0L))).toSeq
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 }

@@ -149,6 +149,14 @@ object TxLogBatch {
     val spark = sqlContext.sparkSession
     val r = TxLog.replayAdds(table, math.min(TxLog.latestVersion(table), asOf),
       useCheckpoint = true)
+    // DELETION VECTORS present: the masked read (bitmap anti-filter) cannot
+    // be expressed inside a HadoopFsRelation, so the snapshot serves as a
+    // TableScan over the masked frame — correct rows first; the stats-
+    // skipping FileIndex fast path resumes once OPTIMIZE absorbs the DVs
+    // (the steady state for a maintained table)
+    if (TxLog.dvRefs(r.live).nonEmpty)
+      return dfRelation(sqlContext,
+        TxLog.snapshot(table, asOf).read(spark))
     // asNullable, as DataFrameReader.schema does for file sources: files
     // written before a schema evolution lack the later columns, and the
     // vectorized parquet reader refuses a missing NON-NULLABLE column

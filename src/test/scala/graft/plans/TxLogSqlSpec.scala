@@ -335,6 +335,30 @@ class TxLogSqlSpec extends SparkSpec {
         Some("k <= 5 AND note = 'x'"))))
   }
 
+  test("DELETE/UPDATE ... DV take the deletion-vector path end-to-end via spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("dvsql")
+      TxLog.append((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(1), t, statsCol = Some("k"))
+      val before = TxLog.snapshot(t).files
+      s.sql(s"DELETE FROM TXLOG '$t' WHERE k = 7 DV").collect()
+      assert(TxLog.snapshot(t).files == before, "no rewrite: bitmap sidecar only")
+      assert(TxLog.snapshot(t).dvs.values.map(_.card).sum == 1L)
+      assert(s.sql(s"SELECT count(*) FROM txlog.`$t`").head.getLong(0) == 99L)
+      s.sql(s"UPDATE TXLOG '$t' SET v = 'X' WHERE k = 8 DV").collect()
+      assert(s.sql(s"SELECT v FROM txlog.`$t` WHERE k = 8").as[String].head() == "X")
+      assert(s.sql(s"SELECT count(*) FROM txlog.`$t`").head.getLong(0) == 99L)
+      // flag parse coverage, including the bare-identifier collision
+      assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE k = 5 STATS k CHANGEFEED DV") ==
+        Some(DeleteTxLogCommand("/t", "k = 5", Some("k"), changeFeed = true, dv = true)))
+      assert(TxLogSql.parse("DELETE FROM TXLOG '/t' WHERE k = 5 DV CHANGEFEED") ==
+        Some(DeleteTxLogCommand("/t", "k = 5", None, changeFeed = true, dv = true)))
+      assert(TxLogSql.parse("UPDATE TXLOG '/t' SET a = 1 WHERE b AND dv") ==
+        Some(UpdateTxLogCommand("/t", "a = 1", "b AND dv", None)))
+    }
+  }
+
   test("UPDATE SET duplicate targets are refused case-insensitively") {
     withExtSession { s =>
       import s.implicits._
