@@ -712,6 +712,28 @@ object RelationalQueries {
                    ELSE o_totalprice END AS o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
+  // Iceberg-style PARTITIONED txlog table at the gate: one partitioned
+  // write (columns stay in the data; the log records the spec and each
+  // file's partition tuple as exact min=max stats), then a one-partition
+  // read through the public reader — the log-backed FileIndex serves ONLY
+  // that partition's files (TxLogPartitionSpec proves the file count;
+  // this entry proves the ANSWER). NOTE: TIMES the partitioned write +
+  // the pruned read.
+  private val acidPartitionedScan = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_part", d)
+      deleteRecursively(tbl)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.format("txlog").option("partitionBy", "o_orderstatus")
+        .option("stats", "o_orderkey").mode("append").save(tbl)
+      s.read.format("txlog").load(tbl)
+        .filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderstatus = 'F' ORDER BY o_orderkey"""))
+
   // DELETION-VECTOR verbs at the gate (Delta's DV design): the same four
   // range-sliced appends as acid_delete, then a ~1%-scatter DELETE and a
   // ~1%-scatter UPDATE both through the DV path — neither rewrites a
@@ -1518,6 +1540,7 @@ object RelationalQueries {
     "acid_delete" -> acidDelete,
     "acid_update" -> acidUpdate,
     "acid_delete_dv" -> acidDeleteDv,
+    "acid_partitioned_scan" -> acidPartitionedScan,
     "acid_change_feed" -> acidChangeFeed,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,

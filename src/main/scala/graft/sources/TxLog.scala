@@ -251,7 +251,8 @@ object TxLog {
       var schema: Option[String],
       tip: Long,
       cons: scala.collection.mutable.LinkedHashMap[String, String] =
-        scala.collection.mutable.LinkedHashMap.empty)
+        scala.collection.mutable.LinkedHashMap.empty,
+      var parts: Seq[String] = Seq.empty)
 
   /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
   private[sources] def replayAdds(table: String, asOf: Long,
@@ -261,6 +262,7 @@ object TxLog {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var schema: Option[String] = None
+    var parts: Seq[String] = Seq.empty
     def take(line: String): Unit = parseAction(line) match {
       case Some(("add", path))    => live(path) = line
       case Some(("remove", path)) => live.remove(path)
@@ -271,8 +273,11 @@ object TxLog {
           case Some(j) => schema = Some(j) // latest wins
           case None => parseConstraint(line) match {
             case Some((name, expr)) => cons(name) = expr
-            case None =>
-              parseDropConstraint(line).foreach(name => cons.remove(name))
+            case None => parseParts(line) match {
+              case Some(cols) => parts = cols // latest wins, like schema
+              case None =>
+                parseDropConstraint(line).foreach(name => cons.remove(name))
+            }
           }
         }
       }
@@ -293,7 +298,7 @@ object TxLog {
       }
       v += 1
     }
-    Replay(live, txns, schema, tip, cons)
+    Replay(live, txns, schema, tip, cons, parts)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -314,6 +319,7 @@ object TxLog {
     // commit that carried it sits below the checkpoint; constraints ride the
     // same way — enforcement must survive compaction too
     val txnLines = r.schema.map(schemaLine).toSeq ++
+      (if (r.parts.isEmpty) Seq.empty else Seq(partsLine(r.parts))) ++
       r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq ++
       r.cons.map { case (name, expr) => constraintLine(name, expr) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
@@ -401,17 +407,41 @@ object TxLog {
     * stats column is entirely null stays stats-less (opaque — always
     * rewritten, never wrongly skipped). */
   private def stageFiles(df: DataFrame, table: String,
-      statsCol: Option[String] = None): Seq[String] = {
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Seq[String] = {
     val stage = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
-    df.write.mode("error").parquet(stage.toString)
+    // PARTITIONED staging — the ICEBERG shape, not Hive's: the partition
+    // columns STAY in the data files (partitioning is table METADATA, and
+    // every read path — DV masking, the change feed, constraint scans,
+    // streaming — keeps working on the file bytes alone, no path surgery
+    // to undo), while the directory layout still splits per partition
+    // value via duplicated writer-side columns (`__part_<c>=<v>/`) so each
+    // file is VALUE-PURE and operators can browse the layout. The per-file
+    // partition tuple is recorded as exact min=max column stats below —
+    // which is precisely what makes partition pruning compose with the
+    // existing stats-skipping machinery instead of needing its own.
+    if (partitionBy.isEmpty) df.write.mode("error").parquet(stage.toString)
+    else {
+      partitionBy.foreach(c => require(df.columns.contains(c),
+        s"partition column $c is not in the write's schema " +
+          s"(${df.columns.mkString(", ")})"))
+      val withDirs = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(s"__part_$c", col(c)))
+      withDirs.write.mode("error")
+        .partitionBy(partitionBy.map(c => s"__part_$c"): _*)
+        .parquet(stage.toString)
+    }
     val files = listParquet(stage)
     // `statsCol` is a comma-separated column LIST ("k" or "k,ts"): one
     // column-pruned scan of the just-written files computes min/max for
     // every requested column, and the add-action records them all, so
     // merge can prune on its key while readPruned skips on any recorded
-    // column (the Delta multi-column stats shape)
+    // column (the Delta multi-column stats shape). Partition columns are
+    // ALWAYS in the list: each staged file is value-pure, so their
+    // recorded envelopes are exact single points — the partition tuple.
     val cols: Seq[String] =
-      statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      (statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) ++
+        partitionBy).distinct
     val stats: Map[String, Seq[ColStat]] =
       if (cols.isEmpty) Map.empty
       else {
@@ -436,9 +466,16 @@ object TxLog {
           .groupBy("__fp").agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+            // keyed by NORMALIZED FULL PATH (URI-decoded): partitioned
+            // staging reuses the same part-NNNNN file NAME in every
+            // `__part_c=v/` subdirectory, so a name key would collide
+            // across partitions and cross-wire their stats (each partition
+            // would record some other partition's envelope — a silent
+            // wrong prune). _metadata.file_path is URI-spelled; decode it
+            // to the path spelling `files` uses.
+            val abs = normalize(new java.net.URI(r.getString(0)).getPath)
             // an all-null column stays opaque for that file, never 0-range
-            name -> cols.flatMap { k =>
+            abs -> cols.flatMap { k =>
               (Option(r.getAs[String](s"__mn_$k")), Option(r.getAs[String](s"__mx_$k"))) match {
                 case (Some(mn), Some(mx)) =>
                   Some(ColStat(k, mn, mx, Some(r.getAs[Long](s"__nl_$k"))))
@@ -454,8 +491,7 @@ object TxLog {
     // that fails to read just leaves that file count-less.
     val rowsOf = footerRowCounts(df.sparkSession, files)
     files.map { p =>
-      val name = p.substring(p.lastIndexOf('/') + 1)
-      addLine(p, rowsOf.get(p), stats.getOrElse(name, Seq.empty))
+      addLine(p, rowsOf.get(p), stats.getOrElse(normalize(p), Seq.empty))
     }
   }
 
@@ -547,7 +583,9 @@ object TxLog {
   }
 
   private def listParquet(dir: Path): Seq[String] =
-    scala.util.Using.resource(Files.list(dir)) { s =>
+    // walk, not list: partitioned staging nests files under
+    // `__part_<c>=<v>/` directories
+    scala.util.Using.resource(Files.walk(dir)) { s =>
       s.iterator().asScala
         .map(_.toString).filter(_.endsWith(".parquet")).toList.sorted
     }
@@ -558,8 +596,23 @@ object TxLog {
     * committed version. `statsCol` records per-file min/max of that column
     * in the add-actions so later merges on it can prune their rewrite set. */
   def append(df: DataFrame, table: String, maxRetries: Int = 64,
-      statsCol: Option[String] = None, mergeSchema: Boolean = false): Long = {
-    val actions = stageFiles(df, table, statsCol)
+      statsCol: Option[String] = None, mergeSchema: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    // the effective partition spec: a partitioned table IMPOSES its
+    // recorded spec on every append (callers need not restate it, and a
+    // conflicting restatement is refused — silently mixing layouts would
+    // break the value-pure-file invariant pruning relies on); a new table
+    // records the caller's spec
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    val effParts =
+      if (pre.parts.isEmpty) partitionBy
+      else {
+        require(partitionBy.isEmpty || partitionBy == pre.parts,
+          s"append: table $table is partitioned by (${pre.parts.mkString(", ")}) " +
+            s"but the write asked for (${partitionBy.mkString(", ")})")
+        pre.parts
+      }
+    val actions = stageFiles(df, table, statsCol, effParts)
     var attempt = 0
     // CHECK constraints are enforced against the fresh replay's set; the
     // staged-file scan re-runs on retry only if the set changed concurrently
@@ -571,9 +624,20 @@ object TxLog {
         enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
         enforcedFor = Some(cmap)
       }
+      // a concurrent overwrite that changed the spec to a DIFFERENT
+      // nonempty partitioning makes the staged layout wrong — fail rather
+      // than commit mixed layouts. (Columns stay in the data, so staged
+      // partitioned files remain valid if the table went UNpartitioned,
+      // and a same-spec racer is obviously fine.)
+      if (r.parts.nonEmpty && r.parts != effParts)
+        sys.error(s"append: partition spec of $table changed concurrently " +
+          s"(staged for (${effParts.mkString(", ")}), now (${r.parts.mkString(", ")}))")
       val v = r.tip + 1
+      val partActs =
+        if (effParts.nonEmpty && r.parts != effParts) Seq(partsLine(effParts))
+        else Seq.empty
       val schemaActs = schemaActions(r, df, mergeSchema, "append")
-      try { commit(table, v, actions ++ schemaActs, "append"); maybeCheckpoint(table, v); return v }
+      try { commit(table, v, actions ++ partActs ++ schemaActs, "append"); maybeCheckpoint(table, v); return v }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -589,8 +653,11 @@ object TxLog {
     * re-derived against the new tip (optimistic retry), so a concurrent
     * append is never silently dropped from the removal list. */
   def overwrite(df: DataFrame, table: String, maxRetries: Int = 64,
-      statsCol: Option[String] = None): Long = {
-    val adds = stageFiles(df, table, statsCol)
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    // an overwrite replaces every row, so it ADOPTS the writer's partition
+    // spec outright (like its schema) — including dropping to unpartitioned
+    val adds = stageFiles(df, table, statsCol, partitionBy)
     var attempt = 0
     var enforcedFor: Option[Map[String, String]] = None
     while (true) {
@@ -614,7 +681,9 @@ object TxLog {
         if (snap.schemaJson.contains(df.schema.json) ||
             (snap.schemaJson.isEmpty && snap.version > 0)) Seq.empty
         else Seq(schemaLine(df.schema.json))
-      try { commit(table, snap.version + 1, adds ++ removes ++ schemaActs, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
+      val partActs =
+        if (r0.parts == partitionBy) Seq.empty else Seq(partsLine(partitionBy))
+      try { commit(table, snap.version + 1, adds ++ removes ++ schemaActs ++ partActs, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -751,7 +820,8 @@ object TxLog {
             pre.unionByName(post, allowMissingColumns = mergeSchema)
               .unionByName(ins, allowMissingColumns = mergeSchema), table)
         }
-      val actions = stageFiles(merged, table, statsCol = Some(keyCol)) ++ cdcActs ++
+      val actions = stageFiles(merged, table, statsCol = Some(keyCol),
+        partitionBy = replay.parts) ++ cdcActs ++
         touched.map(p => s"""{"remove":{"path":${quote(p)}}}""") ++ schemaActs
       // CHECK constraints gate the merged output (survivors + updates) —
       // one scan of the staged bytes, never the table; a violating update
@@ -1134,7 +1204,7 @@ object TxLog {
         else stageFiles(
           readLive(spark, reader, rewriteTargets, replay.live)
             .where(!coalesce(predicate, lit(false))),
-          table, statsCol)
+          table, statsCol, replay.parts)
       // change-data sidecars (opt-in, Delta's enableChangeDataFeed shape):
       // the rows this delete removes from REWRITTEN files, stamped
       // 'delete' — one extra column-complete scan of those files. Covered
@@ -1302,7 +1372,7 @@ object TxLog {
             val post = hits.select(tableSchema.fields.map { f =>
               assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
             }.toSeq: _*)
-            val adds = stageFiles(post, table, statsCol)
+            val adds = stageFiles(post, table, statsCol, replay.parts)
             val dvActs = touched.map { p =>
               val merged = parseDv(replay.live(p)) match {
                 case Some(old) => org.roaringbitmap.RoaringBitmap.or(
@@ -1338,7 +1408,7 @@ object TxLog {
               case None => col(f.name)
             }
           }.toSeq: _*)
-        val adds = stageFiles(updated, table, statsCol)
+        val adds = stageFiles(updated, table, statsCol, replay.parts)
         // change-data sidecars (opt-in): old and new images of exactly the
         // rows the predicate hit — the assignments apply UNCONDITIONALLY to
         // the post frame because every row in it is a TRUE row
@@ -2111,7 +2181,7 @@ object TxLog {
         case Some((x, y)) => graft.ops.Layout.zorderBy(df, col(x), col(y), nOut)
         case None         => df.repartition(nOut)
       }
-      val adds = stageFiles(packed, table, statsCol)
+      val adds = stageFiles(packed, table, statsCol, replay.parts)
       val removes = candidates.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       try {
         commit(table, replay.tip + 1, adds ++ removes, "optimize")
@@ -2424,6 +2494,21 @@ object TxLog {
   private def parseSchema(line: String): Option[String] = line match {
     case SchemaRe(j) => Some(unquote(j))
     case _           => None
+  }
+
+  // -- table partitioning metadata (Iceberg-style: columns stay in the
+  //    data, the log records the spec; see stageFiles) --
+
+  private val PartsRe = """\{"parts":\[((?:"(?:[^"\\]|\\.)*",?)*)\]\}""".r
+  private val PartEntryRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def partsLine(cols: Seq[String]): String =
+    s"""{"parts":[${cols.map(quote).mkString(",")}]}"""
+
+  private def parseParts(line: String): Option[Seq[String]] = line match {
+    case PartsRe(body) =>
+      Some(PartEntryRe.findAllMatchIn(body).map(m => unquote(m.group(1))).toSeq)
+    case _ => None
   }
 
   /** Schema ENFORCEMENT + EVOLUTION for a write against the replayed table

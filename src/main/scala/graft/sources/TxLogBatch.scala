@@ -131,15 +131,20 @@ object TxLogBatch {
       val merged = (explicit ++ cluster).distinct
       if (merged.isEmpty) None else Some(merged.mkString(","))
     }
+    // `partitionBy` — Iceberg-style table partitioning (see TxLog.stageFiles):
+    // columns stay in the data, the log records the spec and per-file
+    // partition tuples as exact stats, the reader's FileIndex prunes on them
+    val partitionBy: Seq[String] = lower.get("partitionby").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val nonEmpty = TxLog.latestVersion(table) > 0
     mode match {
-      case SaveMode.Append    => TxLog.append(data2, table, statsCol = stats, mergeSchema = mergeSchema)
-      case SaveMode.Overwrite => TxLog.overwrite(data2, table, statsCol = stats)
+      case SaveMode.Append    => TxLog.append(data2, table, statsCol = stats, mergeSchema = mergeSchema, partitionBy = partitionBy)
+      case SaveMode.Overwrite => TxLog.overwrite(data2, table, statsCol = stats, partitionBy = partitionBy)
       case SaveMode.ErrorIfExists if nonEmpty =>
         throw new IllegalStateException(s"txlog table $table already exists (mode ErrorIfExists)")
-      case SaveMode.ErrorIfExists => TxLog.append(data2, table, statsCol = stats)
+      case SaveMode.ErrorIfExists => TxLog.append(data2, table, statsCol = stats, partitionBy = partitionBy)
       case SaveMode.Ignore if nonEmpty => ()
-      case SaveMode.Ignore => TxLog.append(data2, table, statsCol = stats)
+      case SaveMode.Ignore => TxLog.append(data2, table, statsCol = stats, partitionBy = partitionBy)
     }
     relation(sqlContext, parameters)
   }
