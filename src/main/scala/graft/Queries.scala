@@ -712,6 +712,58 @@ object RelationalQueries {
                    ELSE o_totalprice END AS o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
+  // FULL-MATRIX MERGE at the gate (the ANSI/Delta shape): one commit
+  // applies matched-UPDATE, unmatched-INSERT and — the dimension-sync
+  // clause the plain upsert cannot express — NOT MATCHED BY SOURCE DELETE
+  // with a condition, all as ONE full-outer join + ONE action-CASE
+  // projection. The oracle reconstructs the same matrix relationally
+  // (left join for the survivors, anti join for the inserts). NOTE: TIMES
+  // 4 writes + the one-join merge + the read.
+  private val acidMergeFull = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_mf", d)
+      deleteRecursively(tbl)
+      val src = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = src.agg(max("o_orderkey")).head.getLong(0)
+      val q = maxK / 4 + 1
+      for (slice <- 0 until 4)
+        graft.sources.TxLog.append(
+          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          tbl, statsCol = Some("o_orderkey"))
+      val source = src.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
+        .unionByName(src.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + lit(maxK)).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+      graft.sources.TxLog.mergeFull(source, tbl, "o_orderkey", Seq(
+        graft.sources.TxLog.MatchedUpdate(
+          Map("o_totalprice" -> col("s.o_totalprice"))),
+        graft.sources.TxLog.NotMatchedInsert(),
+        graft.sources.TxLog.NotMatchedBySourceDelete(
+          Some(col("t.o_custkey") % 10 === 0))))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+            src AS (
+              SELECT o_orderkey AS k, o_custkey, o_totalprice * 2.0 AS price
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey + (SELECT m FROM mx) AS k, o_custkey, o_totalprice
+              FROM orders WHERE o_orderkey % 17 = 0)
+            SELECT t.o_orderkey,
+                   t.o_custkey,
+                   CASE WHEN s.k IS NOT NULL THEN s.price
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+            WHERE s.k IS NOT NULL OR t.o_custkey % 10 <> 0
+            UNION ALL
+            SELECT s.k AS o_orderkey, s.o_custkey, s.price AS o_totalprice
+            FROM src s LEFT JOIN orders t ON t.o_orderkey = s.k
+            WHERE t.o_orderkey IS NULL
+            ORDER BY o_orderkey"""))
+
   // Iceberg-style PARTITIONED txlog table at the gate: one partitioned
   // write (columns stay in the data; the log records the spec and each
   // file's partition tuple as exact min=max stats), then a one-partition
@@ -1541,6 +1593,7 @@ object RelationalQueries {
     "acid_update" -> acidUpdate,
     "acid_delete_dv" -> acidDeleteDv,
     "acid_partitioned_scan" -> acidPartitionedScan,
+    "acid_merge_full" -> acidMergeFull,
     "acid_change_feed" -> acidChangeFeed,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,

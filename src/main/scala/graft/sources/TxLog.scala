@@ -851,6 +851,227 @@ object TxLog {
     -1L
   }
 
+  /** One clause of a full MERGE (the Delta/ANSI MERGE matrix). Conditions
+    * and SET expressions evaluate over the joined row with the TARGET
+    * aliased `t` and the SOURCE aliased `s` — reference columns as
+    * `col("t.x")` / `col("s.x")` (unqualified names are ambiguous when both
+    * sides carry them). Clauses of each group apply IN ORDER: the first
+    * whose condition is TRUE wins; a row matching no clause of its group
+    * keeps its target image (matched / not-matched-by-source) or is not
+    * inserted (not-matched). */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET … */
+  final case class MatchedUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MatchedDelete(cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (the source row, by name;
+    * table columns the source lacks null-fill) */
+  final case class NotMatchedInsert(cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — the dimension-sync
+    * shape: target rows whose key is absent from the source */
+  final case class NotMatchedBySourceDelete(cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … (SET sees only
+    * `t.` columns — there is no source row) */
+  final case class NotMatchedBySourceUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+
+  /** Full-matrix transactional MERGE (the ANSI/Delta shape [[merge]] is the
+    * fast upsert special case of): matched rows update or delete under
+    * ordered conditional clauses, unmatched source rows insert, and —
+    * the shape the plain upsert cannot express — target rows MISSING from
+    * the source delete or update (dimension sync / CDC reconciliation).
+    *
+    * SCALE shape: ONE full-outer hash join of the touched rows against the
+    * source on `keyCol`, ONE action-CASE projection (every clause condition
+    * and SET evaluates in a single Project — no per-clause passes), ONE
+    * staged write. File scoping: with a not-matched-by-source clause every
+    * target row is potentially affected, so the whole table rewrites —
+    * that cost is INHERENT to the sync shape, not an implementation
+    * artifact (deciding "is this row missing from the source" requires
+    * comparing it); without one, the rewrite set narrows to source-keyed
+    * files exactly like [[merge]] (envelope prune + touch scan).
+    *
+    * Null keys follow SQL join semantics: a null-keyed source row matches
+    * nothing (insert candidate); a null-keyed target row matches nothing
+    * (not-matched-by-source candidate). On version conflict the derivation
+    * re-runs against the fresh tip (no disjoint admission — a by-source
+    * clause interacts with every concurrent write by construction).
+    * `changeFeed = true` stages exact sidecars (pre/post images, deletes,
+    * inserts) for [[readChangeFeed]]. Returns the committed version. */
+  def mergeFull(source: DataFrame, table: String, keyCol: String,
+      clauses: Seq[MergeClause], statsCol: Option[String] = None,
+      maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
+    require(clauses.nonEmpty, "mergeFull needs at least one clause")
+    val spark = source.sparkSession
+    val hasBySource = clauses.exists {
+      case _: NotMatchedBySourceDelete | _: NotMatchedBySourceUpdate => true
+      case _ => false
+    }
+    val srcKeys = source.select(col(keyCol).as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    var attempt = 0
+    while (true) {
+      val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      val reader = replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
+      val live = replay.live.keysIterator.toSeq
+      if (live.isEmpty && !clauses.exists(_.isInstanceOf[NotMatchedInsert]))
+        return replay.tip
+      // rewrite scope: everything under a by-source clause (inherent);
+      // otherwise the files holding a source key (stats prune via the
+      // recorded envelopes + key-column touch scan, as in merge)
+      val touched: Seq[String] =
+        if (hasBySource || live.isEmpty) live
+        else {
+          val keyType = source.schema(keyCol).dataType
+          val bounds = srcKeys.agg(min("__k"), max("__k")).collect()
+            .headOption.filterNot(_.isNullAt(0)).map(r => (r.get(0), r.get(1)))
+          val withStats = replay.live.toSeq.flatMap { case (path, line) =>
+            parseStatsAll(line).collect { case st if st.col == keyCol => (path, st.min, st.max) }
+          }
+          val opaque = replay.live.keysIterator.toSet -- withStats.map(_._1)
+          val candidates = (bounds, withStats) match {
+            case (None, _) => Seq.empty // no non-null source keys
+            case (_, ws) if ws.isEmpty => live
+            case (Some((lo, hi)), ws) =>
+              import spark.implicits._
+              ws.toDF("__path", "__mns", "__mxs")
+                .select(col("__path"), col("__mns").try_cast(keyType).as("__mn"),
+                  col("__mxs").try_cast(keyType).as("__mx"))
+                .where((col("__mx") >= lit(lo) && col("__mn") <= lit(hi)) ||
+                  col("__mn").isNull || col("__mx").isNull)
+                .select("__path").collect().map(_.getString(0)).toSeq ++ opaque
+          }
+          if (candidates.isEmpty) Seq.empty
+          else {
+            val byAbs = candidates.map(p => normalize(p) -> p).toMap
+            liveRowsWithPos(spark, reader, candidates, replay.live)
+              .select(col("__fp"), col(keyCol).as("__k"))
+              .join(srcKeys, "__k")
+              .select("__fp").distinct().collect()
+              .flatMap(r => byAbs.get(normalize(r.getString(0))))
+              .toSeq
+          }
+        }
+      val tableSchema =
+        if (live.isEmpty) replay.schema.map(schemaOf).getOrElse(source.schema)
+        else reader.parquet(live: _*).schema
+      val current =
+        if (touched.isEmpty) {
+          // typed empty target with the table schema
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(tableSchema.fields.map(_.copy(nullable = true))))
+        } else readLive(spark, reader, touched, replay.live)
+      // ---- one joined frame, one action decision, one projection ----
+      val t = current.withColumn("__tp", lit(true)).as("t")
+      val s = source.withColumn("__sp", lit(true)).as("s")
+      val joined = t.join(s, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      val tP = col("t.__tp").isNotNull
+      val sP = col("s.__sp").isNotNull
+      // action ids: 0 keep target; 1.. update clause index; 100.. insert
+      // clause index; -2 delete; -1 discard (unmatched source, no clause)
+      val KEEP = 0; val DEL = -2; val DISCARD = -1
+      def pick(cs: Seq[(Int, Option[Column])], default: Int): Column =
+        cs.foldRight(lit(default).cast("int")) { case ((id, cond), rest) =>
+          when(coalesce(cond.getOrElse(lit(true)), lit(false)), lit(id))
+            .otherwise(rest)
+        }
+      val matchedCs = clauses.zipWithIndex.collect {
+        case (MatchedUpdate(_, c), i)  => (i + 1, c)
+        case (MatchedDelete(c), i)     => (DEL, c)
+      }
+      val bySourceCs = clauses.zipWithIndex.collect {
+        case (NotMatchedBySourceUpdate(_, c), i) => (i + 1, c)
+        case (NotMatchedBySourceDelete(c), _)    => (DEL, c)
+      }
+      val insertCs = clauses.zipWithIndex.collect {
+        case (NotMatchedInsert(c), i) => (i + 101, c)
+      }
+      val action = when(tP && sP, pick(matchedCs, KEEP))
+        .when(tP && !sP, pick(bySourceCs, KEEP))
+        .otherwise(pick(insertCs, DISCARD))
+      // resolve each update clause's SET map against the table schema (the
+      // same resolver + lossless-widening discipline as UPDATE); types
+      // probe analysis-only over the joined frame (limit 0, no job)
+      val resolver = spark.sessionState.conf.resolver
+      val updSets: Map[Int, Map[String, Column]] = clauses.zipWithIndex.collect {
+        case (MatchedUpdate(set, _), i)           => (i + 1, set)
+        case (NotMatchedBySourceUpdate(set, _), i) => (i + 1, set)
+      }.map { case (id, set) =>
+        id -> set.map { case (c, e) =>
+          val f = tableSchema.fields.find(f => resolver(f.name, c)).getOrElse(
+            throw new SchemaMismatch(
+              s"mergeFull: SET column $c is not in the table schema " +
+                s"(${tableSchema.fieldNames.mkString(", ")})"))
+          val got = joined.limit(0).select(e).schema.head.dataType
+          val v =
+            if (got == f.dataType) e
+            else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got, f.dataType))
+              e.cast(f.dataType)
+            else throw new SchemaMismatch(
+              s"mergeFull: SET ${f.name} is ${got.simpleString} but the column " +
+                s"is ${f.dataType.simpleString} — only lossless widenings are " +
+                "implicit; cast explicitly for anything else")
+          f.name -> v
+        }
+      }.toMap
+      val srcCols = source.columns.toSet
+      def outCol(f: org.apache.spark.sql.types.StructField): Column = {
+        val insertVal =
+          if (srcCols.exists(resolver(_, f.name)))
+            col(s"s.${srcCols.find(resolver(_, f.name)).get}").cast(f.dataType)
+          else lit(null).cast(f.dataType)
+        val base = when(action >= 101, insertVal).otherwise(col(s"t.${f.name}"))
+        updSets.foldLeft(base) { case (acc, (id, set)) =>
+          set.get(f.name) match {
+            case Some(v) => when(action === id, v).otherwise(acc)
+            case None    => acc
+          }
+        }.as(f.name)
+      }
+      val projected = joined.withColumn("__action", action)
+      val outRows = projected.where(col("__action") >= 0)
+        .select(tableSchema.fields.map(outCol).toSeq: _*)
+      val adds =
+        if (touched.isEmpty && insertCs.isEmpty) Seq.empty
+        else stageFiles(outRows, table, statsCol.orElse(Some(keyCol)),
+          replay.parts)
+      val cdcActs =
+        if (!changeFeed) Seq.empty
+        else {
+          val tImage = tableSchema.fields.map(f =>
+            col(s"t.${f.name}").as(f.name)).toSeq
+          val pre = projected.where(col("__action") >= 1 && col("__action") <= 99)
+            .select(tImage: _*).withColumn("_change_type", lit("update_preimage"))
+          val post = projected.where(col("__action") >= 1 && col("__action") <= 99)
+            .select(tableSchema.fields.map(outCol).toSeq: _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          val dels = projected.where(col("__action") === DEL)
+            .select(tImage: _*).withColumn("_change_type", lit("delete"))
+          val ins = projected.where(col("__action") >= 101)
+            .select(tableSchema.fields.map(outCol).toSeq: _*)
+            .withColumn("_change_type", lit("insert"))
+          stageCdcFiles(pre.unionByName(post).unionByName(dels).unionByName(ins), table)
+        }
+      val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
+      enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "merge")
+      try {
+        commit(table, replay.tip + 1, adds ++ cdcActs ++ removes, "merge")
+        maybeCheckpoint(table, replay.tip + 1)
+        return replay.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"mergeFull lost $maxRetries version races on $table")
+        // conservative: always re-derive (a by-source clause interacts
+        // with every concurrent commit; the non-by-source case could admit
+        // like merge, left to the fast-path verb)
+      }
+    }
+    -1L
+  }
+
   /** Is `v`'s commit provably independent of a merge that rewrites
     * `ourRemoves` and whose non-null update keys lie in `bounds`? Provable
     * from the commit file alone (no data I/O): it removed no path we
