@@ -119,9 +119,16 @@ class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
     TxLogBatch.write(sqlContext, mode, parameters, data)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TxLogStreamSource.inferSchema(sqlContext, TxLogStreamSource.tableOf(parameters))))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val base = schema.getOrElse(
+      TxLogStreamSource.inferSchema(sqlContext, TxLogStreamSource.tableOf(parameters)))
+    val s =
+      if (lower.get("readchangefeed").exists(_.toBoolean))
+        TxLogCdfStreamSource.cdfSchema(base)
+      else base
+    (shortName(), s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -130,14 +137,28 @@ class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
     // defensively case-fold: the engine passes a case-insensitive map on
     // current versions, but that is an implementation detail
     val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    new TxLogStreamSource(sqlContext, table,
+    val startingVersion = lower.get("startingversion").map {
+      case "latest" => TxLog.latestVersion(table)
+      case n        => n.toLong
+    }
+    if (lower.get("readchangefeed").exists(_.toBoolean)) {
+      // STREAMING CDF (Delta's readChangeFeed streaming option): tail the
+      // exact row-level change feed — every micro-batch is
+      // readChangeFeed over its offset range, so a downstream incremental
+      // consumer sees inserts/pre/post/delete rows with _commit_version
+      require(!lower.contains("ignorechanges"),
+        "readChangeFeed serves exact row-level changes — ignoreChanges " +
+          "belongs to the row-append stream only")
+      new TxLogCdfStreamSource(sqlContext, table,
+        TxLogCdfStreamSource.cdfSchema(
+          schema.getOrElse(TxLogStreamSource.inferSchema(sqlContext, table))),
+        startingVersion = startingVersion.getOrElse(0L),
+        maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong))
+    } else new TxLogStreamSource(sqlContext, table,
       schema.getOrElse(TxLogStreamSource.inferSchema(sqlContext, table)),
       ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
       maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong),
-      startingVersion = lower.get("startingversion").map {
-        case "latest" => TxLog.latestVersion(table)
-        case n        => n.toLong
-      })
+      startingVersion = startingVersion)
   }
 }
 
@@ -181,6 +202,78 @@ object TxLogStreamSource {
         sqlContext.sparkSession.read.parquet(snap.files: _*).schema
     }
   }
+}
+
+object TxLogCdfStreamSource {
+  /** The feed schema: the table schema plus the change-metadata columns. */
+  private[sources] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
+}
+
+/** Streaming source over the EXACT row-level change feed (the streaming
+  * half of W21's CDF story — Delta's `readChangeFeed` +`startingVersion`
+  * stream): the offset is the log version, and every micro-batch is
+  * [[TxLog.readChangeFeed]] over its (start, end] range — derived and
+  * sidecar-recorded change rows stamped `_change_type` /
+  * `_commit_version`. The feed over a pinned version range is a pure
+  * function of immutable commits, sidecars, bitmaps and data files, so a
+  * restarted stream replaying a checkpointed range reproduces it EXACTLY
+  * — the same determinism argument as the row-append source, extended to
+  * change evidence. A commit without evidence (a rewrite run without
+  * `changeFeed = true`) fails the batch loudly BY VERSION, never serves
+  * approximations; vacuum retention bounds the tailable horizon exactly
+  * as it bounds the batch feed.
+  *
+  * `startingVersion` (default 0 = full history; "latest" = new changes
+  * only) sets where the FIRST batch starts; later batches resume from the
+  * checkpointed offset. Plans are the batch feed's (file scans +
+  * broadcast attribution joins) with only the FILE leaves re-tagged
+  * streaming — the attribution maps stay batch sides, so each join is a
+  * supported stream-static join. */
+class TxLogCdfStreamSource(sqlContext: SQLContext, table: String,
+    override val schema: StructType, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  private var lastEnd: Long = -1L
+
+  override def getOffset: Option[Offset] = synchronized {
+    val tip = TxLog.latestVersion(table)
+    if (tip < 1 || tip <= startingVersion) None
+    else {
+      val end = maxVersionsPerTrigger match {
+        case Some(cap) if lastEnd >= 0 => math.min(tip, lastEnd + math.max(1L, cap))
+        case _                         => tip
+      }
+      lastEnd = math.max(lastEnd, end)
+      Some(LongOffset(end))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = end match {
+      case LongOffset(v) => v
+      case other         => other.toString.toLong
+    }
+    synchronized { lastEnd = math.max(lastEnd, hi) }
+    val lo = start match {
+      case Some(LongOffset(v)) => v
+      case Some(other)         => other.toString.toLong
+      case None                => startingVersion
+    }
+    val feed = TxLog.readChangeFeed(sqlContext.sparkSession, table, lo, hi)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    org.apache.spark.sql.graftshim.StreamingFrames.asStreamingFiles(feed)
+      .getOrElse(org.apache.spark.sql.graftshim.StreamingFrames
+        .emptyStreaming(sqlContext.sparkSession, schema))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxLogCdfStreamSource[$table]"
 }
 
 class TxLogStreamSource(sqlContext: SQLContext, table: String,

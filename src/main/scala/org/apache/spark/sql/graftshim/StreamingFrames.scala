@@ -40,6 +40,22 @@ object StreamingFrames {
     ClassicDataset.ofRows(spark, tagged)
   }
 
+  /** Re-tag ONLY the FILE-relation leaves as streaming, leaving
+    * LocalRelation leaves (driver-built broadcast maps, e.g. the change
+    * feed's file→version attribution frames) as batch sides: the result
+    * plans as stream-static joins, which the unsupported-operations
+    * checker admits — tagging both sides would spell stream-stream join
+    * and be rejected. Returns None when the plan has no file leaf (an
+    * empty feed range — serve [[emptyStreaming]] instead). */
+  def asStreamingFiles(df: DataFrame): Option[DataFrame] = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
+    val tagged = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    if (!tagged.isStreaming) None
+    else Some(ClassicDataset.ofRows(spark, tagged))
+  }
+
   /** An empty streaming-tagged DataFrame of `schema` — the no-new-files
     * micro-batch. */
   def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame =

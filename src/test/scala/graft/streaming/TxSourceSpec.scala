@@ -74,6 +74,73 @@ class TxSourceSpec extends SparkSpec {
       Set(1L -> "A", 2L -> "B", 3L -> "C"))
   }
 
+  test("streaming CDF tails the exact feed; a restart resumes exactly-once") {
+    import spark.implicits._
+    val t = freshTable("cdf")
+    val dst = freshTable("cdf_dst")
+    val ckpt = Files.createTempDirectory("txsrc_cdf_ck").toString
+    // ten rows so the DV fraction guard never forces a rewrite here
+    TxLog.append(df((1L to 10L).map(i => i -> s"r$i"): _*)
+      .repartition(1), t, statsCol = Some("k"))                           // v1
+    TxLog.delete(spark, t, col("k") === 1L, useDV = true)                 // v2
+    // memory sink cannot recover a checkpoint — land the feed in a txlog
+    // table (the real downstream-consumer shape) for the restart proof
+    def run() = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("txlog").option("appId", "cdfpipe")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(dst)
+    def got: Set[(Long, String, String, Long)] =
+      TxLog.snapshot(dst).read(spark)
+        .select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      val inserts = (1L to 10L).map(i => (i, s"r$i", "insert", 1L)).toSet
+      assert(got == inserts + ((1L, "r1", "delete", 2L)))
+    } finally q1.stop()
+    // new changes while the stream is DOWN; the restart picks up ONLY them
+    TxLog.update(spark, t, col("k") === 2L, Map("v" -> lit("B")),
+      useDV = true)                                                       // v3
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val inserts = (1L to 10L).map(i => (i, s"r$i", "insert", 1L)).toSet
+      assert(got == inserts ++ Set(
+        (1L, "r1", "delete", 2L),
+        (2L, "r2", "update_preimage", 3L), (2L, "B", "update_postimage", 3L)))
+      // and the stream total matches the batch feed over the same range
+      val batch = TxLog.readChangeFeed(spark, t, 0L)
+        .select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == batch)
+    } finally q2.stop()
+  }
+
+  test("streaming CDF from startingVersion=latest emits only new changes") {
+    import spark.implicits._
+    val t = freshTable("cdftail")
+    TxLog.append(df(1L -> "a"), t, statsCol = Some("k"))                  // v1
+    val q = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").option("startingVersion", "latest")
+      .load(t)
+      .writeStream.format("memory").queryName("txsrc_cdftail")
+      .option("checkpointLocation",
+        Files.createTempDirectory("txsrc_cdftail_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_cdftail").count() == 0L, "history skipped")
+      TxLog.append(df(2L -> "b"), t)                                      // v2
+      q.processAllAvailable()
+      val rows = spark.table("txsrc_cdftail")
+        .select("k", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((2L, "insert", 2L)))
+    } finally q.stop()
+  }
+
   test("mid-stream rewrite fails strict mode; ignoreChanges re-emits its adds") {
     val t = freshTable("rewrite")
     TxLog.append(df(1L -> "a", 2L -> "b"), t, statsCol = Some("k"))
