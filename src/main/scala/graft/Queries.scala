@@ -1416,6 +1416,146 @@ object RelationalQueries {
     },
     Some(tpchQ18Text))
 
+  private val tpchQ13Text =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey AS ck, count(o_orderkey) AS c_count
+             FROM customer c LEFT JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  // Customer-order-count distribution (TPC-H Q13 adapted to this schema —
+  // the join-side filter rides the LEFT JOIN condition, as the original's
+  // o_comment NOT LIKE does): an outer join that must PRESERVE zero-order
+  // customers (count(o_orderkey)=0 is a real histogram bucket an inner
+  // join would silently drop), aggregated twice — per customer, then the
+  // distribution over counts. The planner stress is the outer hash join +
+  // double aggregation; the second agg's input is |customers| rows, tiny.
+  private val sqlTpchQ13 = Q(
+    (s, d) => {
+      Seq("customer", "orders")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ13Text)
+    },
+    Some(tpchQ13Text))
+
+  private val tpchQ16Text =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#13'
+         AND p_type NOT LIKE 'MEDIUM%'
+         AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0.00)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // Parts/supplier relationship (TPC-H Q16 adapted: lineitem links parts to
+  // suppliers, negative-balance suppliers stand in for the complaints
+  // filter): the two planner stresses the existing TPC-H set lacked —
+  // a DISTINCT aggregate (count(DISTINCT l_suppkey) plans as a two-phase
+  // dedup-then-count, partials per (group, suppkey)) and a NOT IN
+  // subquery, which must plan as a NULL-AWARE anti join (broadcast at this
+  // dimension size), never a per-row subquery.
+  private val sqlTpchQ16 = Q(
+    (s, d) => {
+      Seq("part", "lineitem", "supplier")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ16Text)
+    },
+    Some(tpchQ16Text))
+
+  private val tpchQ19Text =
+    """SELECT
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  // Discounted revenue (TPC-H Q19 adapted): the OR-of-ANDs predicate — the
+  // planner must (a) extract the common join key as an equi-join condition
+  // rather than fall into a nested-loop over the disjunction, and (b) push
+  // the single-side conjunct unions down to each scan (part gets
+  // brand/size bounds, lineitem gets the quantity band) so row groups
+  // prune on both inputs BEFORE the join. The explain-lint for this entry
+  // checks PushedFilters on both scans.
+  private val sqlTpchQ19 = Q(
+    (s, d) => {
+      Seq("lineitem", "part")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ19Text)
+    },
+    Some(tpchQ19Text))
+
+  private val tpchQ21Text =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 100"""
+
+  // Suppliers who kept orders waiting (TPC-H Q21 adapted: returned lines
+  // stand in for late receipts): the classic DECORRELATION stress — one
+  // correlated EXISTS and one correlated NOT EXISTS against the same fact
+  // table, each carrying a non-equi conjunct (l_suppkey <>) on top of the
+  // equi correlation key. Catalyst must rewrite them as a LEFT SEMI and a
+  // LEFT ANTI hash join on l_orderkey (the <> riding along as the join's
+  // residual condition) — a per-row subquery here would be O(|lineitem|²).
+  private val sqlTpchQ21 = Q(
+    (s, d) => {
+      Seq("supplier", "lineitem", "orders")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ21Text)
+    },
+    Some(tpchQ21Text))
+
+  private val tpchQ22Text =
+    """SELECT cntrycode, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
+             FROM customer
+             WHERE c_nationkey % 5 IN (1, 2, 3)
+               AND c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE)
+                                FROM customer
+                                WHERE c_acctbal > 0.00
+                                  AND c_nationkey % 5 IN (1, 2, 3))
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderpriority = '1-URGENT')) t
+       GROUP BY cntrycode
+       ORDER BY cntrycode"""
+
+  // Global sales opportunity (TPC-H Q22 adapted: the nation-key bucket
+  // stands in for the phone country code): an uncorrelated SCALAR
+  // subquery (the above-average-balance threshold — computed once,
+  // broadcast into the filter; its double division is staged through an
+  // exact decimal sum so both engines compare against the bit-identical
+  // threshold) plus a correlated NOT EXISTS that must decorrelate to a
+  // LEFT ANTI join against orders — customers with no urgent order (this
+  // synthetic corpus gives every customer SOME order, so the original
+  // never-ordered predicate would be vacuously empty).
+  private val sqlTpchQ22 = Q(
+    (s, d) => {
+      Seq("customer", "orders")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ22Text)
+    },
+    Some(tpchQ22Text))
+
   /** TPC-H Q1 pricing-summary text shared verbatim by spark.sql and DuckDB.
     * Every aggregate is an exact decimal sum cast to double at the end; the
     * charge product is staged through explicit intermediate casts —
@@ -1607,6 +1747,11 @@ object RelationalQueries {
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q13" -> sqlTpchQ13,
+    "sql_tpch_q16" -> sqlTpchQ16,
+    "sql_tpch_q19" -> sqlTpchQ19,
+    "sql_tpch_q21" -> sqlTpchQ21,
+    "sql_tpch_q22" -> sqlTpchQ22,
     "sql_tpch_q4" -> sqlTpchQ4,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q6" -> sqlTpchQ6,
