@@ -1556,6 +1556,123 @@ object RelationalQueries {
     },
     Some(tpchQ22Text))
 
+  private val tpchQ7Text =
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(CAST(l_shipdate AS DATE)) AS l_year,
+                    l_extendedprice, l_discount
+             FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+               AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1998-12-31') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  // Volume shipping (TPC-H Q7): the two-role dimension pattern — nation
+  // joins TWICE under different aliases (supplier's nation and customer's
+  // nation), with a symmetric pair predicate that must stay ON the joined
+  // pair, not decompose into per-side filters. Both nation joins broadcast;
+  // the fact spine shuffles once.
+  private val sqlTpchQ7 = Q(
+    (s, d) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ7Text)
+    },
+    Some(tpchQ7Text))
+
+  private val tpchQ8Text =
+    """SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0.0 AS DECIMAL(18,8)) END) AS DECIMAL(38,8)) AS DOUBLE) /
+       CAST(CAST(SUM(volume) AS DECIMAL(38,8)) AS DOUBLE) AS mkt_share
+       FROM (SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8)) AS volume,
+                    n2.n_name AS nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA'
+               AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+               AND p_type = 'PROMO') all_nations
+       GROUP BY o_year
+       ORDER BY o_year"""
+
+  // National market share (TPC-H Q8): the deepest join tree in the suite —
+  // an 8-way spine with nation in BOTH roles again plus the region filter,
+  // and a conditional-share ratio whose numerator and denominator are the
+  // SAME exact decimal volume (both staged to DECIMAL(38,8) then double, so
+  // the engines' conditional-sum coercions stay internally consistent —
+  // the q14 discipline).
+  private val sqlTpchQ8 = Q(
+    (s, d) => {
+      Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ8Text)
+    },
+    Some(tpchQ8Text))
+
+  private val tpchQ15Text =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS total_revenue
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name,
+              CAST(total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  // Top supplier (TPC-H Q15): the shared-CTE pattern — the revenue
+  // aggregate is referenced TWICE (once as the join input, once inside the
+  // scalar max subquery), and the equality against the max must compare
+  // EXACT decimals (a double total would make "the" top supplier
+  // engine-dependent at ties or ulp drift). Catalyst plans the CTE once
+  // with a reused exchange.
+  private val sqlTpchQ15 = Q(
+    (s, d) => {
+      Seq("lineitem", "supplier")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ15Text)
+    },
+    Some(tpchQ15Text))
+
+  private val tpchQ17Text =
+    """SELECT
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_rows
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#13'
+         AND p_size < 5
+         AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)"""
+
+  // Small-quantity-order revenue (TPC-H Q17): the correlated scalar AVG —
+  // the planner must decorrelate the per-part average into ONE grouped
+  // aggregate over lineitem joined back on partkey, never a per-row
+  // subquery (O(|lineitem|²) otherwise). Quantities are whole numbers, so
+  // the double average is exact (integer-valued sums < 2^53) and the 0.2×
+  // threshold is bit-identical on both engines.
+  private val sqlTpchQ17 = Q(
+    (s, d) => {
+      Seq("lineitem", "part")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ17Text)
+    },
+    Some(tpchQ17Text))
+
   /** TPC-H Q1 pricing-summary text shared verbatim by spark.sql and DuckDB.
     * Every aggregate is an exact decimal sum cast to double at the end; the
     * charge product is staged through explicit intermediate casts —
@@ -1747,7 +1864,11 @@ object RelationalQueries {
     "fuzzy_levenshtein" -> fuzzyLevenshtein,
     "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q7" -> sqlTpchQ7,
+    "sql_tpch_q8" -> sqlTpchQ8,
     "sql_tpch_q13" -> sqlTpchQ13,
+    "sql_tpch_q15" -> sqlTpchQ15,
+    "sql_tpch_q17" -> sqlTpchQ17,
     "sql_tpch_q16" -> sqlTpchQ16,
     "sql_tpch_q19" -> sqlTpchQ19,
     "sql_tpch_q21" -> sqlTpchQ21,

@@ -159,12 +159,28 @@ object Dev {
         histo("fixed-tier", fb, fw)
         val (ab, aw) = graft.api.Similarity.adaptiveBandGeometry(tau, n)
         histo("adaptive  ", ab, aw)
-        val t1 = System.nanoTime()
-        val found = graft.api.Similarity.lshCosineNearDup(
+        // exact verify shuffles the embedding payload once per candidate —
+        // at ~2M+ vectors that measured 137 GB of local shuffle (r12, died
+        // on a 75 GB disk), so past the exact-arm bound the end-to-end runs
+        // the SKETCH-VERIFIED path instead: broadcast 256-plane signatures
+        // filter the candidate stream map-side (no candidate shuffle at
+        // all), survivors rerank exactly — recall on planted EXACT dups is
+        // unconditional (their agreement is 256/256)
+        if (n <= 500000) {
+          val t1 = System.nanoTime()
+          val found = graft.api.Similarity.lshCosineNearDup(
+            corpus, "vec_id", "embedding", tau, ab, aw).count()
+          println(f"adaptive end-to-end (exact verify): pairs=$found " +
+            f"(${(System.nanoTime() - t1) / 1e9}%.1f s); planted=$planted " +
+            s"recall-check=${if (found >= planted) "PASS" else "FAIL"}")
+        } else println(s"adaptive exact-verify e2e SKIPPED at n=$n " +
+          "(candidate-payload shuffle exceeds local disk; see r12 record)")
+        val t2 = System.nanoTime()
+        val sk = graft.api.Similarity.lshCosineNearDupSketched(
           corpus, "vec_id", "embedding", tau, ab, aw).count()
-        println(f"adaptive end-to-end: pairs=$found " +
-          f"(${(System.nanoTime() - t1) / 1e9}%.1f s); planted=$planted " +
-          s"recall-check=${if (found >= planted) "PASS" else "FAIL"}")
+        println(f"adaptive end-to-end (sketch verify): pairs=$sk " +
+          f"(${(System.nanoTime() - t2) / 1e9}%.1f s); planted=$planted " +
+          s"recall-check=${if (sk >= planted) "PASS" else "FAIL"}")
         corpus.unpersist()
 
       case "lshlayout" :: sfDir :: rest =>

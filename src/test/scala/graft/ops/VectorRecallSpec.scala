@@ -190,6 +190,32 @@ class VectorRecallSpec extends SparkSpec {
       s"sparse corpus (cands=${sparse.candidates}, bandRows=${sparse.bandRows}) took payload-inline")
   }
 
+  test("sketch-verified near-dup ≡ exact verify on the test corpora") {
+    import graft.api.Similarity
+    // the 4σ signature margin admits every pair the banding finds on these
+    // corpora (planted dups agree 256/256 unconditionally; the sketch's
+    // exact rerank forbids false positives), so the two verifies must agree
+    // pair-for-pair — and the sketch path's only shuffles are the banded
+    // index and the survivor distinct, never the candidate stream
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val exact = Similarity.lshCosineNearDup(emb, "vec_id", "embedding", 0.8, 16, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sk = Similarity.lshCosineNearDupSketched(emb, "vec_id", "embedding", 0.8, 16, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sk == exact, s"sketch=${sk.size} exact=${exact.size} at $d")
+    }
+    // planted EXACT dups through the adaptive geometry: recall 1.0
+    val planted = randomCorpus(n = 5000, dim = 64, dupEvery = 10)
+    val (ab, aw) = Similarity.adaptiveBandGeometry(0.8, 5500)
+    val pairs = Similarity.lshCosineNearDupSketched(
+      planted, "vec_id", "embedding", 0.8, ab, aw)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5000).filter(_ % 10 == 0)
+      .map(i => (i.toLong, i + 10000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).size} planted pairs")
+  }
+
   test("adaptive band geometry: bits track log2(n), bands from the recall formula") {
     import graft.api.Similarity
     // hand-computed against the formula (τ=0.8: p ≈ 0.79517; bits floor
