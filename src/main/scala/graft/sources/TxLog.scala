@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 /** Minimal ACID table format on parquet — the transactional commit protocol
   * the CDC/upsert operators (`upsert_snapshot`, `snapshot_diff`) were missing
@@ -60,6 +61,8 @@ import org.apache.spark.sql.functions._
   * infrastructure its append/refresh jobs would run on at scale.
   */
 object TxLog {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   final case class Snapshot(version: Long, files: Seq[String],
       schemaJson: Option[String] = None,
@@ -1744,6 +1747,14 @@ object TxLog {
   def readChangeFeed(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long = Long.MaxValue): DataFrame = {
     val tip = math.min(latestVersion(table), toInclusive)
+    // the walk is O(versions × log lines) DRIVER-side metadata — the same
+    // posture as Delta, fine at sane retention, but a caller asking for a
+    // 10⁵-version range is usually tailing from 0 by accident; surface it
+    // rather than silently grinding
+    if (tip - math.max(0L, fromExclusive) > 100000L)
+      log.warn(s"readChangeFeed on $table spans ${tip - fromExclusive} versions " +
+        "of driver-side commit-file metadata — for incremental consumption " +
+        "pass a recent fromExclusive (e.g. the last version you processed)")
     // one row SOURCE per (file, version, change type): emit the file's rows
     // whose physical position is in `inDv` (None ⇒ all rows) and NOT in
     // `notInDv` (None ⇒ none masked). The one shape serves every derived
