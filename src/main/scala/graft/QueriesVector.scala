@@ -212,6 +212,20 @@ object VectorQueries {
          ORDER BY id1, id2"""
     })
 
+  // SKETCH-VERIFIED banded near-dup (the 100 TB verify shape, r13): the
+  // same bands and tau as dedup_lsh_cosine, but candidates filter MAP-SIDE
+  // against broadcast 256-plane signatures before an exact rerank — the
+  // candidate stream never crosses a shuffle (the property that closed the
+  // 2.2M ladder rung the exact verify could not fit on local disk; see
+  // BASELINE.md). Signatures are deterministic, and on this corpus the 4-
+  // sigma margin admits every banded pair, so the EXACT path's oracle gates
+  // this entry row-for-row (VectorRecallSpec proves the equality property).
+  private val dedupLshSketched = Q(
+    (s, d) => graft.api.Similarity.lshCosineNearDupSketched(embeddings(s, d),
+        "vec_id", "embedding", graft.api.Dedup.cosineTau, nBands = 4, bitsPerBand = 4)
+      .orderBy("id1", "id2"),
+    dedupLshCosine.oracle)
+
   // Embedding-space near-dup CLUSTERING: the semantic twin of
   // dedup_cluster — LSH-candidate cosine pairs (same geometry and τ as
   // dedup_lsh_cosine, so the oracle mirrors the bands exactly) fed through
@@ -691,6 +705,7 @@ object VectorQueries {
     "sim_ivfpq" -> simIvfpq,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_lsh_cosine" -> dedupLshCosine,
+    "dedup_lsh_sketched" -> dedupLshSketched,
     "dedup_embedding_cluster" -> dedupEmbeddingCluster,
     "dedup_semantic_cells" -> dedupSemanticCells,
     "lsh_bands_wide" -> lshBandsWide,
