@@ -34,7 +34,9 @@ class TxChaosSpec extends SparkSpec {
     // plus thread 0 racing two optimizes into the middle of the storm
     def expect(i: Int): Set[(Long, String)] = {
       val b = i * 1000L
-      Set(b -> s"t${i}U", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n")
+      Set(b -> s"t${i}U", (b + 1) -> s"t${i}C", (b + 2) -> s"t${i}n",
+        (b + 5) -> s"t${i}V", (b + 6) -> s"t${i}M", (b + 7) -> s"t${i}d7",
+        (b + 8) -> s"t${i}d8", (b + 9) -> s"t${i}d9", (b + 10) -> s"t${i}I")
     }
     val threads = (0 until nThreads).map { i =>
       new Thread(() => {
@@ -71,6 +73,30 @@ class TxChaosSpec extends SparkSpec {
           committed.add(TxLog.delete(spark, t,
             org.apache.spark.sql.functions.col("k") === (b + 3),
             statsCol = Some("k"), changeFeed = true))
+          // DELETION-VECTOR verbs under the storm (r13): one value-pure
+          // 6-row file, then a bitmap delete and a bitmap update — the
+          // same-path remove+re-add swaps race every other thread's commits
+          // and must re-derive cleanly; the feed derives their rows with
+          // zero sidecars
+          committed.add(TxLog.append(
+            (4 to 9).map(j => (b + j) -> s"t${i}d$j").toDF("k", "v")
+              .repartition(1), t, statsCol = Some("k")))
+          committed.add(TxLog.delete(spark, t,
+            org.apache.spark.sql.functions.col("k") === (b + 4),
+            statsCol = Some("k"), changeFeed = true, useDV = true))
+          committed.add(TxLog.update(spark, t,
+            org.apache.spark.sql.functions.col("k") === (b + 5),
+            Map("v" -> org.apache.spark.sql.functions.lit(s"t${i}V")),
+            statsCol = Some("k"), changeFeed = true, useDV = true))
+          // FULL-MATRIX merge under the storm (no by-source clause, so the
+          // rewrite stays file-scoped): matched update + unmatched insert
+          committed.add(TxLog.mergeFull(
+            Seq((b + 6) -> s"t${i}M", (b + 10) -> s"t${i}I").toDF("k", "v"),
+            t, "k",
+            Seq(TxLog.MatchedUpdate(
+                Map("v" -> org.apache.spark.sql.functions.col("s.v"))),
+              TxLog.NotMatchedInsert()),
+            changeFeed = true))
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
           if (i == 1) committed.add(TxLog.dropConstraint(t, "nonneg"))
@@ -88,7 +114,7 @@ class TxChaosSpec extends SparkSpec {
         start.await()
         while (!writersDone) {
           val c = TxLog.snapshot(t).read(spark).count()
-          assert(c <= (nThreads * 4).toLong, s"read an impossible state of $c rows")
+          assert(c <= (nThreads * 11).toLong, s"read an impossible state of $c rows")
           TxLog.history(t) // concurrent history read over in-flight commits
           readerReads.incrementAndGet()
         }
