@@ -30,6 +30,11 @@ import graft.sources.TxLog
   *   DELETE FROM TXLOG '<path>' WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED] [DV]
   *   UPDATE TXLOG '<path>' SET <col> = <expr> [, ...] WHERE <predicate> [STATS <col[,col...]>] [CHANGEFEED] [DV]
   *   MERGE INTO TXLOG '<path>' KEY <col> [EVOLVE] [CHANGEFEED] USING <select-query>
+  *   MERGE INTO TXLOG '<path>' KEY <col> [CHANGEFEED]
+  *     { WHEN MATCHED [AND <cond>] THEN UPDATE SET <col>=<expr>[,...] | DELETE
+  *     | WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  *     | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET ... }+
+  *     USING <select-query>            -- the FULL merge matrix (mergeFull)
   *   CLONE TXLOG '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   ALTER TXLOG '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TXLOG '<path>' DROP CONSTRAINT <name>
@@ -78,8 +83,12 @@ object TxLogSql {
   // the source is free SQL text (validated by Spark's own plan parser
   // inside the command); upsert semantics are TxLog.merge's — same-key rows
   // replaced, new keys inserted — with EVOLVE mapping to mergeSchema=true
+  // the tail after KEY <col> holds [EVOLVE] [CHANGEFEED], optional WHEN
+  // clauses (full matrix) and the USING query; it is decomposed by
+  // quote/paren-aware top-level scans, not regex groups — clause conditions
+  // are free SQL text that may contain THEN/AND inside CASE or parens
   private val MergeRe = re(
-    s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)(\\s+EVOLVE)?(\\s+CHANGEFEED)?\\s+USING\\s+(.+?)\\s*;?\\s*""")
+    s"""\\s*MERGE\\s+INTO\\s+TXLOG\\s+$P\\s+KEY\\s+(\\w+)\\s+(.+?)\\s*;?\\s*""")
   private val CloneRe = re(
     s"""\\s*CLONE\\s+TXLOG\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
   // the CHECK body is free SQL text inside the outer parens (validated by
@@ -230,6 +239,126 @@ object TxLogSql {
       // downstream in Spark's own parser if malformed
   }
 
+
+  /** Decompose everything after `MERGE INTO TXLOG '<p>' KEY <col>`:
+    * leading flags, optional WHEN clauses (full matrix), and the USING
+    * query — all via top-level scans (a clause condition may contain
+    * THEN/AND inside CASE expressions or parens; the source query may
+    * itself contain top-level `JOIN … USING`, which is why the split takes
+    * the FIRST top-level USING — ours precedes the source's text). */
+  private def parseMergeTail(table: String, keyCol: String,
+      tail: String): LogicalPlan = {
+    val (head0, sourceSql) = splitTopLevelKeyword(" " + tail.trim, "USING")
+      .getOrElse(throw new IllegalArgumentException(
+        "MERGE INTO TXLOG needs USING <select-query>"))
+    var rest = head0.trim
+    var evolve = false
+    var cf = false
+    var scanning = true
+    def eat(word: String): Boolean =
+      if (rest.length >= word.length &&
+          rest.regionMatches(true, 0, word, 0, word.length) &&
+          (rest.length == word.length || rest.charAt(word.length).isWhitespace)) {
+        rest = rest.drop(word.length).trim; true
+      } else false
+    while (scanning) scanning = eat("EVOLVE") match {
+      case true => evolve = true; true
+      case false => if (eat("CHANGEFEED")) { cf = true; true } else false
+    }
+    if (rest.isEmpty)
+      return MergeTxLogCommand(table, keyCol, evolve, sourceSql, changeFeed = cf)
+    require(!evolve,
+      "EVOLVE applies to the upsert MERGE form only — the full WHEN-clause " +
+        "matrix never evolves the schema")
+    MergeFullTxLogCommand(table, keyCol, splitWhenClauses(rest), sourceSql,
+      changeFeed = cf)
+  }
+
+  /** One parsed WHEN clause of the full-matrix SQL form. kind ∈
+    * matched_update / matched_delete / insert / bysource_delete /
+    * bysource_update. */
+  private[plans] final case class WhenSql(kind: String,
+      condSql: Option[String], setSql: Option[String])
+
+  private[plans] def splitWhenClauses(text: String): Seq[WhenSql] = {
+    // top-level WHEN positions partition the text into clause segments
+    val s = " " + text.trim
+    val starts = scala.collection.mutable.Buffer.empty[Int]
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      else if (!inStr && depth == 0 &&
+          s.regionMatches(true, i, "WHEN", 0, 4) &&
+          i > 0 && s.charAt(i - 1).isWhitespace &&
+          i + 4 < s.length && s.charAt(i + 4).isWhitespace)
+        starts += i
+      i += 1
+    }
+    require(starts.nonEmpty && s.substring(0, starts.head).isBlank,
+      s"MERGE clause text must start with WHEN: '$text'")
+    val segs = starts.zipAll(starts.drop(1), -1, s.length)
+      .map { case (a, b) => s.substring(a + 4, b).trim }
+    segs.toSeq.map(parseWhen)
+  }
+
+  private def parseWhen(c: String): WhenSql = {
+    def after(rest0: String, words: String*): Option[String] = {
+      var rest = rest0
+      for (w <- words) {
+        if (rest.length > w.length &&
+            rest.regionMatches(true, 0, w, 0, w.length) &&
+            rest.charAt(w.length).isWhitespace)
+          rest = rest.drop(w.length).trim
+        else return None
+      }
+      Some(rest)
+    }
+    val (kind0, rest) = after(c, "NOT", "MATCHED", "BY", "SOURCE").map(("bysource", _))
+      .orElse(after(c, "NOT", "MATCHED").map(("insert", _)))
+      .orElse(after(c, "MATCHED").map(("matched", _)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed MERGE WHEN clause: 'WHEN $c'"))
+    // optional AND <cond> up to the TOP-LEVEL THEN (a cond may contain
+    // THEN inside a CASE — parens/quotes protect it from the scan)
+    val (condSql, action) = after(rest, "AND") match {
+      case Some(body) =>
+        val (cond, act) = splitTopLevelKeyword(" " + body, "THEN").getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE WHEN clause needs THEN after its condition: 'WHEN $c'"))
+        (Some(cond), act.trim)
+      case None =>
+        val act = after(rest, "THEN").getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE WHEN clause needs THEN: 'WHEN $c'"))
+        (None, act.trim)
+    }
+    val aLow = action.toLowerCase(Locale.ROOT)
+    if (aLow == "delete") kind0 match {
+      case "matched"  => WhenSql("matched_delete", condSql, None)
+      case "bysource" => WhenSql("bysource_delete", condSql, None)
+      case _ => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED supports INSERT only (there is no target row to delete)")
+    } else if (aLow == "insert") kind0 match {
+      case "insert" => WhenSql("insert", condSql, None)
+      case _ => throw new IllegalArgumentException(
+        "INSERT applies to WHEN NOT MATCHED only")
+    } else after(action, "UPDATE", "SET") match {
+      case Some(setSql) => kind0 match {
+        case "matched"  => WhenSql("matched_update", condSql, Some(setSql))
+        case "bysource" => WhenSql("bysource_update", condSql, Some(setSql))
+        case _ => throw new IllegalArgumentException(
+          "UPDATE applies to WHEN MATCHED / WHEN NOT MATCHED BY SOURCE only")
+      }
+      case None => throw new IllegalArgumentException(
+        s"unrecognized MERGE action '$action' (UPDATE SET … | DELETE | INSERT)")
+    }
+  }
+
   /** Parse one of the TXLOG statements, or None for anything else. */
   def parse(sqlText: String): Option[LogicalPlan] = {
     val o = OptimizeRe.matcher(sqlText)
@@ -283,9 +412,7 @@ object TxLogSql {
         pl.statsCol, changeFeed = pl.changeFeed, dv = pl.dv))
     }
     val m = MergeRe.matcher(sqlText)
-    if (m.matches())
-      return Some(MergeTxLogCommand(unq(m.group(1)), m.group(2),
-        m.group(3) != null, m.group(5), changeFeed = m.group(4) != null))
+    if (m.matches()) return Some(parseMergeTail(unq(m.group(1)), m.group(2), m.group(3)))
     val c = CloneRe.matcher(sqlText)
     if (c.matches())
       return Some(CloneTxLogCommand(unq(c.group(1)), unq(c.group(2)),
@@ -446,6 +573,37 @@ case class UpdateTxLogCommand(table: String, setSql: String,
       changeFeed = changeFeed, useDV = dv)
     val after = TxLog.snapshot(table).files.toSet
     Seq(Row(v, (before -- after).size))
+  }
+}
+
+/** The full-matrix SQL MERGE: parsed WHEN clauses map onto
+  * [[TxLog.mergeFull]]'s ordered clause list; conditions and SET
+  * right-hand sides go through Spark's own expression parser and reference
+  * the t./s. aliases exactly as the API form does. */
+case class MergeFullTxLogCommand(table: String, keyCol: String,
+    clauses: Seq[TxLogSql.WhenSql], sourceSql: String,
+    changeFeed: Boolean = false) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    def assigns(setSql: String): Map[String, org.apache.spark.sql.Column] =
+      TxLogSql.splitAssignments(setSql)
+        .map { case (c, e) => c -> expr(e) }.toMap
+    val cls: Seq[TxLog.MergeClause] = clauses.map { w =>
+      val cond = w.condSql.map(expr)
+      w.kind match {
+        case "matched_update"  => TxLog.MatchedUpdate(assigns(w.setSql.get), cond)
+        case "matched_delete"  => TxLog.MatchedDelete(cond)
+        case "insert"          => TxLog.NotMatchedInsert(cond)
+        case "bysource_delete" => TxLog.NotMatchedBySourceDelete(cond)
+        case "bysource_update" => TxLog.NotMatchedBySourceUpdate(assigns(w.setSql.get), cond)
+      }
+    }
+    Seq(Row(TxLog.mergeFull(spark.sql(sourceSql), table, keyCol, cls,
+      changeFeed = changeFeed)))
   }
 }
 

@@ -359,6 +359,40 @@ class TxLogSqlSpec extends SparkSpec {
     }
   }
 
+  test("full-matrix MERGE SQL: ordered WHEN clauses run end-to-end through spark.sql") {
+    withExtSession { s =>
+      import s.implicits._
+      val t = freshTable("mfsql")
+      TxLog.append(Seq((1L, "a"), (2L, "del"), (3L, "c")).toDF("k", "v"),
+        t, statsCol = Some("k"))
+      s.sql(
+        s"""MERGE INTO TXLOG '$t' KEY k
+            WHEN MATCHED AND t.v = 'del' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT
+            WHEN NOT MATCHED BY SOURCE AND t.k >= 3 THEN DELETE
+            USING SELECT * FROM VALUES (1, 'A'), (2, 'x'), (9, 'i') AS src(k, v)
+         """).collect()
+      val got = TxLog.snapshot(t).read(s).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // 1 matched → updated; 2 matched the delete clause FIRST; 3 missing
+      // from source and k>=3 → by-source delete; 9 unmatched → insert
+      assert(got == Set((1L, "A"), (9L, "i")))
+      // a condition containing THEN inside parens parses (top-level scan)
+      val p = TxLogSql.parse(
+        "MERGE INTO TXLOG '/t' KEY k WHEN MATCHED AND " +
+          "(CASE WHEN t.k > 0 THEN true ELSE false END) THEN DELETE " +
+          "USING SELECT 1 AS k")
+      assert(p.exists(_.isInstanceOf[MergeFullTxLogCommand]), s"got $p")
+      // the upsert form still parses to the fast-path command
+      assert(TxLogSql.parse("MERGE INTO TXLOG '/t' KEY k EVOLVE USING SELECT 1 AS k") ==
+        Some(MergeTxLogCommand("/t", "k", true, "SELECT 1 AS k")))
+      // EVOLVE cannot combine with the clause matrix
+      intercept[IllegalArgumentException](TxLogSql.parse(
+        "MERGE INTO TXLOG '/t' KEY k EVOLVE WHEN MATCHED THEN DELETE USING SELECT 1 AS k"))
+    }
+  }
+
   test("UPDATE SET duplicate targets are refused case-insensitively") {
     withExtSession { s =>
       import s.implicits._
