@@ -2264,9 +2264,19 @@ object TxLog {
     require(latestVersion(dst) == 0L,
       s"clone target $dst is already a txlog table (tip ${latestVersion(dst)})")
     val adds = r.live.toSeq.map { case (path, line) =>
-      addLine(normalize(path), parseRows(line), parseStatsAll(line))
+      val base = addLine(normalize(path), parseRows(line), parseStatsAll(line))
+      // an unabsorbed deletion vector MUST ride the clone: the re-spelled
+      // add-line without its dv field would serve the source's deleted rows
+      // back to life (the sidecar path is already absolute, so the clone's
+      // reads resolve it; vacuum-on-source retention applies to sidecars
+      // exactly as it does to the shared data files)
+      parseDv(line).fold(base)(ref => withDvLine(base, ref))
     }
     val schemaActs = r.schema.map(schemaLine).toSeq ++
+      // the partition spec is table metadata like the schema: without it a
+      // later append to the clone would not inherit the layout and could
+      // silently mix value-pure and unpartitioned files
+      (if (r.parts.isEmpty) Seq.empty else Seq(partsLine(r.parts))) ++
       r.cons.map { case (n, e) => constraintLine(n, e) }.toSeq
     commit(dst, 1L, adds ++ schemaActs, "clone")
     1L

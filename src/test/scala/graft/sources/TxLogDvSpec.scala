@@ -227,4 +227,20 @@ class TxLogDvSpec extends SparkSpec {
     assert(TxLog.snapshot(t).read(spark).count() == 9L, "restore re-masks")
     assert(TxLog.snapshot(t).dvs.values.map(_.card).sum == 1L)
   }
+
+  test("CLONE carries unabsorbed deletion vectors — no row resurrection") {
+    import spark.implicits._
+    val src = freshTable("clonesrc")
+    TxLog.append((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(1), src, statsCol = Some("k"))                       // v1
+    TxLog.delete(spark, src, col("k") < 10L, useDV = true)              // v2: DV
+    val dst = freshTable("clonedst")
+    TxLog.clone(src, dst)
+    // the clone's add-line carries the dv ref: reads mask, count subtracts
+    assert(TxLog.snapshot(dst).dvs.values.map(_.card).sum == 10L,
+      "clone must carry the source's dv reference")
+    assert(TxLog.snapshot(dst).read(spark).count() == 90L,
+      "a clone of a DV'd table must not resurrect deleted rows")
+    assert(TxLog.rowCount(dst).contains(90L), "metadata count masks too")
+  }
 }

@@ -142,4 +142,21 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(TxLog.replayAdds(t, Long.MaxValue, useCheckpoint = true).parts == Seq("g"))
     assert(TxLog.snapshot(t).files.forall(_.contains("__part_g=")))
   }
+
+  test("CLONE carries the partition spec; appends to the clone inherit it") {
+    val t = freshTable("clonesrc")
+    threeRegions(t)
+    val dst = freshTable("clonedst")
+    TxLog.clone(t, dst)
+    assert(TxLog.replayAdds(dst, Long.MaxValue, useCheckpoint = true).parts
+      == Seq("region"), "clone must record the source's partition spec")
+    // a spec-less append to the clone stages under the inherited layout —
+    // without the carried spec this would silently mix unpartitioned files
+    TxLog.append(Seq((500L, "EU")).toDF("k", "region"), dst)
+    val fresh = TxLog.snapshot(dst).files.filterNot(TxLog.snapshot(t).files.toSet)
+    assert(fresh.nonEmpty && fresh.forall(_.contains("__part_region=EU")))
+    // and a conflicting restatement is refused, exactly like the source
+    intercept[IllegalArgumentException](
+      TxLog.append(Seq((1L, "EU")).toDF("k", "region"), dst, partitionBy = Seq("k")))
+  }
 }
