@@ -899,6 +899,33 @@ object RelationalQueries {
             WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 7
             ORDER BY o_orderkey"""))
 
+  // COLUMN MAPPING at the gate (W29): RENAME and DROP COLUMN as pure
+  // metadata commits over immutable physical names — the full verb chain
+  // (append → rename → add column → update through the new names → drop)
+  // read back through the logical view. The oracle reconstructs the same
+  // projection relationally: rename = alias, add+update = CASE, drop =
+  // absence. Nothing is rewritten on rename/drop — the update is the only
+  // data-touching commit.
+  private val acidColumnMapping = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_column_mapping", d)
+      deleteRecursively(tbl)
+      val base = orders(s, d).filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.TxLog.append(base, tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.renameColumn(tbl, "o_totalprice", "price")
+      graft.sources.TxLog.addColumn(tbl, "tier",
+        org.apache.spark.sql.types.StringType)
+      graft.sources.TxLog.update(s, tbl, col("price") > lit(1000.0),
+        Map("tier" -> lit("high")))
+      graft.sources.TxLog.dropColumn(s, tbl, "o_custkey")
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice AS price,
+                   CASE WHEN o_totalprice > 1000.0 THEN 'high' END AS tier
+            FROM orders WHERE o_orderkey % 6 = 0
+            ORDER BY o_orderkey"""))
+
   // TIMESTAMP AS OF at the gate: resolve the pre-overwrite state by the
   // first commit's recorded wall-clock (in-commit timestamps, W16) through
   // the public reader — the oracle is the v1 relational state, same as
@@ -1854,6 +1881,7 @@ object RelationalQueries {
     "acid_change_feed" -> acidChangeFeed,
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,
+    "acid_column_mapping" -> acidColumnMapping,
     "acid_timestamp_travel" -> acidTimestampTravel,
     "acid_clustered_scan" -> acidClusteredScan,
     "layout_zorder" -> layoutZorder,

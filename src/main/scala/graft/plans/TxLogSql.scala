@@ -97,6 +97,17 @@ object TxLogSql {
     s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""")
   private val DropConstraintRe = re(
     s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""")
+  // COLUMN MAPPING DDL (metadata-only commits — see TxLog's verbs): the
+  // ADD COLUMN type is free DDL text validated by Spark's own type parser
+  // inside the command (`DECIMAL(10, 2)` etc.)
+  private val RenameColumnRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""")
+  private val AddColumnRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w()\\s,]+?)\\s*;?\\s*""")
+  private val DropColumnRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""")
+  private val SetMappingRe = re(
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+SET\\s+COLUMN\\s+MAPPING\\s*;?\\s*""")
   private val ConvertRe = re(
     s"""\\s*CONVERT\\s+TO\\s+TXLOG\\s+$P(?:\\s+STATS\\s+([\\w,]+))?\\s*;?\\s*""")
 
@@ -423,6 +434,18 @@ object TxLogSql {
     val dc = DropConstraintRe.matcher(sqlText)
     if (dc.matches())
       return Some(DropConstraintTxLogCommand(unq(dc.group(1)), dc.group(2)))
+    val rn = RenameColumnRe.matcher(sqlText)
+    if (rn.matches())
+      return Some(RenameColumnTxLogCommand(unq(rn.group(1)), rn.group(2), rn.group(3)))
+    val acn = AddColumnRe.matcher(sqlText)
+    if (acn.matches())
+      return Some(AddColumnTxLogCommand(unq(acn.group(1)), acn.group(2), acn.group(3)))
+    val dcn = DropColumnRe.matcher(sqlText)
+    if (dcn.matches())
+      return Some(DropColumnTxLogCommand(unq(dcn.group(1)), dcn.group(2)))
+    val sm = SetMappingRe.matcher(sqlText)
+    if (sm.matches())
+      return Some(SetMappingTxLogCommand(unq(sm.group(1))))
     val cv = ConvertRe.matcher(sqlText)
     if (cv.matches())
       return Some(ConvertTxLogCommand(unq(cv.group(1)), Option(cv.group(2))))
@@ -451,6 +474,46 @@ case class AddConstraintTxLogCommand(table: String, name: String, exprSql: Strin
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.addConstraint(spark, table, name, exprSql)))
+}
+
+case class RenameColumnTxLogCommand(table: String, oldName: String,
+    newName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.renameColumn(table, oldName, newName)))
+}
+
+case class AddColumnTxLogCommand(table: String, name: String, typeDdl: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addColumn(table, name,
+      spark.sessionState.sqlParser.parseDataType(typeDdl))))
+}
+
+case class DropColumnTxLogCommand(table: String, name: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropColumn(spark, table, name)))
+}
+
+case class SetMappingTxLogCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.enableColumnMapping(table)))
 }
 
 case class DropConstraintTxLogCommand(table: String, name: String)

@@ -66,7 +66,8 @@ object TxLog {
 
   final case class Snapshot(version: Long, files: Seq[String],
       schemaJson: Option[String] = None,
-      dvs: Map[String, Dv.Ref] = Map.empty) {
+      dvs: Map[String, Dv.Ref] = Map.empty,
+      colmap: Seq[(String, String)] = Seq.empty) {
     /** Read the snapshot. When the log recorded a table schema (every table
       * created since schema tracking), the read is pinned to it: files
       * written BEFORE a schema evolution lack the later columns and are
@@ -75,14 +76,34 @@ object TxLog {
       * tables without a recorded schema read by file inference as before.
       * Files carrying a DELETION VECTOR read through the masked path (their
       * deleted row positions filtered out); clean files — the steady state
-      * — stay on the plain vectorized scan. */
+      * — stay on the plain vectorized scan. Under COLUMN MAPPING the file
+      * bytes carry PHYSICAL names; the read presents the LOGICAL view —
+      * mapping order, mapped columns only (a dropped column's physical
+      * data simply stops being selected; Spark's column pruning keeps it
+      * out of the scan). */
     def read(spark: SparkSession): DataFrame = {
       val reader = schemaJson.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-      if (files.isEmpty) spark.emptyDataFrame
-      else if (dvs.isEmpty) reader.parquet(files: _*)
-      else Dv.maskedRead(spark, reader, files, dvs.map { case (p, r) => p -> r.path })
+      val phys =
+        if (files.isEmpty) spark.emptyDataFrame
+        else if (dvs.isEmpty) reader.parquet(files: _*)
+        else Dv.maskedRead(spark, reader, files, dvs.map { case (p, r) => p -> r.path })
+      toLogicalDf(phys, colmap)
     }
   }
+
+  /** The LOGICAL view of a physical frame under `colmap` (no-op when the
+    * table is unmapped): mapping order, mapped columns only, logical names.
+    * `keep` columns (feed metadata like `_change_type`) pass through. */
+  private[sources] def toLogicalDf(phys: DataFrame,
+      colmap: Seq[(String, String)], keep: Seq[String] = Seq.empty): DataFrame =
+    if (colmap.isEmpty) phys
+    else {
+      import org.apache.spark.sql.functions.col
+      val physCols = phys.columns.toSet
+      phys.select(colmap.collect {
+        case (l, p) if physCols.contains(p) => col(p).as(l)
+      } ++ keep.filter(physCols.contains).map(col): _*)
+    }
 
   private[sources] def schemaOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
@@ -220,8 +241,13 @@ object TxLog {
   def snapshot(table: String, asOf: Long = Long.MaxValue): Snapshot = {
     val tip = math.min(latestVersion(table), asOf)
     val r = replayAdds(table, tip, useCheckpoint = true)
-    Snapshot(tip, r.live.keysIterator.toSeq, r.schema, dvRefs(r.live))
+    Snapshot(tip, r.live.keysIterator.toSeq, r.schema, dvRefs(r.live), r.colmap)
   }
+
+  /** The table's column mapping (logical → physical), empty when unmapped.
+    * See [[enableColumnMapping]]. */
+  def columnMapping(table: String, asOf: Long = Long.MaxValue): Seq[(String, String)] =
+    replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true).colmap
 
   /** DV references of live add-lines, keyed by data-file path. */
   private[sources] def dvRefs(
@@ -255,7 +281,9 @@ object TxLog {
       tip: Long,
       cons: scala.collection.mutable.LinkedHashMap[String, String] =
         scala.collection.mutable.LinkedHashMap.empty,
-      var parts: Seq[String] = Seq.empty)
+      var parts: Seq[String] = Seq.empty,
+      var colmap: Seq[(String, String)] = Seq.empty,
+      var protocol: Option[Protocol] = None)
 
   /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
   private[sources] def replayAdds(table: String, asOf: Long,
@@ -266,6 +294,8 @@ object TxLog {
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var schema: Option[String] = None
     var parts: Seq[String] = Seq.empty
+    var colmap: Seq[(String, String)] = Seq.empty
+    var protocol: Option[Protocol] = None
     def take(line: String): Unit = parseAction(line) match {
       case Some(("add", path))    => live(path) = line
       case Some(("remove", path)) => live.remove(path)
@@ -278,8 +308,14 @@ object TxLog {
             case Some((name, expr)) => cons(name) = expr
             case None => parseParts(line) match {
               case Some(cols) => parts = cols // latest wins, like schema
-              case None =>
-                parseDropConstraint(line).foreach(name => cons.remove(name))
+              case None => parseColmap(line) match {
+                case Some(m) => colmap = m // latest wins, like schema
+                case None => parseProtocol(line) match {
+                  case Some(p) => protocol = Some(p) // latest wins
+                  case None =>
+                    parseDropConstraint(line).foreach(name => cons.remove(name))
+                }
+              }
             }
           }
         }
@@ -301,7 +337,19 @@ object TxLog {
       }
       v += 1
     }
-    Replay(live, txns, schema, tip, cons, parts)
+    // READER feature gate (the Delta table-features discipline): a table
+    // whose protocol demands a reader feature this engine does not know
+    // CANNOT be served — a best-effort read would silently misinterpret
+    // the log (e.g. ignore a future masking construct). Checked here, at
+    // the one funnel every read AND write replays through.
+    protocol.foreach { p =>
+      val unknown = p.readerFeatures -- SupportedReaderFeatures
+      if (unknown.nonEmpty) sys.error(
+        s"table $table requires unsupported reader feature(s) " +
+          s"${unknown.mkString(", ")} — refusing to read (supported: " +
+          s"${SupportedReaderFeatures.mkString(", ")})")
+    }
+    Replay(live, txns, schema, tip, cons, parts, colmap, protocol)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -323,6 +371,8 @@ object TxLog {
     // same way — enforcement must survive compaction too
     val txnLines = r.schema.map(schemaLine).toSeq ++
       (if (r.parts.isEmpty) Seq.empty else Seq(partsLine(r.parts))) ++
+      (if (r.colmap.isEmpty) Seq.empty else Seq(colmapLine(r.colmap))) ++
+      r.protocol.map(protocolLine).toSeq ++
       r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq ++
       r.cons.map { case (name, expr) => constraintLine(name, expr) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
@@ -607,15 +657,38 @@ object TxLog {
     // break the value-pure-file invariant pruning relies on); a new table
     // records the caller's spec
     val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
-    val effParts =
-      if (pre.parts.isEmpty) partitionBy
+    requireWritable(pre, table, "append")
+    // COLUMN MAPPING boundary: the caller's frame and column parameters
+    // speak LOGICAL names; files stage under PHYSICAL ones. Unknown
+    // logical columns extend the mapping (fresh physical names) under the
+    // same mergeSchema gate schema evolution already uses — one commit
+    // carries the files, the evolved schema AND the evolved mapping.
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val (dfP, mapNow, mapActs) =
+      if (pre.colmap.isEmpty) (df, pre.colmap, Seq.empty[String])
       else {
-        require(partitionBy.isEmpty || partitionBy == pre.parts,
+        val unknown = df.columns.filterNot(c =>
+          pre.colmap.exists { case (l, _) => resolver(l, c) })
+        if (unknown.nonEmpty && !mergeSchema) throw new SchemaMismatch(
+          s"append: new column(s) ${unknown.mkString(", ")} not in the table " +
+            "schema — pass mergeSchema = true to evolve it")
+        val m = unknown.foldLeft(pre.colmap)((acc, c) =>
+          acc :+ (c -> freshPhysName(c, acc, pre.schema)))
+        (toPhysicalDf(df, m, "append"), m,
+          if (unknown.isEmpty) Seq.empty else Seq(colmapLine(m)))
+      }
+    val partitionByP = partitionBy.map(c =>
+      if (mapNow.isEmpty) c else physFor(mapNow, c, resolver, "append"))
+    val statsColP = mapStatsCol(statsCol, mapNow, resolver, "append")
+    val effParts =
+      if (pre.parts.isEmpty) partitionByP
+      else {
+        require(partitionByP.isEmpty || partitionByP == pre.parts,
           s"append: table $table is partitioned by (${pre.parts.mkString(", ")}) " +
-            s"but the write asked for (${partitionBy.mkString(", ")})")
+            s"but the write asked for (${partitionByP.mkString(", ")})")
         pre.parts
       }
-    val actions = stageFiles(df, table, statsCol, effParts)
+    val actions = stageFiles(dfP, table, statsColP, effParts)
     var attempt = 0
     // CHECK constraints are enforced against the fresh replay's set; the
     // staged-file scan re-runs on retry only if the set changed concurrently
@@ -635,12 +708,16 @@ object TxLog {
       if (r.parts.nonEmpty && r.parts != effParts)
         sys.error(s"append: partition spec of $table changed concurrently " +
           s"(staged for (${effParts.mkString(", ")}), now (${r.parts.mkString(", ")}))")
+      // staged physical names were derived from the mapping at entry — a
+      // concurrent ALTER makes them stale; fail rather than mis-map
+      if (r.colmap != pre.colmap)
+        sys.error(s"append: column mapping of $table changed concurrently")
       val v = r.tip + 1
       val partActs =
         if (effParts.nonEmpty && r.parts != effParts) Seq(partsLine(effParts))
         else Seq.empty
-      val schemaActs = schemaActions(r, df, mergeSchema, "append")
-      try { commit(table, v, actions ++ partActs ++ schemaActs, "append"); maybeCheckpoint(table, v); return v }
+      val schemaActs = schemaActions(r, dfP, mergeSchema, "append")
+      try { commit(table, v, actions ++ partActs ++ schemaActs ++ mapActs, "append"); maybeCheckpoint(table, v); return v }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -658,13 +735,38 @@ object TxLog {
   def overwrite(df: DataFrame, table: String, maxRetries: Int = 64,
       statsCol: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty): Long = {
+    // COLUMN MAPPING boundary: an overwrite ADOPTS the writer's column set
+    // (like its schema), but a logical name the table already maps KEEPS
+    // its physical identity — a rename survives an overwrite, and a column
+    // absent from the writer's frame leaves the mapping (its physical data
+    // is gone with the replaced files anyway). New logical names get fresh
+    // physical ones.
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "overwrite")
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val (dfP, mapNow) =
+      if (pre.colmap.isEmpty) (df, pre.colmap)
+      else {
+        val m = df.columns.foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
+          val phys = pre.colmap.collectFirst {
+            case (l, p) if resolver(l, c) => p
+          }.getOrElse(freshPhysName(c, pre.colmap ++ acc, pre.schema))
+          acc :+ (c -> phys)
+        }
+        (toPhysicalDf(df, m, "overwrite"), m)
+      }
+    val partitionByP = partitionBy.map(c =>
+      if (mapNow.isEmpty) c else physFor(mapNow, c, resolver, "overwrite"))
+    val statsColP = mapStatsCol(statsCol, mapNow, resolver, "overwrite")
     // an overwrite replaces every row, so it ADOPTS the writer's partition
     // spec outright (like its schema) — including dropping to unpartitioned
-    val adds = stageFiles(df, table, statsCol, partitionBy)
+    val adds = stageFiles(dfP, table, statsColP, partitionByP)
     var attempt = 0
     var enforcedFor: Option[Map[String, String]] = None
     while (true) {
       val r0 = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (r0.colmap != pre.colmap)
+        sys.error(s"overwrite: column mapping of $table changed concurrently")
       val cmap = r0.cons.toMap
       if (!enforcedFor.contains(cmap)) {
         // an overwrite ADOPTS the writer's schema, so enforcement reads the
@@ -673,7 +775,7 @@ object TxLog {
         // enforceConstraints (drop the constraint before dropping its
         // column), unlike an append, whose missing columns still exist in
         // the table schema and null-fill to a pass
-        enforceConstraints(df.sparkSession, adds, Some(df.schema.json), cmap, "overwrite")
+        enforceConstraints(df.sparkSession, adds, Some(dfP.schema.json), cmap, "overwrite")
         enforcedFor = Some(cmap)
       }
       val snap = Snapshot(r0.tip, r0.live.keysIterator.toSeq, r0.schema)
@@ -681,12 +783,14 @@ object TxLog {
       // an overwrite replaces every row, so it ADOPTS the writer's schema
       // outright (Delta's overwriteSchema shape) — no null-filling risk
       val schemaActs =
-        if (snap.schemaJson.contains(df.schema.json) ||
+        if (snap.schemaJson.contains(dfP.schema.json) ||
             (snap.schemaJson.isEmpty && snap.version > 0)) Seq.empty
-        else Seq(schemaLine(df.schema.json))
+        else Seq(schemaLine(dfP.schema.json))
       val partActs =
-        if (r0.parts == partitionBy) Seq.empty else Seq(partsLine(partitionBy))
-      try { commit(table, snap.version + 1, adds ++ removes ++ schemaActs ++ partActs, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
+        if (r0.parts == partitionByP) Seq.empty else Seq(partsLine(partitionByP))
+      val mapActs =
+        if (mapNow == r0.colmap) Seq.empty else Seq(colmapLine(mapNow))
+      try { commit(table, snap.version + 1, adds ++ removes ++ schemaActs ++ partActs ++ mapActs, "overwrite"); maybeCheckpoint(table, snap.version + 1); return snap.version + 1 }
       catch {
         case _: VersionConflict =>
           attempt += 1
@@ -733,6 +837,59 @@ object TxLog {
   private[graft] var mergeCommitHook: () => Unit = () => ()
 
   def merge(updates: DataFrame, table: String, keyCol: String,
+      maxRetries: Int = 16, mergeSchema: Boolean = false,
+      changeFeed: Boolean = false): Long = {
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "merge")
+    if (pre.colmap.isEmpty)
+      return merge0(updates, table, keyCol, maxRetries, mergeSchema, changeFeed)
+    // COLUMN MAPPING boundary: translate the updates frame and key to
+    // physical names. Unknown logical columns evolve mapping + schema as a
+    // SEPARATE prior metadata commit (same observable history as ALTER ADD
+    // COLUMN followed by the merge), then the merge proper runs fully known.
+    val resolver = updates.sparkSession.sessionState.conf.resolver
+    val m = extendMappingFor(updates, table, pre, mergeSchema, "merge")
+    merge0(toPhysicalDf(updates, m, "merge"), table,
+      physFor(m, keyCol, resolver, "merge"), maxRetries, mergeSchema, changeFeed)
+  }
+
+  /** Mapping that covers every column of `df`, committing an evolution
+    * (colmap + physical schema extension) when needed and allowed. */
+  private def extendMappingFor(df: DataFrame, table: String, pre: Replay,
+      mergeSchema: Boolean, op: String): Seq[(String, String)] = {
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val unknown = df.schema.fields.filterNot(f =>
+      pre.colmap.exists { case (l, _) => resolver(l, f.name) })
+    if (unknown.isEmpty) return pre.colmap
+    if (!mergeSchema) throw new SchemaMismatch(
+      s"$op: new column(s) ${unknown.map(_.name).mkString(", ")} not in the " +
+        "table schema — pass mergeSchema = true to evolve it")
+    var attempt = 0
+    while (true) {
+      val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      if (r.colmap != pre.colmap)
+        sys.error(s"$op: column mapping of $table changed concurrently")
+      val m = unknown.foldLeft(r.colmap)((acc, f) =>
+        acc :+ (f.name -> freshPhysName(f.name, acc, r.schema)))
+      val physFields = unknown.zip(m.takeRight(unknown.length)).map {
+        case (f, (_, p)) => f.copy(name = p, nullable = true)
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        r.schema.map(schemaOf).map(_.fields).getOrElse(Array.empty) ++ physFields)
+      try {
+        commit(table, r.tip + 1,
+          Seq(colmapLine(m), schemaLine(newSchema.json)), "alter")
+        return m
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > 16) sys.error(s"$op lost 16 version races on $table")
+      }
+    }
+    Seq.empty // unreachable
+  }
+
+  private def merge0(updates: DataFrame, table: String, keyCol: String,
       maxRetries: Int = 16, mergeSchema: Boolean = false,
       changeFeed: Boolean = false): Long = {
     val spark = updates.sparkSession
@@ -903,6 +1060,44 @@ object TxLog {
     * `changeFeed = true` stages exact sidecars (pre/post images, deletes,
     * inserts) for [[readChangeFeed]]. Returns the committed version. */
   def mergeFull(source: DataFrame, table: String, keyCol: String,
+      clauses: Seq[MergeClause], statsCol: Option[String] = None,
+      maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "merge")
+    if (pre.colmap.isEmpty)
+      return mergeFull0(source, table, keyCol, clauses, statsCol, maxRetries, changeFeed)
+    // COLUMN MAPPING boundary: source columns the table maps rename to
+    // physical (source-ONLY columns keep their names — they exist only on
+    // the `s.` side of the join); clause conditions, SET targets and SET
+    // expressions translate logical references to physical.
+    val m = pre.colmap
+    val resolver = source.sparkSession.sessionState.conf.resolver
+    val srcP = source.select(source.columns.map(c =>
+      m.collectFirst { case (l, p) if resolver(l, c) => source.col(c).as(p) }
+        .getOrElse(source.col(c))).toSeq: _*)
+    def tc(c: Column): Column = mapColumn(c, m, resolver)
+    def ts(set: Map[String, Column]): Map[String, Column] = {
+      val s = set.toSeq.map { case (k, e) => physFor(m, k, resolver, "merge") -> tc(e) }
+      s.groupBy(_._1).collect { case (n, as) if as.size > 1 => n } match {
+        case dups if dups.nonEmpty => throw new SchemaMismatch(
+          s"mergeFull: SET assigns ${dups.mkString(", ")} more than once " +
+            "after column resolution — the winner would be silent")
+        case _ => ()
+      }
+      s.toMap
+    }
+    val clausesP = clauses.map {
+      case MatchedUpdate(s, c)            => MatchedUpdate(ts(s), c.map(tc))
+      case MatchedDelete(c)               => MatchedDelete(c.map(tc))
+      case NotMatchedInsert(c)            => NotMatchedInsert(c.map(tc))
+      case NotMatchedBySourceDelete(c)    => NotMatchedBySourceDelete(c.map(tc))
+      case NotMatchedBySourceUpdate(s, c) => NotMatchedBySourceUpdate(ts(s), c.map(tc))
+    }
+    mergeFull0(srcP, table, physFor(m, keyCol, resolver, "merge"), clausesP,
+      mapStatsCol(statsCol, m, resolver, "merge"), maxRetries, changeFeed)
+  }
+
+  private def mergeFull0(source: DataFrame, table: String, keyCol: String,
       clauses: Seq[MergeClause], statsCol: Option[String] = None,
       maxRetries: Int = 16, changeFeed: Boolean = false): Long = {
     require(clauses.nonEmpty, "mergeFull needs at least one clause")
@@ -1333,6 +1528,18 @@ object TxLog {
       statsCol: Option[String] = None, maxRetries: Int = 16,
       changeFeed: Boolean = false, useDV: Boolean = false,
       dvMaxFraction: Double = 0.5): Long = {
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "delete")
+    val resolver = spark.sessionState.conf.resolver
+    delete0(spark, table, mapColumn(predicate, pre.colmap, resolver),
+      mapStatsCol(statsCol, pre.colmap, resolver, "delete"), maxRetries,
+      changeFeed, useDV, dvMaxFraction)
+  }
+
+  private def delete0(spark: SparkSession, table: String, predicate: Column,
+      statsCol: Option[String] = None, maxRetries: Int = 16,
+      changeFeed: Boolean = false, useDV: Boolean = false,
+      dvMaxFraction: Double = 0.5): Long = {
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       deleteDerivations.incrementAndGet()
@@ -1448,7 +1655,11 @@ object TxLog {
       // ORDER: removes precede adds so a same-path DV swap replays as
       // remove-then-add (replay's take() is order-sensitive per commit)
       val actions = removes ++ dvActs.map(_._1) ++ dvActs.map(_._2) ++
-        adds ++ cdcActs
+        adds ++ cdcActs ++
+        // a commit that PUBLISHES a deletion vector stamps the protocol
+        // feature — older/simpler engines must refuse, not resurrect
+        (if (dvActs.isEmpty) Seq.empty
+         else protocolBump(replay, Set("deletionVectors")))
       commitAdmitting(table, replay.tip, actions, "delete",
         () => deleteCommitHook, attempts, maxRetries,
         v => commitIsDisjointForPredicate(table, v, ourFiles, resolvedCond, tzId))
@@ -1501,6 +1712,34 @@ object TxLog {
     * unprovable re-derives. `statsCol` re-records per-file min/max on the
     * rewritten output. Returns the committed version. */
   def update(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column], statsCol: Option[String] = None,
+      maxRetries: Int = 16, changeFeed: Boolean = false,
+      useDV: Boolean = false, dvMaxFraction: Double = 0.5): Long = {
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "update")
+    val resolver = spark.sessionState.conf.resolver
+    // SET targets and every column reference in the predicate and SET
+    // expressions translate to physical. Duplicates are refused HERE on
+    // the translated names: two logical spellings of one column collapse
+    // to the same physical, and folding them into the Map below would
+    // silently pick a winner before update0's own dup check could see it.
+    val setP = set.toSeq.map { case (c, e) =>
+      (if (pre.colmap.isEmpty) c else physFor(pre.colmap, c, resolver, "update")) ->
+        mapColumn(e, pre.colmap, resolver)
+    }
+    setP.groupBy(_._1).collect { case (n, as) if as.size > 1 => n } match {
+      case dups if dups.nonEmpty => throw new SchemaMismatch(
+        s"update: SET assigns ${dups.mkString(", ")} more than once after " +
+          "column resolution — the winner would be silent")
+      case _ => ()
+    }
+    update0(spark, table, mapColumn(predicate, pre.colmap, resolver),
+      setP.toMap,
+      mapStatsCol(statsCol, pre.colmap, resolver, "update"), maxRetries,
+      changeFeed, useDV, dvMaxFraction)
+  }
+
+  private def update0(spark: SparkSession, table: String, predicate: Column,
       set: Map[String, Column], statsCol: Option[String] = None,
       maxRetries: Int = 16, changeFeed: Boolean = false,
       useDV: Boolean = false, dvMaxFraction: Double = 0.5): Long = {
@@ -1612,7 +1851,9 @@ object TxLog {
             enforceConstraints(spark, adds, replay.schema, replay.cons.toMap, "update")
             // no sidecars even with changeFeed: the feed derives a pure-DV
             // update exactly (and for free) from the bitmap diff + adds
-            val actions = dvActs.map(_._1) ++ dvActs.map(_._2) ++ adds
+            val actions = dvActs.map(_._1) ++ dvActs.map(_._2) ++ adds ++
+              (if (dvActs.isEmpty) Seq.empty
+               else protocolBump(replay, Set("deletionVectors")))
             commitAdmitting(table, replay.tip, actions, "update",
               () => updateCommitHook, attempts, maxRetries,
               v => commitIsDisjointForPredicate(table, v, touched.toSet,
@@ -1686,7 +1927,7 @@ object TxLog {
         // Deliberately op-based, NOT `added.isEmpty`: a remove-only rewrite
         // (e.g. a restore that truncates the table) DOES change rows and
         // must keep failing loudly below, not silently vanish from the feed
-        case "addConstraint" | "dropConstraint" => false
+        case "addConstraint" | "dropConstraint" | "alter" => false
         case other =>
           if (includeRewrites) true
           else throw new IllegalStateException(
@@ -1697,23 +1938,31 @@ object TxLog {
     }
     val fileVer: Seq[(String, Long, String)] =
       cs.flatMap(c => c.added.map(p => (normalize(p), c.version, c.op)))
-    val schemaOpt = replayAdds(table, math.min(latestVersion(table), toInclusive),
-      useCheckpoint = true).schema
+    val endState = replayAdds(table, math.min(latestVersion(table), toInclusive),
+      useCheckpoint = true)
+    val schemaOpt = endState.schema
+    // COLUMN MAPPING: file bytes carry physical names; the feed presents
+    // the LOGICAL view under the range-END mapping (physical identities
+    // are rename-stable, so rows written before a rename surface under
+    // the current name — Delta's column-mapping CDF posture)
+    def logical(df: DataFrame): DataFrame =
+      toLogicalDf(df, endState.colmap, keep = Seq("_commit_version", "_commit_op"))
     if (fileVer.isEmpty) {
       val base = schemaOpt match {
         case Some(j) => spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schemaOf(j))
         case None    => spark.emptyDataFrame
       }
-      return base.withColumn("_commit_version", lit(null).cast("long"))
-        .withColumn("_commit_op", lit(null).cast("string"))
+      return logical(base.withColumn("_commit_version", lit(null).cast("long"))
+        .withColumn("_commit_op", lit(null).cast("string")))
     }
     import spark.implicits._
     val reader = schemaOpt.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
     val data = reader.parquet(fileVer.map(_._1).distinct: _*)
       .withColumn("__fp", uriPathUdf(col("_metadata.file_path")))
-    data.join(broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
-      .drop("__fp")
+    logical(data.join(
+      broadcast(fileVer.toDF("__fp", "_commit_version", "_commit_op")), "__fp")
+      .drop("__fp"))
   }
 
   /** EXACT row-level CHANGE FEED (Delta's CDF read): every row changed by
@@ -1795,7 +2044,7 @@ object TxLog {
             // a clone records src lines verbatim — a DV'd line inserts
             // only its live rows
             srcs ++= adds.map(a => Src(a, v, "insert", None, addDv(a)))
-          case "optimize" | "addConstraint" | "dropConstraint" => ()
+          case "optimize" | "addConstraint" | "dropConstraint" | "alter" => ()
           case "delete" | "update" =>
             // the refusal condition is UNRECORDED ROW REMOVALS: any remove
             // that is neither allDeleted-flagged (derivable from the file)
@@ -1919,13 +2168,20 @@ object TxLog {
     val frames = Seq(
       plainFrame(plainSrcs.map(s => (s.path, s.v, s.typ))),
       dvFrame, cdcFrame).flatten
-    frames match {
+    val raw = frames match {
       case Nil =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), cdcSchema)
           .withColumn("_commit_version", lit(null).cast("long"))
       case fs => fs.reduce(_.unionByName(_))
     }
+    // COLUMN MAPPING: evidence files (data + cdc sidecars) carry physical
+    // names; the feed presents the LOGICAL view under the range-END
+    // mapping — physical identities are rename-stable, so a row written
+    // before a rename surfaces under the current name, and a dropped
+    // column simply leaves the feed (Delta's column-mapping CDF posture)
+    toLogicalDf(raw, replayAdds(table, tip, useCheckpoint = true).colmap,
+      keep = Seq("_change_type", "_commit_version"))
   }
 
   /** Read-side DATA SKIPPING — the scan counterpart of merge's stats prune
@@ -1948,7 +2204,12 @@ object TxLog {
   def readPruned(spark: SparkSession, table: String, keyCol: String,
       lo: Any, hi: Any, asOf: Long = Long.MaxValue): DataFrame = {
     val r = replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true)
-    val files = prunedFrom(spark, r, keyCol, lo, hi)
+    // COLUMN MAPPING: the caller prunes on a LOGICAL name; stats are
+    // recorded physical, and the output presents the logical view
+    val keyP =
+      if (r.colmap.isEmpty) keyCol
+      else physFor(r.colmap, keyCol, spark.sessionState.conf.resolver, "readPruned")
+    val files = prunedFrom(spark, r, keyP, lo, hi)
     if (files.isEmpty)
       snapshot(table, asOf).read(spark).limit(0).filter(lit(false))
     else {
@@ -1957,8 +2218,8 @@ object TxLog {
       // later columns, not narrow the output schema by footer inference;
       // deletion vectors masked like every live read
       val reader = r.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j)))
-      readLive(spark, reader, files, r.live)
-        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+      toLogicalDf(readLive(spark, reader, files, r.live)
+        .filter(col(keyP) >= lit(lo) && col(keyP) <= lit(hi)), r.colmap)
     }
   }
 
@@ -2014,6 +2275,8 @@ object TxLog {
     * retention rule as time travel). Returns the new version. */
   def restore(table: String, version: Long, maxRetries: Int = 16): Long = {
     require(version >= 1, s"cannot restore to version $version")
+    requireWritable(replayAdds(table, Long.MaxValue, useCheckpoint = true),
+      table, "restore")
     var attempt = 0
     while (true) {
       val cur = replayAdds(table, Long.MaxValue, useCheckpoint = true)
@@ -2137,7 +2400,24 @@ object TxLog {
     * addConstraint again after the restore). */
   def addConstraint(spark: SparkSession, table: String, name: String,
       exprSql: String, maxRetries: Int = 16): Long = {
-    val pred = expr(exprSql) // malformed expressions fail HERE, loudly
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "addConstraint")
+    // COLUMN MAPPING: the caller writes the CHECK in logical names; the
+    // stored expression must speak PHYSICAL ones (enforcement scans staged
+    // physical files). Parse with Spark's OWN parser (real operator nodes,
+    // whose .sql re-renders as valid infix — an UnresolvedFunction would
+    // render `>=`(a, b) and fail re-parsing), translate, re-render.
+    val resolver = spark.sessionState.conf.resolver
+    val storedSql =
+      if (pre.colmap.isEmpty) exprSql
+      else spark.sessionState.sqlParser.parseExpression(exprSql).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          pre.colmap.collectFirst { case (l, p) if resolver(a.nameParts.last, l) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              a.nameParts.init :+ p)
+          }.getOrElse(a)
+      }.sql
+    val pred = expr(storedSql) // malformed expressions fail HERE, loudly
     var attempt = 0
     while (true) {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
@@ -2149,7 +2429,7 @@ object TxLog {
           s"cannot add CHECK constraint $name ($exprSql) on $table: existing rows violate it")
       }
       try {
-        commit(table, r.tip + 1, Seq(constraintLine(name, exprSql)), "addConstraint")
+        commit(table, r.tip + 1, Seq(constraintLine(name, storedSql)), "addConstraint")
         maybeCheckpoint(table, r.tip + 1)
         return r.tip + 1
       } catch {
@@ -2164,9 +2444,135 @@ object TxLog {
     -1L
   }
 
+  // ==== COLUMN MAPPING verbs (the Delta column-mapping surface): RENAME
+  // and DROP COLUMN as PURE METADATA commits — zero bytes rewritten, on a
+  // 100 TB table exactly as cheap as on an empty one. Files keep immutable
+  // PHYSICAL names; the mapping (logical → physical) is table metadata,
+  // replayed like the schema and carried by checkpoints. Stats, DVs,
+  // constraints and the partition spec all stay keyed physical, so every
+  // existing mechanism — skipping, masking, enforcement, pruning —
+  // composes unchanged. ====
+
+  /** Turn column mapping ON: record the identity mapping (logical =
+    * physical for every current column) plus the protocol feature gate.
+    * No-op when already mapped. RENAME/DROP/ADD COLUMN auto-enable, so
+    * calling this explicitly is only needed to stamp the protocol early. */
+  def enableColumnMapping(table: String, maxRetries: Int = 16): Long =
+    alterMapping(table, "enableColumnMapping", maxRetries) { (r, m) =>
+      (m, Seq.empty)
+    }
+
+  /** RENAME a column — a metadata-only commit (Delta needs column mapping
+    * for exactly this). Old files keep their physical bytes; every read
+    * from this version on presents the new logical name. */
+  def renameColumn(table: String, oldName: String, newName: String,
+      maxRetries: Int = 16): Long =
+    alterMapping(table, "renameColumn", maxRetries) { (r, m) =>
+      val resolver = caseInsensitiveResolver
+      val idx = m.indexWhere { case (l, _) => resolver(l, oldName) }
+      if (idx < 0) throw new SchemaMismatch(
+        s"renameColumn: column $oldName is not in the table schema " +
+          s"(${m.map(_._1).mkString(", ")})")
+      if (m.zipWithIndex.exists { case ((l, _), i) => i != idx && resolver(l, newName) })
+        throw new SchemaMismatch(
+          s"renameColumn: column $newName already exists in $table")
+      (m.updated(idx, (newName, m(idx)._2)), Seq.empty)
+    }
+
+  /** DROP a column — a metadata-only commit: the physical data stays in
+    * the files (and in time travel / the feed below this version) but
+    * leaves the logical schema. Refused for partition columns and for
+    * columns a CHECK constraint still references (drop those first —
+    * Delta refuses the same way). */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 16): Long =
+    alterMapping(table, "dropColumn", maxRetries) { (r, m) =>
+      val resolver = caseInsensitiveResolver
+      val idx = m.indexWhere { case (l, _) => resolver(l, name) }
+      if (idx < 0) throw new SchemaMismatch(
+        s"dropColumn: column $name is not in the table schema " +
+          s"(${m.map(_._1).mkString(", ")})")
+      if (m.size == 1) throw new SchemaMismatch(
+        s"dropColumn: cannot drop the last column of $table")
+      val phys = m(idx)._2
+      if (r.parts.exists(resolver(_, phys))) throw new SchemaMismatch(
+        s"dropColumn: $name is a partition column of $table — " +
+          "repartition (overwrite) before dropping it")
+      r.cons.foreach { case (cn, exprSql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }
+        if (refs.exists(resolver(_, phys))) throw new SchemaMismatch(
+          s"dropColumn: CHECK constraint $cn still references $name — " +
+            "drop the constraint first")
+      }
+      (m.patch(idx, Nil, 1), Seq.empty)
+    }
+
+  /** ADD a column — a metadata-only commit: the physical schema gains a
+    * FRESH physical field (old files null-fill on read; re-adding a
+    * previously dropped logical name can never resurrect its old bytes,
+    * because the fresh physical name is unique against every name the
+    * schema has ever recorded). */
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 16): Long =
+    alterMapping(table, "addColumn", maxRetries) { (r, m) =>
+      val resolver = caseInsensitiveResolver
+      if (m.exists { case (l, _) => resolver(l, name) })
+        throw new SchemaMismatch(s"addColumn: column $name already exists in $table")
+      val phys = freshPhysName(name, m, r.schema)
+      val cur = r.schema.map(schemaOf).getOrElse(
+        sys.error(s"addColumn: $table has no recorded schema"))
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.fields :+ org.apache.spark.sql.types.StructField(phys, dataType, nullable = true))
+      (m :+ (name -> phys), Seq(schemaLine(newSchema.json)))
+    }
+
+  /** Spark's default (case-insensitive) resolver — the ALTER verbs have no
+    * session at hand and must match how analysis resolves names. */
+  private def caseInsensitiveResolver: (String, String) => Boolean =
+    (a, b) => a.equalsIgnoreCase(b)
+
+  /** Shared ALTER loop: replay → writable gate → auto-enable mapping
+    * (identity over the recorded schema) → apply `f` (new mapping, extra
+    * actions) → commit mapping + protocol bump, optimistic-retried. */
+  private def alterMapping(table: String, op: String, maxRetries: Int)(
+      f: (Replay, Seq[(String, String)]) => (Seq[(String, String)], Seq[String])): Long = {
+    var attempt = 0
+    while (true) {
+      val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+      requireWritable(r, table, op)
+      val base =
+        if (r.colmap.nonEmpty) r.colmap
+        else r.schema.map(j => schemaOf(j).fieldNames.toSeq.map(n => (n, n)))
+          .getOrElse(sys.error(
+            s"$op: $table has no recorded schema — column mapping needs one " +
+              "(legacy tables: overwrite once to record it)"))
+      val (m, extra) = f(r, base)
+      val acts = (if (m == r.colmap) Seq.empty else Seq(colmapLine(m))) ++
+        extra ++ protocolBump(r, Set("columnMapping"))
+      if (acts.isEmpty) return r.tip // already in the asked-for state
+      try {
+        commit(table, r.tip + 1, acts, "alter")
+        maybeCheckpoint(table, r.tip + 1)
+        return r.tip + 1
+      } catch {
+        case _: VersionConflict =>
+          attempt += 1
+          if (attempt > maxRetries)
+            sys.error(s"$op lost $maxRetries version races on $table")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Drop a recorded CHECK constraint (a metadata commit; unknown names are
     * a no-op commit so drops are idempotent). */
   def dropConstraint(table: String, name: String, maxRetries: Int = 16): Long = {
+    requireWritable(replayAdds(table, Long.MaxValue, useCheckpoint = true),
+      table, "dropConstraint")
     var attempt = 0
     while (true) {
       val tip = latestVersion(table)
@@ -2277,6 +2683,11 @@ object TxLog {
       // later append to the clone would not inherit the layout and could
       // silently mix value-pure and unpartitioned files
       (if (r.parts.isEmpty) Seq.empty else Seq(partsLine(r.parts))) ++
+      // column mapping and protocol gates ride too — a clone of a mapped
+      // table must keep presenting logical names (and keep refusing
+      // engines that cannot)
+      (if (r.colmap.isEmpty) Seq.empty else Seq(colmapLine(r.colmap))) ++
+      r.protocol.map(protocolLine).toSeq ++
       r.cons.map { case (n, e) => constraintLine(n, e) }.toSeq
     commit(dst, 1L, adds ++ schemaActs, "clone")
     1L
@@ -2383,6 +2794,23 @@ object TxLog {
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
       zorder: Option[(String, String)] = None, statsCol: Option[String] = None,
       maxRetries: Int = 16, where: Option[Column] = None): Long = {
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "optimize")
+    if (pre.colmap.isEmpty)
+      return optimize0(spark, table, targetBytes, minFiles, zorder, statsCol,
+        maxRetries, where)
+    val resolver = spark.sessionState.conf.resolver
+    optimize0(spark, table, targetBytes, minFiles,
+      zorder.map { case (a, b) => (physFor(pre.colmap, a, resolver, "optimize"),
+        physFor(pre.colmap, b, resolver, "optimize")) },
+      mapStatsCol(statsCol, pre.colmap, resolver, "optimize"), maxRetries,
+      where.map(mapColumn(_, pre.colmap, resolver)))
+  }
+
+  private def optimize0(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
+      zorder: Option[(String, String)] = None, statsCol: Option[String] = None,
+      maxRetries: Int = 16, where: Option[Column] = None): Long = {
     var attempt = 0
     while (true) {
       val replay = replayAdds(table, Long.MaxValue, useCheckpoint = true)
@@ -2470,19 +2898,30 @@ object TxLog {
       txnVersion: Long, maxRetries: Int = 64,
       statsCol: Option[String] = None, mergeSchema: Boolean = false): Option[Long] = {
     if (lastTxnVersion(table, appId).exists(_ >= txnVersion)) return None
-    val actions = stageFiles(df, table, statsCol) :+ txnLine(appId, txnVersion)
+    val pre = replayAdds(table, Long.MaxValue, useCheckpoint = true)
+    requireWritable(pre, table, "append")
+    // COLUMN MAPPING boundary, same discipline as append (the streaming
+    // sink path must stage physical names too); new columns refuse rather
+    // than evolve — a streaming micro-batch is the wrong place for silent
+    // schema evolution, and the sink never passes mergeSchema anyway
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val dfP = toPhysicalDf(df, pre.colmap, "append")
+    val statsColP = mapStatsCol(statsCol, pre.colmap, resolver, "append")
+    val actions = stageFiles(dfP, table, statsColP) :+ txnLine(appId, txnVersion)
     var attempt = 0
     var enforcedFor: Option[Map[String, String]] = None
     while (true) {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (r.txns.get(appId).exists(_ >= txnVersion)) return None
+      if (r.colmap != pre.colmap)
+        sys.error(s"append: column mapping of $table changed concurrently")
       val cmap = r.cons.toMap
       if (!enforcedFor.contains(cmap)) {
         enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
         enforcedFor = Some(cmap)
       }
       try {
-        commit(table, r.tip + 1, actions ++ schemaActions(r, df, mergeSchema, "append"), "append")
+        commit(table, r.tip + 1, actions ++ schemaActions(r, dfP, mergeSchema, "append"), "append")
         maybeCheckpoint(table, r.tip + 1)
         return Some(r.tip + 1)
       } catch {
@@ -2558,6 +2997,9 @@ object TxLog {
   def vacuum(table: String, retainVersions: Long = 0L,
       graceMs: Long = DefaultVacuumGraceMs, dryRun: Boolean = false): Long = {
     val tip = latestVersion(table)
+    // vacuum commits nothing but DELETES data bytes — an engine missing a
+    // writer feature might not know which files that feature still needs
+    requireWritable(replayAdds(table, tip, useCheckpoint = true), table, "vacuum")
     val keepFrom = math.max(1L, tip - retainVersions)
     // derived change-feed EVIDENCE of retained commits: a covered delete's
     // allDeleted remove is the ONLY record of its deleted rows (no sidecar,
@@ -2751,6 +3193,149 @@ object TxLog {
     case PartsRe(body) =>
       Some(PartEntryRe.findAllMatchIn(body).map(m => unquote(m.group(1))).toSeq)
     case _ => None
+  }
+
+  // -- COLUMN MAPPING metadata (the Delta column-mapping design: files
+  // carry immutable PHYSICAL names; the mapping is table metadata, so
+  // RENAME and DROP COLUMN are pure metadata commits, never rewrites) --
+
+  private val ColmapRe =
+    """\{"colmap":\[((?:\{"n":"(?:[^"\\]|\\.)*","p":"(?:[^"\\]|\\.)*"\},?)*)\]\}""".r
+  private val ColmapEntryRe =
+    """\{"n":"((?:[^"\\]|\\.)*)","p":"((?:[^"\\]|\\.)*)"\}""".r
+
+  private def colmapLine(m: Seq[(String, String)]): String =
+    s"""{"colmap":[${m.map { case (l, p) =>
+      s"""{"n":${quote(l)},"p":${quote(p)}}""" }.mkString(",")}]}"""
+
+  private def parseColmap(line: String): Option[Seq[(String, String)]] =
+    line match {
+      case ColmapRe(body) =>
+        Some(ColmapEntryRe.findAllMatchIn(body)
+          .map(m => (unquote(m.group(1)), unquote(m.group(2)))).toSeq)
+      case _ => None
+    }
+
+  // -- PROTOCOL feature gates (the Delta table-features discipline: the
+  // log names the features a reader/writer MUST understand; an engine
+  // missing one refuses loudly instead of serving a wrong answer) --
+
+  final case class Protocol(readerFeatures: Set[String],
+      writerFeatures: Set[String])
+
+  /** Every feature this engine can READ. A table demanding anything else
+    * is refused at replay (see [[replayAdds]]). */
+  val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "partitioning", "changeDataFeed",
+      "checkConstraints", "inCommitTimestamps")
+
+  /** Every feature this engine can WRITE THROUGH without corrupting (a
+    * writer must preserve invariants it did not create — e.g. restage
+    * under the partition spec, mask DVs in rewrites). */
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
+
+  private val ProtocolRe =
+    """\{"protocol":\{"rf":\[((?:"(?:[^"\\]|\\.)*",?)*)\],"wf":\[((?:"(?:[^"\\]|\\.)*",?)*)\]\}\}""".r
+
+  private def protocolLine(p: Protocol): String = {
+    def arr(s: Set[String]) = s.toSeq.sorted.map(quote).mkString(",")
+    s"""{"protocol":{"rf":[${arr(p.readerFeatures)}],"wf":[${arr(p.writerFeatures)}]}}"""
+  }
+
+  private def parseProtocol(line: String): Option[Protocol] = line match {
+    case ProtocolRe(rf, wf) =>
+      def names(body: String) =
+        PartEntryRe.findAllMatchIn(body).map(m => unquote(m.group(1))).toSet
+      Some(Protocol(names(rf), names(wf)))
+    case _ => None
+  }
+
+  /** WRITER feature gate: refuse to commit into a table whose protocol
+    * demands a writer feature this engine does not implement — writing
+    * around an unknown invariant corrupts the table for the engines that
+    * do. Called by every committing verb after its replay. */
+  private def requireWritable(r: Replay, table: String, op: String): Unit =
+    r.protocol.foreach { p =>
+      val unknown = p.writerFeatures -- SupportedWriterFeatures
+      if (unknown.nonEmpty) sys.error(
+        s"$op: table $table requires unsupported writer feature(s) " +
+          s"${unknown.mkString(", ")} — refusing to write (supported: " +
+          s"${SupportedWriterFeatures.mkString(", ")})")
+    }
+
+  /** The protocol action (if any) that records `features` as required on
+    * top of the replayed state — empty when already recorded. */
+  private def protocolBump(r: Replay, features: Set[String]): Seq[String] = {
+    val cur = r.protocol.getOrElse(Protocol(Set.empty, Set.empty))
+    val next = Protocol(cur.readerFeatures ++ features,
+      cur.writerFeatures ++ features)
+    if (next == cur) Seq.empty else Seq(protocolLine(next))
+  }
+
+  // -- column-mapping translation: everything INTERNAL (files, stats,
+  // constraints, partition spec, DVs, sidecars) speaks PHYSICAL names;
+  // the PUBLIC surface (DataFrames in and out, predicates, SET targets,
+  // key/stat/partition column parameters) speaks LOGICAL names and is
+  // translated at the verb boundary by the helpers below --
+
+  /** The physical name of logical column `c` under `m` (session-resolver
+    * matching, like every column reference Spark analyzes). */
+  private def physFor(m: Seq[(String, String)], c: String,
+      resolver: (String, String) => Boolean, op: String): String =
+    m.collectFirst { case (l, p) if resolver(l, c) => p }.getOrElse(
+      throw new SchemaMismatch(
+        s"$op: column $c is not in the table schema " +
+          s"(${m.map(_._1).mkString(", ")})"))
+
+  /** Rename a LOGICAL frame to PHYSICAL names for staging. Columns the
+    * mapping does not know are refused (the caller handles evolution by
+    * extending the mapping first — see append's mergeSchema path). */
+  private def toPhysicalDf(df: DataFrame, m: Seq[(String, String)],
+      op: String): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val resolver = df.sparkSession.sessionState.conf.resolver
+      df.select(df.columns.map(c =>
+        df.col(c).as(physFor(m, c, resolver, op))).toSeq: _*)
+    }
+
+  /** Translate LOGICAL column references inside a predicate/SET expression
+    * to PHYSICAL names (qualifiers like `t.`/`s.` survive; names the
+    * mapping does not know pass through and fail resolution loudly
+    * downstream). No-op for unmapped tables. */
+  private def mapColumn(c: org.apache.spark.sql.Column,
+      m: Seq[(String, String)],
+      resolver: (String, String) => Boolean): org.apache.spark.sql.Column =
+    if (m.isEmpty) c
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(GraftBridge.catalystExpression(c).transformUp {
+        case a: UnresolvedAttribute =>
+          m.collectFirst { case (l, p) if resolver(a.nameParts.last, l) =>
+            UnresolvedAttribute(a.nameParts.init :+ p)
+          }.getOrElse(a)
+      })
+    }
+
+  /** Translate a comma-separated LOGICAL stats-column list to physical. */
+  private def mapStatsCol(statsCol: Option[String], m: Seq[(String, String)],
+      resolver: (String, String) => Boolean, op: String): Option[String] =
+    if (m.isEmpty) statsCol
+    else statsCol.map(_.split(',').map(_.trim).filter(_.nonEmpty)
+      .map(physFor(m, _, resolver, op)).mkString(","))
+
+  /** A FRESH physical name for new logical column `c`: unique against
+    * every physical name the table currently knows (mapping + recorded
+    * physical schema — adds only ever extend it), deterministic (no UUID:
+    * the log stays bit-reproducible for identical histories). */
+  private def freshPhysName(c: String, m: Seq[(String, String)],
+      schemaJson: Option[String]): String = {
+    val used = m.map(_._2).toSet ++
+      schemaJson.map(j => schemaOf(j).fieldNames.toSet).getOrElse(Set.empty)
+    val base = "c_" + c.replaceAll("[^A-Za-z0-9_]", "_")
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(!used(_)).get
   }
 
   /** Schema ENFORCEMENT + EVOLUTION for a write against the replayed table

@@ -175,8 +175,15 @@ object TxLogBatch {
       p -> TxLog.parseStatsAll(line).map(st => st.col -> ((st.min, st.max))).toMap
     }
     val index = new TxLogFileIndex(spark, table, filesWithStats)
-    HadoopFsRelation(index, new StructType(), schema, None,
+    val physRel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map.empty)(spark)
+    // COLUMN MAPPING: the files (and the relation above) carry PHYSICAL
+    // names; the public reader presents the LOGICAL view. A wrapper
+    // relation translates pushed column prunes and filters back to
+    // physical, so the parquet scan's pushdown AND the log FileIndex's
+    // stats skipping keep working under the logical names.
+    if (r.colmap.isEmpty) physRel
+    else new MappedTxLogRelation(sqlContext, physRel, r.colmap, schema)
   }
 
   private def nullable(s: StructType): StructType =
@@ -197,6 +204,67 @@ object TxLogBatch {
       override def schema: StructType = df.schema
       override def buildScan(): RDD[Row] = df.rdd
     }
+}
+
+/** The public reader of a COLUMN-MAPPED txlog table: exposes the LOGICAL
+  * schema, and translates the column prunes and filters Spark pushes down
+  * (logical names) back to PHYSICAL before handing them to the inner
+  * parquet relation — so column pruning, parquet predicate pushdown and
+  * the log FileIndex's stats skipping all still happen, just under the
+  * physical names the files and recorded stats actually carry. Filters
+  * are pushed best-effort for I/O only: `unhandledFilters` keeps its
+  * default (everything unhandled), so Spark re-applies every predicate
+  * above the scan and an untranslatable shape can never change an answer. */
+class MappedTxLogRelation(ctx: SQLContext, phys: HadoopFsRelation,
+    colmap: Seq[(String, String)], physSchema: StructType)
+  extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.{sources => sf}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override def sqlContext: SQLContext = ctx
+
+  private val physField = physSchema.fields.map(f => f.name -> f).toMap
+
+  override val schema: StructType = StructType(colmap.collect {
+    case (l, p) if physField.contains(p) => physField(p).copy(name = l)
+  })
+
+  private def physOf(logical: String): Option[String] =
+    colmap.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[sf.Filter]): RDD[Row] = {
+    val df0 = ctx.sparkSession.baseRelationToDataFrame(phys)
+    val filtered = filters.flatMap(translate).foldLeft(df0)((d, c) => d.where(c))
+    // rows are consumed positionally under the requiredColumns order; the
+    // select renames nothing because only positions and types matter here
+    filtered.select(requiredColumns.map(lc =>
+      col(physOf(lc).getOrElse(lc))).toSeq: _*).rdd
+  }
+
+  /** Logical [[sf.Filter]] → physical [[org.apache.spark.sql.Column]];
+    * None when the shape (or a referenced name) has no translation. */
+  private def translate(f: sf.Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sf.EqualTo(a, v)            => physOf(a).map(p => col(p) === lit(v))
+    case sf.EqualNullSafe(a, v)      => physOf(a).map(p => col(p) <=> lit(v))
+    case sf.GreaterThan(a, v)        => physOf(a).map(p => col(p) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => physOf(a).map(p => col(p) >= lit(v))
+    case sf.LessThan(a, v)           => physOf(a).map(p => col(p) < lit(v))
+    case sf.LessThanOrEqual(a, v)    => physOf(a).map(p => col(p) <= lit(v))
+    case sf.In(a, vs)                => physOf(a).map(p => col(p).isin(vs.toIndexedSeq: _*))
+    case sf.IsNull(a)                => physOf(a).map(p => col(p).isNull)
+    case sf.IsNotNull(a)             => physOf(a).map(p => col(p).isNotNull)
+    case sf.StringStartsWith(a, v)   => physOf(a).map(p => col(p).startsWith(v))
+    case sf.StringEndsWith(a, v)     => physOf(a).map(p => col(p).endsWith(v))
+    case sf.StringContains(a, v)     => physOf(a).map(p => col(p).contains(v))
+    case sf.And(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield a && b
+    case sf.Or(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield a || b
+    case sf.Not(inner)               => translate(inner).map(!_)
+    case _                           => None
+  }
 }
 
 /** [[FileIndex]] backed by the transaction log instead of a filesystem

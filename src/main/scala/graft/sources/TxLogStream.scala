@@ -194,12 +194,20 @@ object TxLogStreamSource {
     * cannot self-describe — pass `.schema(...)` explicitly there. */
   private[sources] def inferSchema(sqlContext: SQLContext, table: String): StructType = {
     val snap = TxLog.snapshot(table)
-    snap.schemaJson match {
+    val phys = snap.schemaJson match {
       case Some(j) => TxLog.schemaOf(j)
       case None =>
         require(snap.files.nonEmpty,
           s"cannot infer schema of empty txlog table $table — pass .schema(...) explicitly")
         sqlContext.sparkSession.read.parquet(snap.files: _*).schema
+    }
+    // COLUMN MAPPING: the stream's public schema is the LOGICAL view
+    if (snap.colmap.isEmpty) phys
+    else {
+      val byPhys = phys.fields.map(f => f.name -> f).toMap
+      StructType(snap.colmap.collect {
+        case (l, p) if byPhys.contains(p) => byPhys(p).copy(name = l)
+      })
     }
   }
 }
@@ -322,8 +330,19 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       org.apache.spark.sql.graftshim.StreamingFrames.emptyStreaming(
         sqlContext.sparkSession, schema)
     else org.apache.spark.sql.graftshim.StreamingFrames.asStreaming(
-      sqlContext.sparkSession.read.schema(schema).parquet(files: _*))
+      TxLog.toLogicalDf(
+        sqlContext.sparkSession.read.schema(readSchema).parquet(files: _*),
+        colmapAtStart))
   }
+
+  // COLUMN MAPPING, pinned at stream start (like the schema discipline:
+  // a mid-stream ALTER does not retype a running stream): files carry
+  // PHYSICAL names, so the scan reads the physical log schema and the
+  // projection presents the logical view the source declared.
+  private val colmapAtStart: Seq[(String, String)] = TxLog.columnMapping(table)
+  private val readSchema: StructType =
+    if (colmapAtStart.isEmpty) schema
+    else TxLog.snapshot(table).schemaJson.map(TxLog.schemaOf).getOrElse(schema)
 
   private def changesIn(lo: Long, hi: Long): Seq[String] =
     TxLog.changes(table, lo, hi).flatMap { c =>
@@ -334,7 +353,8 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       // metadata-only OPS carry no rows by definition — skipping is exact.
       // Op-based, NOT added.isEmpty: a remove-only rewrite (a truncating
       // restore) changes rows and must still fail loudly below
-      else if (c.op == "addConstraint" || c.op == "dropConstraint") Seq.empty
+      else if (c.op == "addConstraint" || c.op == "dropConstraint" ||
+        c.op == "alter") Seq.empty
       else if (ignoreChanges) c.added
       else throw new IllegalStateException(
         s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +

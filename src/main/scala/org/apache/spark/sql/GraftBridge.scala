@@ -10,6 +10,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → Catalyst conversion: `expression` can return a lazy
+    * `ColumnNodeExpression` LEAF (the whole ColumnNode tree opaque inside
+    * it, deferred to analysis) — useless for tree surgery. This runs the
+    * classic converter NOW, yielding real `UnresolvedAttribute` /
+    * `UnresolvedFunction` catalyst nodes a `transformUp` can rewrite. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a native expression under a SQL function name in this session,
     * making it callable from spark.sql text. */
   def registerExpression(
