@@ -1700,6 +1700,142 @@ object RelationalQueries {
     },
     Some(tpchQ17Text))
 
+  /** The partsupp DERIVATION shared by Q2/Q9/Q11/Q20 — this corpus ships
+    * no partsupp table, so the four queries that need one derive it
+    * IDENTICALLY on both engines from the fact table: the distinct
+    * (l_partkey, l_suppkey) pairs (preserving TPC-H's referential
+    * invariant that every lineitem hits a partsupp row) with availqty and
+    * supplycost as deterministic integer hashes of the key pair.
+    * supplycost stays in INTEGER CENTS end to end — sums and minima are
+    * then exact int64 arithmetic on both engines (no double association
+    * order, no decimal-division dialect differences); queries divide by
+    * 100 only at the final projection, a single identical IEEE op. */
+  private val partsuppCte =
+    """WITH partsupp AS (
+         SELECT ps_partkey, ps_suppkey,
+                (ps_partkey * 31 + ps_suppkey * 17) % 9000 + 100 AS ps_availqty,
+                (ps_partkey * 7 + ps_suppkey * 13) % 90000 + 10000 AS ps_supplycost_cents
+         FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+               FROM lineitem))"""
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted: p_mfgr/s_address/s_phone/
+    * s_comment are absent from this schema; the region filter, the
+    * correlated MIN(ps_supplycost) subquery — the classic scalar-subquery
+    * decorrelation shape — and the top-100 ordering survive intact. */
+  private val tpchQ2Text =
+    partsuppCte +
+      """
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+              CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+       FROM part, partsupp, supplier, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size = 15 AND p_type LIKE '%OMO'
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost_cents = (
+           SELECT min(ps2.ps_supplycost_cents)
+           FROM partsupp ps2, supplier s2, nation n2, region r2
+           WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+             AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+             AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100"""
+
+  private val sqlTpchQ2 = Q(
+    (s, d) => {
+      Seq("lineitem", "part", "supplier", "nation", "region")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ2Text)
+    },
+    Some(tpchQ2Text))
+
+  /** TPC-H Q9 (product-type profit by nation and year): revenue uses the
+    * corpus's exact-decimal idiom (scale-4 products stay under 2^53 at the
+    * gated scales), supply cost is an exact int64 cents sum — the two
+    * combine in DOUBLE only at the final projection. */
+  private val tpchQ9Text =
+    partsuppCte +
+      """
+       SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+                - CAST(SUM(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit,
+              count(*) AS n_rows
+       FROM part, supplier, lineitem, partsupp, orders, nation
+       WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+         AND ps_partkey = l_partkey AND p_partkey = l_partkey
+         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         AND p_name LIKE '%red%'
+       GROUP BY n_name, year(o_orderdate)
+       ORDER BY nation, o_year DESC"""
+
+  private val sqlTpchQ9 = Q(
+    (s, d) => {
+      Seq("lineitem", "part", "supplier", "nation", "orders")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ9Text)
+    },
+    Some(tpchQ9Text))
+
+  /** TPC-H Q11 (important stock identification): pure int64 arithmetic —
+    * value = supplycost_cents × availqty summed exactly on both engines;
+    * the HAVING threshold compares against the same exact total scaled by
+    * an identical double multiply. DuckDB's BIGINT SUM widens to HUGEINT,
+    * so both the projection and the threshold re-cast to BIGINT. */
+  private val tpchQ11Text =
+    partsuppCte +
+      """
+       SELECT ps_partkey,
+              CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+       FROM partsupp, supplier, nation
+       WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_3'
+       GROUP BY ps_partkey
+       HAVING CAST(SUM(ps_supplycost_cents * ps_availqty) AS DOUBLE) > (
+         SELECT CAST(SUM(ps_supplycost_cents * ps_availqty) AS DOUBLE) * 0.0001
+         FROM partsupp, supplier, nation
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_3')
+       ORDER BY value_cents DESC, ps_partkey"""
+
+  private val sqlTpchQ11 = Q(
+    (s, d) => {
+      Seq("lineitem", "supplier", "nation")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ11Text)
+    },
+    Some(tpchQ11Text))
+
+  /** TPC-H Q20 (potential part promotion): the nested IN + correlated
+    * half-of-shipped-quantity subquery chain. l_quantity is integral in
+    * this corpus (verified), so the inner sum is exact int64; the 0.5×
+    * threshold is one identical double multiply per group. */
+  private val tpchQ20Text =
+    partsuppCte +
+      """
+       SELECT s_name, s_suppkey
+       FROM supplier, nation
+       WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND CAST(ps_availqty AS DOUBLE) > (
+               SELECT 0.5 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               FROM lineitem
+               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                 AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                 AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'))
+         AND s_nationkey = n_nationkey
+         AND n_name IN ('NATION_5', 'NATION_8', 'NATION_12', 'NATION_15',
+                        'NATION_18', 'NATION_20', 'NATION_21')
+       ORDER BY s_name, s_suppkey"""
+
+  private val sqlTpchQ20 = Q(
+    (s, d) => {
+      Seq("lineitem", "part", "supplier", "nation")
+        .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ20Text)
+    },
+    Some(tpchQ20Text))
+
   /** TPC-H Q1 pricing-summary text shared verbatim by spark.sql and DuckDB.
     * Every aggregate is an exact decimal sum cast to double at the end; the
     * charge product is staged through explicit intermediate casts —
@@ -1897,6 +2033,10 @@ object RelationalQueries {
     "sql_tpch_q13" -> sqlTpchQ13,
     "sql_tpch_q15" -> sqlTpchQ15,
     "sql_tpch_q17" -> sqlTpchQ17,
+    "sql_tpch_q2" -> sqlTpchQ2,
+    "sql_tpch_q9" -> sqlTpchQ9,
+    "sql_tpch_q11" -> sqlTpchQ11,
+    "sql_tpch_q20" -> sqlTpchQ20,
     "sql_tpch_q16" -> sqlTpchQ16,
     "sql_tpch_q19" -> sqlTpchQ19,
     "sql_tpch_q21" -> sqlTpchQ21,

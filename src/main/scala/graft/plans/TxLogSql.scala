@@ -703,7 +703,10 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
     AttributeReference("checkpoint_version", LongType, nullable = true)(),
     AttributeReference("schema_ddl", StringType, nullable = true)(),
     AttributeReference("constraints", StringType, nullable = true)(),
-    AttributeReference("num_rows", LongType, nullable = true)())
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("partition_by", StringType, nullable = true)(),
+    AttributeReference("column_mapping", StringType, nullable = true)(),
+    AttributeReference("features", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val d = TxLog.describeDetail(table)
@@ -711,6 +714,19 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
       try java.nio.file.Files.size(java.nio.file.Paths.get(p))
       catch { case _: java.io.IOException => 0L }
     }.sum
+    // under column mapping the user-facing schema is the LOGICAL view —
+    // physical names are storage internals, shown in column_mapping
+    val schemaDdl = d.schemaJson.map { j =>
+      val phys = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]
+      if (d.columnMapping.isEmpty) phys.toDDL
+      else {
+        val byPhys = phys.fields.map(f => f.name -> f).toMap
+        StructType(d.columnMapping.collect {
+          case (l, p) if byPhys.contains(p) => byPhys(p).copy(name = l)
+        }).toDDL
+      }
+    }
     Seq(Row(
       table,
       d.version,
@@ -718,13 +734,18 @@ case class DescribeDetailTxLogCommand(table: String) extends LeafRunnableCommand
       bytes,
       d.lastCommitAtMs.map(new java.sql.Timestamp(_)).orNull,
       d.checkpointVersion.map(Long.box).orNull,
-      d.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType].toDDL).orNull,
+      schemaDdl.orNull,
       if (d.constraints.isEmpty) null
       else d.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "),
       // metadata-only COUNT(*): present iff every live file recorded a count
-      TxLog.rowCount(table).map(Long.box).orNull))
+      TxLog.rowCount(table).map(Long.box).orNull,
+      if (d.partitionBy.isEmpty) null else d.partitionBy.mkString(", "),
+      if (d.columnMapping.isEmpty) null
+      else d.columnMapping.map { case (l, p) => s"$l->$p" }.mkString(", "),
+      d.protocol.map(p =>
+        s"read: ${p.readerFeatures.toSeq.sorted.mkString(",")}; " +
+          s"write: ${p.writerFeatures.toSeq.sorted.mkString(",")}").orNull))
   }
 }
 

@@ -709,8 +709,14 @@ object TxLog {
         sys.error(s"append: partition spec of $table changed concurrently " +
           s"(staged for (${effParts.mkString(", ")}), now (${r.parts.mkString(", ")}))")
       // staged physical names were derived from the mapping at entry — a
-      // concurrent ALTER makes them stale; fail rather than mis-map
-      if (r.colmap != pre.colmap)
+      // concurrent rename/drop of a staged column makes them stale (fail
+      // rather than mis-map), but a PURE EXTENSION (concurrent ADD COLUMN
+      // of something else) leaves our staged names valid — proceed, unless
+      // we are extending the mapping ourselves (two extensions of the same
+      // logical name would orphan one physical column; the colmapLine we
+      // would commit was computed against the stale base)
+      if (r.colmap != pre.colmap &&
+          !(mapActs.isEmpty && pre.colmap.forall(r.colmap.contains)))
         sys.error(s"append: column mapping of $table changed concurrently")
       val v = r.tip + 1
       val partActs =
@@ -949,6 +955,12 @@ object TxLog {
               }
             (hit ++ opaque).toSeq
         }
+      // NEW columns in the updates need the mergeSchema gate (checked by
+      // schemaActions); a table column MISSING from the updates is fine
+      // always — a merge REPLACES matched rows wholesale, so unmentioned
+      // columns null-fill, exactly like an append missing them. Coupling
+      // that null-fill to mergeSchema would make every merge against an
+      // evolved table fail until every writer learned the new column.
       val schemaActs = schemaActions(replay, updates, mergeSchema, "merge")
       // rewritten files read under the LOG schema (touched files may
       // predate an evolution and null-fill the later columns), deletion
@@ -959,7 +971,7 @@ object TxLog {
           replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
           touched, replay.live)
       val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates, allowMissingColumns = mergeSchema)
+        .unionByName(updates, allowMissingColumns = true)
       // change-data sidecars (opt-in): a matched key emits its old row as
       // 'update_preimage' and its update row as 'update_postimage'; an
       // unmatched update row (null keys included — they match nothing) is
@@ -977,8 +989,8 @@ object TxLog {
           val ins = updates.join(presentKeys, Seq(keyCol), "left_anti")
             .withColumn("_change_type", lit("insert"))
           stageCdcFiles(
-            pre.unionByName(post, allowMissingColumns = mergeSchema)
-              .unionByName(ins, allowMissingColumns = mergeSchema), table)
+            pre.unionByName(post, allowMissingColumns = true)
+              .unionByName(ins, allowMissingColumns = true), table)
         }
       val actions = stageFiles(merged, table, statsCol = Some(keyCol),
         partitionBy = replay.parts) ++ cdcActs ++
@@ -2600,13 +2612,16 @@ object TxLog {
     * command previously paid four separate log replays/listings). */
   final case class TableDetail(version: Long, files: Seq[String],
       schemaJson: Option[String], constraints: Map[String, String],
-      lastCommitAtMs: Option[Long], checkpointVersion: Option[Long])
+      lastCommitAtMs: Option[Long], checkpointVersion: Option[Long],
+      partitionBy: Seq[String] = Seq.empty,
+      columnMapping: Seq[(String, String)] = Seq.empty,
+      protocol: Option[Protocol] = None)
 
   def describeDetail(table: String): TableDetail = {
     val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
     TableDetail(r.tip, r.live.keysIterator.toSeq, r.schema, r.cons.toMap,
       if (r.tip >= 1) Some(commitTs(table, r.tip)).filter(_ != Long.MinValue) else None,
-      latestCheckpointVersion(table))
+      latestCheckpointVersion(table), r.parts, r.colmap, r.protocol)
   }
 
   /** Enforce `cons` against just-staged add-actions: ONE aggregate scan of
@@ -2913,7 +2928,9 @@ object TxLog {
     while (true) {
       val r = replayAdds(table, Long.MaxValue, useCheckpoint = true)
       if (r.txns.get(appId).exists(_ >= txnVersion)) return None
-      if (r.colmap != pre.colmap)
+      // same staleness rule as append (pure extensions are harmless; this
+      // path never extends the mapping itself)
+      if (r.colmap != pre.colmap && !pre.colmap.forall(r.colmap.contains))
         sys.error(s"append: column mapping of $table changed concurrently")
       val cmap = r.cons.toMap
       if (!enforcedFor.contains(cmap)) {

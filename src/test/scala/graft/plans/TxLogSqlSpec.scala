@@ -426,6 +426,16 @@ class TxLogSqlSpec extends SparkSpec {
       val r2 = s.sql(s"DESCRIBE DETAIL TXLOG '$t'").collect().head
       assert(r2.getString(7) == "k_pos CHECK (k > 0)", s"constraints: ${r2.getString(7)}")
       assert(r2.getLong(8) == 3L, "num_rows from log metadata")
+      assert(r2.isNullAt(9) && r2.isNullAt(10) && r2.isNullAt(11),
+        "unpartitioned, unmapped, no protocol yet")
+      // a rename turns on mapping + the protocol gate; DESCRIBE shows the
+      // LOGICAL schema and surfaces both
+      TxLog.renameColumn(t, "v", "val")
+      val r3 = s.sql(s"DESCRIBE DETAIL TXLOG '$t'").collect().head
+      assert(r3.getString(6).contains("val STRING") &&
+        !r3.getString(6).contains("v STRING"), s"logical ddl: ${r3.getString(6)}")
+      assert(r3.getString(10) == "k->k, val->v", s"mapping: ${r3.getString(10)}")
+      assert(r3.getString(11).contains("columnMapping"), s"features: ${r3.getString(11)}")
       // statement-shape parse checks
       assert(TxLogSql.parse("describe detail txlog '/t';") ==
         Some(DescribeDetailTxLogCommand("/t")))

@@ -57,6 +57,14 @@ class TxChaosSpec extends SparkSpec {
           // staged-bytes enforcement scan, and merges racing the constraint
           // commit must refuse disjoint admission and re-derive
           if (i == 1) committed.add(TxLog.addConstraint(spark, t, "nonneg", "k >= 0"))
+          // thread 2 races an ALTER ADD COLUMN into the storm (r13): this
+          // auto-enables COLUMN MAPPING mid-flight, so every verb that
+          // follows — on every thread — runs through the translation
+          // boundary under full contention; a concurrent pure-extension
+          // must NOT fail racing appends (relaxed staleness rule), and the
+          // reader's snapshots must stay consistent across the mapping flip
+          if (i == 2) committed.add(TxLog.addColumn(t, "note",
+            org.apache.spark.sql.types.StringType))
           committed.add(TxLog.append(
             Seq((b + 3) -> s"t${i}a").toDF("k", "v"), t, statsCol = Some("k")))
           committed.add(TxLog.merge(
@@ -100,6 +108,9 @@ class TxChaosSpec extends SparkSpec {
           if (i == 0) TxLog.optimize(spark, t, targetBytes = 1L << 30,
             statsCol = Some("k")) match { case 0L => (); case v => committed.add(v) }
           if (i == 1) committed.add(TxLog.dropConstraint(t, "nonneg"))
+          // ...and DROPS it again at its end: a metadata-only commit racing
+          // the final merges/optimizes; the final logical schema is (k, v)
+          if (i == 2) committed.add(TxLog.dropColumn(spark, t, "note"))
         } catch { case e: Throwable => errors.add(e) }
       })
     }

@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Emit the canonical per-query baseline table from quiet bench artifacts.
 
-Usage: python3 tools/mk_baseline_table.py
-Reads bench/BENCH_r10_final130_* and prints the markdown table BASELINE.md
-embeds: per-query median across the sf0.1 runs, median across sf1 runs, the
-sf10-comparable value, and the scaling ratios. Queries excluded at sf10
-(quadratic-by-contract skip list) show an em-dash.
+Usage: python3 tools/mk_baseline_table.py [prefix]
+Reads bench/BENCH_<prefix>_* (default r13_final169; the r10_final130 set
+regenerates the previous canonical table) and prints the markdown table
+BASELINE.md embeds: per-query median across the sf0.1 runs, median across
+sf1 runs, the sf10-comparable value, and the scaling ratios. Queries
+excluded at sf10 (quadratic-by-contract skip list) show an em-dash.
 """
 import json, statistics, sys
 
@@ -13,9 +14,10 @@ def load(path):
     with open(path) as f:
         return json.load(f)
 
-sf01 = [load(f"bench/BENCH_r10_final130_sf0.1_run{i}.json") for i in (1, 2, 3)]
-sf1 = [load(f"bench/BENCH_r10_final130_sf1_run{i}.json") for i in (1, 2)]
-sf10 = load("bench/BENCH_r10_final130_sf10_comparable_run1.json")
+prefix = sys.argv[1] if len(sys.argv) > 1 else "r13_final169"
+sf01 = [load(f"bench/BENCH_{prefix}_sf0.1_run{i}.json") for i in (1, 2, 3)]
+sf1 = [load(f"bench/BENCH_{prefix}_sf1_run{i}.json") for i in (1, 2)]
+sf10 = load(f"bench/BENCH_{prefix}_sf10_comparable_run1.json")
 
 for a in sf01 + sf1 + [sf10]:
     assert not a["failed"], a["failed"]

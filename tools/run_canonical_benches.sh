@@ -1,12 +1,36 @@
 #!/bin/bash
-# Canonical r13 baseline promotion: 3x sf0.1 + 1x sf1, sequential, quiet box.
-cd /root/repo
+# Canonical r13 baseline promotion at the final-169 catalog, quiet box:
+# sf0.1 x3, sf1 x2 (GenScale 10x), sf10-comparable x1 (GenScale 100x,
+# the r10 five-op quadratic-by-contract skip list). Runs from a PINNED
+# git worktree (.benchtree) so working-tree edits can never change the
+# measured binary mid-program. Artifacts land in the main repo's bench/.
+set -u
+cd /root/repo/.benchtree || { touch /tmp/BENCH_FAILED; exit 1; }
+sbt -batch compile > /tmp/bench_compile.log 2>&1 || { touch /tmp/BENCH_FAILED; exit 1; }
+
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final168_sf0.1_run$i.json \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_sf01_run$i.log 2>&1
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf0.1_run$i.json \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf01_run$i.log 2>&1
 done
-SPARK_GRAFT_SF_DIR=/root/testdata/sf1 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final168_sf1_run1.json \
-sbt -batch "runMain graft.Bench" > /tmp/bench_sf1_run1.log 2>&1
+
+if [ ! -d target/sf1 ]; then
+  sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 target/sf1 10" \
+    > /tmp/genscale_sf1.log 2>&1
+fi
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf1_run$i.json \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf1_run$i.log 2>&1
+done
+
+if [ ! -d target/sf10 ]; then
+  sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 target/sf10 100" \
+    > /tmp/genscale_sf10.log 2>&1
+fi
+SPARK_GRAFT_SKIP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells \
+SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf10_comparable_run1.json \
+sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf10_run1.log 2>&1
+
 touch /tmp/ALL_BENCHES_DONE
