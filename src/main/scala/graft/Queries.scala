@@ -899,6 +899,40 @@ object RelationalQueries {
             WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 7
             ORDER BY o_orderkey"""))
 
+  // GENERATED COLUMNS at the gate (W31): a rule added mid-history — the
+  // pre-rule slice keeps legitimate nulls, the post-rule append computes
+  // the column without the writer materializing it, and an UPDATE of the
+  // rule's INPUT recomputes the derived value on exactly the hit rows.
+  // The oracle reconstructs all three regimes relationally.
+  private val acidGeneratedColumn = Q(
+    (s, d) => {
+      val tbl = scratchDir("acid_gencol", d)
+      deleteRecursively(tbl)
+      val base = orders(s, d).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sources.TxLog.append(base.filter(col("o_orderkey") % 8 === 0),
+        tbl, statsCol = Some("o_orderkey"))
+      graft.sources.TxLog.addGeneratedColumn(s, tbl, "o_year",
+        org.apache.spark.sql.types.IntegerType, "year(o_orderdate)")
+      graft.sources.TxLog.append(base.filter(col("o_orderkey") % 8 === 4), tbl)
+      graft.sources.TxLog.update(s, tbl, col("o_orderkey") % 16 === 4,
+        Map("o_orderdate" -> (col("o_orderdate") + expr("INTERVAL 24 MONTH"))))
+      graft.sources.TxLog.snapshot(tbl).read(s).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderdate,
+                   CAST(NULL AS INT) AS o_year
+            FROM orders WHERE o_orderkey % 8 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 16 = 4
+                        THEN o_orderdate + INTERVAL 24 MONTH
+                        ELSE o_orderdate END,
+                   CAST(year(CASE WHEN o_orderkey % 16 = 4
+                                  THEN o_orderdate + INTERVAL 24 MONTH
+                                  ELSE o_orderdate END) AS INT)
+            FROM orders WHERE o_orderkey % 8 = 4
+            ORDER BY o_orderkey"""))
+
   // COLUMN MAPPING at the gate (W29): RENAME and DROP COLUMN as pure
   // metadata commits over immutable physical names — the full verb chain
   // (append → rename → add column → update through the new names → drop)
@@ -2018,6 +2052,7 @@ object RelationalQueries {
     "acid_convert" -> acidConvert,
     "acid_clone" -> acidClone,
     "acid_column_mapping" -> acidColumnMapping,
+    "acid_generated_column" -> acidGeneratedColumn,
     "acid_timestamp_travel" -> acidTimestampTravel,
     "acid_clustered_scan" -> acidClusteredScan,
     "layout_zorder" -> layoutZorder,

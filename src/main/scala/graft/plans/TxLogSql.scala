@@ -103,7 +103,7 @@ object TxLogSql {
   private val RenameColumnRe = re(
     s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""")
   private val AddColumnRe = re(
-    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w()\\s,]+?)\\s*;?\\s*""")
+    s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w()\\s,]+?)(?:\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.+)\\))?\\s*;?\\s*""")
   private val DropColumnRe = re(
     s"""\\s*ALTER\\s+TXLOG\\s+$P\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""")
   private val SetMappingRe = re(
@@ -439,7 +439,8 @@ object TxLogSql {
       return Some(RenameColumnTxLogCommand(unq(rn.group(1)), rn.group(2), rn.group(3)))
     val acn = AddColumnRe.matcher(sqlText)
     if (acn.matches())
-      return Some(AddColumnTxLogCommand(unq(acn.group(1)), acn.group(2), acn.group(3)))
+      return Some(AddColumnTxLogCommand(unq(acn.group(1)), acn.group(2),
+        acn.group(3), Option(acn.group(4))))
     val dcn = DropColumnRe.matcher(sqlText)
     if (dcn.matches())
       return Some(DropColumnTxLogCommand(unq(dcn.group(1)), dcn.group(2)))
@@ -486,15 +487,19 @@ case class RenameColumnTxLogCommand(table: String, oldName: String,
     Seq(Row(TxLog.renameColumn(table, oldName, newName)))
 }
 
-case class AddColumnTxLogCommand(table: String, name: String, typeDdl: String)
-  extends LeafRunnableCommand {
+case class AddColumnTxLogCommand(table: String, name: String, typeDdl: String,
+    generatedAs: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.addColumn(table, name,
-      spark.sessionState.sqlParser.parseDataType(typeDdl))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = spark.sessionState.sqlParser.parseDataType(typeDdl)
+    Seq(Row(generatedAs match {
+      case Some(e) => TxLog.addGeneratedColumn(spark, table, name, dt, e)
+      case None    => TxLog.addColumn(table, name, dt)
+    }))
+  }
 }
 
 case class DropColumnTxLogCommand(table: String, name: String)
@@ -853,15 +858,42 @@ case class InsertTxLogCommand(table: String, overwrite: Boolean,
     // still refuses real type conflicts loudly. Arity drift is refused
     // HERE (a positional write with the wrong column count is never
     // meaningful). A brand-new/legacy table adopts the query's schema.
-    val df = TxLog.snapshot(table).schemaJson match {
+    val snap = TxLog.snapshot(table)
+    val df = snap.schemaJson match {
       case Some(j) =>
-        val ts = org.apache.spark.sql.types.DataType.fromJson(j)
+        val phys = org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType]
-        require(df0.schema.length == ts.length,
-          s"INSERT provides ${df0.schema.length} column(s) but txlog table " +
-            s"$table has ${ts.length} (${ts.fieldNames.mkString(", ")})")
-        val renamed = df0.toDF(ts.fieldNames: _*)
-        renamed.select(ts.fields.map { f =>
+        // positional targets are the LOGICAL view: under column mapping the
+        // verbs expect logical names (renaming to physical here would
+        // double-translate), and dropped columns are not insert targets
+        val logical =
+          if (snap.colmap.isEmpty) phys.fields.toSeq
+          else {
+            val byPhys = phys.fields.map(f => f.name -> f).toMap
+            snap.colmap.collect { case (l, p) if byPhys.contains(p) =>
+              byPhys(p).copy(name = l)
+            }
+          }
+        // GENERATED columns may be omitted wholesale — the write computes
+        // them; physical rule names map back to logical for the exclusion
+        val gens = TxLog.generatedColumns(table).keySet
+        val genLogical = logical.filter { f =>
+          val p = snap.colmap.collectFirst { case (l, pp) if l == f.name => pp }
+            .getOrElse(f.name)
+          gens.contains(p)
+        }.map(_.name).toSet
+        val targets =
+          if (df0.schema.length == logical.length) logical
+          else if (df0.schema.length == logical.length - genLogical.size)
+            logical.filterNot(f => genLogical.contains(f.name))
+          else throw new IllegalArgumentException(
+            s"INSERT provides ${df0.schema.length} column(s) but txlog table " +
+              s"$table has ${logical.length} " +
+              s"(${logical.map(_.name).mkString(", ")})" +
+              (if (genLogical.isEmpty) ""
+               else s" of which ${genLogical.mkString(", ")} are generated and may be omitted"))
+        val renamed = df0.toDF(targets.map(_.name): _*)
+        renamed.select(targets.map { f =>
           val got = renamed.schema(f.name).dataType
           val c = org.apache.spark.sql.functions.col(f.name)
           if (got != f.dataType &&

@@ -249,6 +249,11 @@ object TxLog {
   def columnMapping(table: String, asOf: Long = Long.MaxValue): Seq[(String, String)] =
     replayAdds(table, math.min(latestVersion(table), asOf), useCheckpoint = true).colmap
 
+  /** The table's generated-column rules (PHYSICAL column name → physical
+    * SQL expr). See [[addGeneratedColumn]]. */
+  def generatedColumns(table: String): Map[String, String] =
+    replayAdds(table, Long.MaxValue, useCheckpoint = true).gens.toMap
+
   /** DV references of live add-lines, keyed by data-file path. */
   private[sources] def dvRefs(
       live: scala.collection.Map[String, String]): Map[String, Dv.Ref] =
@@ -283,7 +288,9 @@ object TxLog {
         scala.collection.mutable.LinkedHashMap.empty,
       var parts: Seq[String] = Seq.empty,
       var colmap: Seq[(String, String)] = Seq.empty,
-      var protocol: Option[Protocol] = None)
+      var protocol: Option[Protocol] = None,
+      gens: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty)
 
   /** Core replay of commits ≤ `asOf` (checkpoint + suffix when allowed). */
   private[sources] def replayAdds(table: String, asOf: Long,
@@ -296,6 +303,7 @@ object TxLog {
     var parts: Seq[String] = Seq.empty
     var colmap: Seq[(String, String)] = Seq.empty
     var protocol: Option[Protocol] = None
+    val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def take(line: String): Unit = parseAction(line) match {
       case Some(("add", path))    => live(path) = line
       case Some(("remove", path)) => live.remove(path)
@@ -312,8 +320,14 @@ object TxLog {
                 case Some(m) => colmap = m // latest wins, like schema
                 case None => parseProtocol(line) match {
                   case Some(p) => protocol = Some(p) // latest wins
-                  case None =>
-                    parseDropConstraint(line).foreach(name => cons.remove(name))
+                  case None => parseGencol(line) match {
+                    case Some((n, e)) => gens(n) = e
+                    case None => parseDropGencol(line) match {
+                      case Some(n) => gens.remove(n)
+                      case None =>
+                        parseDropConstraint(line).foreach(name => cons.remove(name))
+                    }
+                  }
                 }
               }
             }
@@ -349,7 +363,7 @@ object TxLog {
           s"${unknown.mkString(", ")} — refusing to read (supported: " +
           s"${SupportedReaderFeatures.mkString(", ")})")
     }
-    Replay(live, txns, schema, tip, cons, parts, colmap, protocol)
+    Replay(live, txns, schema, tip, cons, parts, colmap, protocol, gens)
   }
 
   /** Materialize the live set at `version` (default: tip) into a checkpoint
@@ -373,6 +387,7 @@ object TxLog {
       (if (r.parts.isEmpty) Seq.empty else Seq(partsLine(r.parts))) ++
       (if (r.colmap.isEmpty) Seq.empty else Seq(colmapLine(r.colmap))) ++
       r.protocol.map(protocolLine).toSeq ++
+      r.gens.map { case (n, e) => gencolLine(n, e) }.toSeq ++
       r.txns.map { case (app, ver) => txnLine(app, ver) }.toSeq ++
       r.cons.map { case (name, expr) => constraintLine(name, expr) }.toSeq
     val tmp = Files.createTempFile(dir, s".ckpt-$tip-", ".json")
@@ -688,7 +703,13 @@ object TxLog {
             s"but the write asked for (${partitionByP.mkString(", ")})")
         pre.parts
       }
-    val actions = stageFiles(dfP, table, statsColP, effParts)
+    // GENERATED columns the write omits are computed HERE — before staging
+    // and before the partition layout, so "partition by a generated date"
+    // works without the writer ever materializing the column; columns the
+    // write CARRIES are verified against their rule first
+    verifyProvidedGenerated(dfP, pre.gens, "append")
+    val dfG = computeGenerated(dfP, pre.gens)
+    val actions = stageFiles(dfG, table, statsColP, effParts)
     var attempt = 0
     // CHECK constraints are enforced against the fresh replay's set; the
     // staged-file scan re-runs on retry only if the set changed concurrently
@@ -700,6 +721,10 @@ object TxLog {
         enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
         enforcedFor = Some(cmap)
       }
+      // staged bytes computed/verified under the entry rules — a racing
+      // rule change invalidates them
+      if (r.gens != pre.gens)
+        sys.error(s"append: generated-column rules of $table changed concurrently")
       // a concurrent overwrite that changed the spec to a DIFFERENT
       // nonempty partitioning makes the staged layout wrong — fail rather
       // than commit mixed layouts. (Columns stay in the data, so staged
@@ -753,20 +778,31 @@ object TxLog {
     val (dfP, mapNow) =
       if (pre.colmap.isEmpty) (df, pre.colmap)
       else {
-        val m = df.columns.foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
+        val m0 = df.columns.foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
           val phys = pre.colmap.collectFirst {
             case (l, p) if resolver(l, c) => p
           }.getOrElse(freshPhysName(c, pre.colmap ++ acc, pre.schema))
           acc :+ (c -> phys)
+        }
+        // GENERATED columns the writer omitted are about to be computed —
+        // their mapping entries must survive the adoption or the computed
+        // column would fall out of the logical view
+        val m = m0 ++ pre.colmap.filter { case (_, p) =>
+          pre.gens.contains(p) && !m0.exists(_._2 == p)
         }
         (toPhysicalDf(df, m, "overwrite"), m)
       }
     val partitionByP = partitionBy.map(c =>
       if (mapNow.isEmpty) c else physFor(mapNow, c, resolver, "overwrite"))
     val statsColP = mapStatsCol(statsCol, mapNow, resolver, "overwrite")
+    // GENERATED columns the writer omits are computed (an overwrite adopts
+    // the writer's schema, but a recorded rule keeps its column alive);
+    // carried ones are verified against their rule
+    verifyProvidedGenerated(dfP, pre.gens, "overwrite")
+    val dfG = computeGenerated(dfP, pre.gens)
     // an overwrite replaces every row, so it ADOPTS the writer's partition
     // spec outright (like its schema) — including dropping to unpartitioned
-    val adds = stageFiles(dfP, table, statsColP, partitionByP)
+    val adds = stageFiles(dfG, table, statsColP, partitionByP)
     var attempt = 0
     var enforcedFor: Option[Map[String, String]] = None
     while (true) {
@@ -781,17 +817,19 @@ object TxLog {
         // enforceConstraints (drop the constraint before dropping its
         // column), unlike an append, whose missing columns still exist in
         // the table schema and null-fill to a pass
-        enforceConstraints(df.sparkSession, adds, Some(dfP.schema.json), cmap, "overwrite")
+        enforceConstraints(df.sparkSession, adds, Some(dfG.schema.json), cmap, "overwrite")
         enforcedFor = Some(cmap)
       }
+      if (r0.gens != pre.gens)
+        sys.error(s"overwrite: generated-column rules of $table changed concurrently")
       val snap = Snapshot(r0.tip, r0.live.keysIterator.toSeq, r0.schema)
       val removes = snap.files.map(p => s"""{"remove":{"path":${quote(p)}}}""")
       // an overwrite replaces every row, so it ADOPTS the writer's schema
       // outright (Delta's overwriteSchema shape) — no null-filling risk
       val schemaActs =
-        if (snap.schemaJson.contains(dfP.schema.json) ||
+        if (snap.schemaJson.contains(dfG.schema.json) ||
             (snap.schemaJson.isEmpty && snap.version > 0)) Seq.empty
-        else Seq(schemaLine(dfP.schema.json))
+        else Seq(schemaLine(dfG.schema.json))
       val partActs =
         if (r0.parts == partitionByP) Seq.empty else Seq(partsLine(partitionByP))
       val mapActs =
@@ -908,6 +946,7 @@ object TxLog {
     val updBounds: Option[(Any, Any)] =
       updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx")).collect()
         .headOption.filterNot(_.isNullAt(0)).map(r => (r.get(0), r.get(1)))
+    var genVerified = false // one verification job per merge, not per retry
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       mergeDerivations.incrementAndGet()
@@ -965,13 +1004,22 @@ object TxLog {
       // rewritten files read under the LOG schema (touched files may
       // predate an evolution and null-fill the later columns), deletion
       // vectors masked — an unmasked rewrite would resurrect deleted rows
+      // GENERATED columns the updates omit are computed; update rows that
+      // CARRY the column are verified against the rule (survivor rows are
+      // restaged as-is — rows written before a rule existed legitimately
+      // hold null and must not be "corrected" by a later merge)
+      if (!genVerified) {
+        verifyProvidedGenerated(updates, replay.gens, "merge")
+        genVerified = true
+      }
+      val updatesG = computeGenerated(updates, replay.gens)
       val current =
-        if (touched.isEmpty) updates.limit(0)
+        if (touched.isEmpty) updatesG.limit(0)
         else readLive(spark,
           replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
           touched, replay.live)
-      val merged = current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
+      val merged = current.join(updatesG.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(updatesG, allowMissingColumns = true)
       // change-data sidecars (opt-in): a matched key emits its old row as
       // 'update_preimage' and its update row as 'update_postimage'; an
       // unmatched update row (null keys included — they match nothing) is
@@ -982,11 +1030,11 @@ object TxLog {
         else {
           val presentKeys = current.select(col(keyCol)).distinct()
           val pre = current
-            .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .join(updatesG.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
             .withColumn("_change_type", lit("update_preimage"))
-          val post = updates.join(presentKeys, Seq(keyCol), "left_semi")
+          val post = updatesG.join(presentKeys, Seq(keyCol), "left_semi")
             .withColumn("_change_type", lit("update_postimage"))
-          val ins = updates.join(presentKeys, Seq(keyCol), "left_anti")
+          val ins = updatesG.join(presentKeys, Seq(keyCol), "left_anti")
             .withColumn("_change_type", lit("insert"))
           stageCdcFiles(
             pre.unionByName(post, allowMissingColumns = true)
@@ -1213,6 +1261,9 @@ object TxLog {
             throw new SchemaMismatch(
               s"mergeFull: SET column $c is not in the table schema " +
                 s"(${tableSchema.fieldNames.mkString(", ")})"))
+          if (replay.gens.contains(f.name)) throw new SchemaMismatch(
+            s"mergeFull: ${f.name} is GENERATED ALWAYS AS (${replay.gens(f.name)}) " +
+              "— it cannot be SET; it recomputes from its inputs")
           val got = joined.limit(0).select(e).schema.head.dataType
           val v =
             if (got == f.dataType) e
@@ -1240,8 +1291,19 @@ object TxLog {
         }.as(f.name)
       }
       val projected = joined.withColumn("__action", action)
-      val outRows = projected.where(col("__action") >= 0)
-        .select(tableSchema.fields.map(outCol).toSeq: _*)
+      // CHANGED post-images (updates, inserts) RECOMPUTE generated columns:
+      // an update that changed a rule's inputs refreshes the derived value,
+      // an insert whose source omitted it gets the computed one. KEEP rows
+      // restage their stored value untouched — rows written before a rule
+      // existed legitimately hold null and must not be backfilled by an
+      // unrelated merge.
+      val outRows = {
+        val base = projected.where(col("__action") >= 0)
+          .select((tableSchema.fields.map(outCol) :+ col("__action")).toSeq: _*)
+        replay.gens.foldLeft(base) { case (d, (c, e)) =>
+          d.withColumn(c, when(col("__action") =!= 0, expr(e)).otherwise(col(c)))
+        }.drop("__action")
+      }
       val adds =
         if (touched.isEmpty && insertCs.isEmpty) Seq.empty
         else stageFiles(outRows, table, statsCol.orElse(Some(keyCol)),
@@ -1253,13 +1315,15 @@ object TxLog {
             col(s"t.${f.name}").as(f.name)).toSeq
           val pre = projected.where(col("__action") >= 1 && col("__action") <= 99)
             .select(tImage: _*).withColumn("_change_type", lit("update_preimage"))
-          val post = projected.where(col("__action") >= 1 && col("__action") <= 99)
-            .select(tableSchema.fields.map(outCol).toSeq: _*)
+          val post = recomputeGenerated(
+            projected.where(col("__action") >= 1 && col("__action") <= 99)
+              .select(tableSchema.fields.map(outCol).toSeq: _*), replay.gens)
             .withColumn("_change_type", lit("update_postimage"))
           val dels = projected.where(col("__action") === DEL)
             .select(tImage: _*).withColumn("_change_type", lit("delete"))
-          val ins = projected.where(col("__action") >= 101)
-            .select(tableSchema.fields.map(outCol).toSeq: _*)
+          val ins = recomputeGenerated(
+            projected.where(col("__action") >= 101)
+              .select(tableSchema.fields.map(outCol).toSeq: _*), replay.gens)
             .withColumn("_change_type", lit("insert"))
           stageCdcFiles(pre.unionByName(post).unionByName(dels).unionByName(ins), table)
         }
@@ -1786,6 +1850,10 @@ object TxLog {
             "column resolution — the winner would be silent")
         case _ => ()
       }
+      setSeq.map(_._1).find(replay.gens.contains).foreach(g =>
+        throw new SchemaMismatch(
+          s"update: $g is GENERATED ALWAYS AS (${replay.gens(g)}) — it cannot " +
+            "be SET; it recomputes from its inputs"))
       // resolved types of the SET expressions over the OLD row — an
       // analysis-only probe (limit 0), no data read, no job
       val probe = tableDf.limit(0).select(setSeq.map(_._2): _*).schema
@@ -1843,10 +1911,11 @@ object TxLog {
           else {
             dvSwapFiles.set(touched.size)
             // postimage rows: assignments apply UNCONDITIONALLY (every row
-            // here is predicate-TRUE), projected back to the table schema
-            val post = hits.select(tableSchema.fields.map { f =>
+            // here is predicate-TRUE), projected back to the table schema;
+            // generated columns recompute over the post image
+            val post = recomputeGenerated(hits.select(tableSchema.fields.map { f =>
               assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
-            }.toSeq: _*)
+            }.toSeq: _*), replay.gens)
             val adds = stageFiles(post, table, statsCol, replay.parts)
             val dvActs = touched.map { p =>
               val merged = parseDv(replay.live(p)) match {
@@ -1876,15 +1945,23 @@ object TxLog {
       if (dvFellBack) {
         // rewrite path (the default, and the DV fallback): ONE Project over
         // the old LIVE rows — TRUE rows take the SET expressions (all
-        // evaluated against the old row), FALSE/NULL rows pass through
-        val updated = readLive(spark, reader, touched, replay.live)
-          .select(tableSchema.fields.map { f =>
+        // evaluated against the old row), FALSE/NULL rows pass through.
+        // GENERATED columns RECOMPUTE on hit rows only, over the POST
+        // image (a second Project stage carrying a __hit flag: the SET may
+        // change both the rule's inputs and the predicate's) — miss rows
+        // keep their stored value, so pre-rule nulls are never backfilled.
+        val stage1 = readLive(spark, reader, touched, replay.live)
+          .withColumn("__hit", coalesce(predicate, lit(false)))
+          .select((tableSchema.fields.map { f =>
             assigns.get(f.name) match {
               case Some(v) =>
-                when(coalesce(predicate, lit(false)), v).otherwise(col(f.name)).as(f.name)
+                when(col("__hit"), v).otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
-          }.toSeq: _*)
+          } :+ col("__hit")).toSeq: _*)
+        val updated = replay.gens.foldLeft(stage1) { case (d, (c, e)) =>
+          d.withColumn(c, when(col("__hit"), expr(e)).otherwise(col(c)))
+        }.drop("__hit")
         val adds = stageFiles(updated, table, statsCol, replay.parts)
         // change-data sidecars (opt-in): old and new images of exactly the
         // rows the predicate hit — the assignments apply UNCONDITIONALLY to
@@ -1895,9 +1972,10 @@ object TxLog {
             val hit = readLive(spark, reader, touched, replay.live)
               .where(coalesce(predicate, lit(false)))
             val pre = hit.withColumn("_change_type", lit("update_preimage"))
-            val post = hit.select(tableSchema.fields.map { f =>
+            val post = recomputeGenerated(hit.select(tableSchema.fields.map { f =>
               assigns.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
-            }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
+            }.toSeq: _*), replay.gens)
+              .withColumn("_change_type", lit("update_postimage"))
             stageCdcFiles(pre.unionByName(post), table)
           }
         val removes = touched.map(p => s"""{"remove":{"path":${quote(p)}}}""")
@@ -2519,7 +2597,23 @@ object TxLog {
           s"dropColumn: CHECK constraint $cn still references $name — " +
             "drop the constraint first")
       }
-      (m.patch(idx, Nil, 1), Seq.empty)
+      // a GENERATED rule on ANOTHER column that reads this one would
+      // become unevaluable — refuse (the rule ON the dropped column itself
+      // simply goes with it)
+      r.gens.foreach { case (gn, exprSql) =>
+        if (gn != phys) {
+          val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }
+          if (refs.exists(resolver(_, phys))) throw new SchemaMismatch(
+            s"dropColumn: generated column $gn still references $name — " +
+              "drop it first")
+        }
+      }
+      (m.patch(idx, Nil, 1),
+        if (r.gens.contains(phys)) Seq(s"""{"dropGencol":{"name":${quote(phys)}}}""")
+        else Seq.empty)
     }
 
   /** ADD a column — a metadata-only commit: the physical schema gains a
@@ -2531,16 +2625,70 @@ object TxLog {
       dataType: org.apache.spark.sql.types.DataType,
       maxRetries: Int = 16): Long =
     alterMapping(table, "addColumn", maxRetries) { (r, m) =>
-      val resolver = caseInsensitiveResolver
-      if (m.exists { case (l, _) => resolver(l, name) })
-        throw new SchemaMismatch(s"addColumn: column $name already exists in $table")
-      val phys = freshPhysName(name, m, r.schema)
-      val cur = r.schema.map(schemaOf).getOrElse(
-        sys.error(s"addColumn: $table has no recorded schema"))
-      val newSchema = org.apache.spark.sql.types.StructType(
-        cur.fields :+ org.apache.spark.sql.types.StructField(phys, dataType, nullable = true))
-      (m :+ (name -> phys), Seq(schemaLine(newSchema.json)))
+      val (entry, acts) = newColumnActs(r, m, name, dataType, "addColumn")
+      (m :+ entry, acts)
     }
+
+  /** ADD a GENERATED column (Delta's generated columns): the rule —
+    * `name GENERATED ALWAYS AS (exprSql)`, stored in PHYSICAL names — is
+    * table metadata. Writes that OMIT the column get it computed; writes
+    * that carry it are verified row-exactly at commit (append-shaped
+    * verbs), and rewrite verbs (UPDATE/mergeFull) RECOMPUTE post-images so
+    * changing a rule's inputs refreshes the derived value. Rows written
+    * BEFORE the rule existed null-fill on read, like any added column. */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType, exprSql: String,
+      maxRetries: Int = 16): Long =
+    alterMapping(table, "addGeneratedColumn", maxRetries) { (r, m) =>
+      val resolver = caseInsensitiveResolver
+      val (entry, acts) = newColumnActs(r, m, name, dataType, "addGeneratedColumn")
+      // the stored rule speaks PHYSICAL names (it runs against staged
+      // bytes); a self-reference stays untranslated and fails the probe
+      val physExpr = spark.sessionState.sqlParser.parseExpression(exprSql)
+        .transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            m.collectFirst { case (l, p) if resolver(a.nameParts.last, l) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                a.nameParts.init :+ p)
+            }.getOrElse(a)
+        }.sql
+      // analysis + type probe on an EMPTY physical frame: the rule must
+      // resolve against the schema and yield the declared type (or upcast)
+      val cur = r.schema.map(schemaOf).get // newColumnActs proved presence
+      val probe =
+        try spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+          .select(expr(physExpr)).schema.head.dataType
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new SchemaMismatch(
+            s"addGeneratedColumn: GENERATED ALWAYS AS ($exprSql) does not " +
+              s"resolve against $table's schema (${e.getMessage.linesIterator.take(1).mkString})")
+        }
+      val stored =
+        if (probe == dataType) physExpr
+        else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(probe, dataType))
+          s"CAST(($physExpr) AS ${dataType.sql})"
+        else throw new SchemaMismatch(
+          s"addGeneratedColumn: the rule yields ${probe.simpleString} but the " +
+            s"column is declared ${dataType.simpleString} — only lossless " +
+            "widenings are implicit")
+      (m :+ entry, acts :+ gencolLine(entry._2, stored))
+    }
+
+  /** Shared ADD COLUMN mechanics: uniqueness, fresh physical name, the
+    * extended physical schema line. */
+  private def newColumnActs(r: Replay, m: Seq[(String, String)], name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      op: String): ((String, String), Seq[String]) = {
+    val resolver = caseInsensitiveResolver
+    if (m.exists { case (l, _) => resolver(l, name) })
+      throw new SchemaMismatch(s"$op: column $name already exists")
+    val phys = freshPhysName(name, m, r.schema)
+    val cur = r.schema.map(schemaOf).getOrElse(
+      sys.error(s"$op: the table has no recorded schema"))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(phys, dataType, nullable = true))
+    ((name, phys), Seq(schemaLine(newSchema.json)))
+  }
 
   /** Spark's default (case-insensitive) resolver — the ALTER verbs have no
     * session at hand and must match how analysis resolves names. */
@@ -2703,6 +2851,7 @@ object TxLog {
       // engines that cannot)
       (if (r.colmap.isEmpty) Seq.empty else Seq(colmapLine(r.colmap))) ++
       r.protocol.map(protocolLine).toSeq ++
+      r.gens.map { case (n, e) => gencolLine(n, e) }.toSeq ++
       r.cons.map { case (n, e) => constraintLine(n, e) }.toSeq
     commit(dst, 1L, adds ++ schemaActs, "clone")
     1L
@@ -2920,7 +3069,11 @@ object TxLog {
     // than evolve — a streaming micro-batch is the wrong place for silent
     // schema evolution, and the sink never passes mergeSchema anyway
     val resolver = df.sparkSession.sessionState.conf.resolver
-    val dfP = toPhysicalDf(df, pre.colmap, "append")
+    val dfP = {
+      val p = toPhysicalDf(df, pre.colmap, "append")
+      verifyProvidedGenerated(p, pre.gens, "append")
+      computeGenerated(p, pre.gens)
+    }
     val statsColP = mapStatsCol(statsCol, pre.colmap, resolver, "append")
     val actions = stageFiles(dfP, table, statsColP) :+ txnLine(appId, txnVersion)
     var attempt = 0
@@ -2937,6 +3090,8 @@ object TxLog {
         enforceConstraints(df.sparkSession, actions, r.schema, cmap, "append")
         enforcedFor = Some(cmap)
       }
+      if (r.gens != pre.gens)
+        sys.error(s"append: generated-column rules of $table changed concurrently")
       try {
         commit(table, r.tip + 1, actions ++ schemaActions(r, dfP, mergeSchema, "append"), "append")
         maybeCheckpoint(table, r.tip + 1)
@@ -3401,6 +3556,69 @@ object TxLog {
     """\{"constraint":\{"name":"((?:[^"\\]|\\.)*)","expr":"((?:[^"\\]|\\.)*)"\}\}""".r
   private val DropConstraintRe =
     """\{"dropConstraint":\{"name":"((?:[^"\\]|\\.)*)"\}\}""".r
+
+  // -- GENERATED columns (Delta's generated-columns design): the rule
+  // (physical column name → physical-name SQL expr) is table metadata;
+  // writers COMPUTE the column when a write omits it and every commit's
+  // staged bytes are verified against the rule (see enforceGenerated) --
+
+  private val GencolRe =
+    """\{"gencol":\{"name":"((?:[^"\\]|\\.)*)","expr":"((?:[^"\\]|\\.)*)"\}\}""".r
+  private val DropGencolRe =
+    """\{"dropGencol":\{"name":"((?:[^"\\]|\\.)*)"\}\}""".r
+
+  private def gencolLine(name: String, expr: String): String =
+    s"""{"gencol":{"name":${quote(name)},"expr":${quote(expr)}}}"""
+
+  private def parseGencol(line: String): Option[(String, String)] = line match {
+    case GencolRe(n, e) => Some((unquote(n), unquote(e)))
+    case _              => None
+  }
+
+  private def parseDropGencol(line: String): Option[String] = line match {
+    case DropGencolRe(n) => Some(unquote(n))
+    case _               => None
+  }
+
+  /** Materialize every generated column a frame omits (compute) — the
+    * write-side half of the rule; frames that DO carry the column pass
+    * through and are caught by [[enforceGenerated]] if they lie. */
+  private def computeGenerated(df: DataFrame,
+      gens: scala.collection.Map[String, String]): DataFrame =
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+
+  /** RECOMPUTE every generated column over a post-image frame (rewrite
+    * paths: an update/merge that changes a rule's inputs must refresh the
+    * derived value — Delta recomputes the same way). Idempotent on rows
+    * whose inputs did not change. */
+  private def recomputeGenerated(df: DataFrame,
+      gens: scala.collection.Map[String, String]): DataFrame =
+    gens.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
+
+  /** Verify a write that EXPLICITLY carries a generated column actually
+    * satisfies its rule — one aggregate over the INPUT frame, null-safe
+    * equality. Verification deliberately reads the writer's frame, not the
+    * staged bytes: rewrite verbs restage rows written BEFORE a rule
+    * existed (their value is legitimately null), and a staged-bytes check
+    * could not tell those from a lying writer. Rules whose column the
+    * frame omits need no check — [[computeGenerated]] materializes them. */
+  private def verifyProvidedGenerated(df: DataFrame,
+      gens: scala.collection.Map[String, String], op: String): Unit = {
+    val present = gens.filter { case (c, _) => df.columns.contains(c) }.toSeq
+    if (present.isEmpty) return
+    val aggs = present.map { case (c, e) =>
+      sum(when(!(col(c) <=> expr(e)), 1L).otherwise(0L)).as(c)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    present.zipWithIndex.foreach { case ((c, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0L) throw new ConstraintViolation(
+        s"$op provides $bad row(s) whose $c differs from its GENERATED " +
+          s"ALWAYS AS ($e) value; nothing was committed")
+    }
+  }
 
   private def constraintLine(name: String, expr: String): String =
     s"""{"constraint":{"name":${quote(name)},"expr":${quote(expr)}}}"""

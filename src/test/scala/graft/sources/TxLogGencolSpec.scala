@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.SparkSpec
+
+/** GENERATED columns (Delta's generated-columns design): the rule is table
+  * metadata; writes that omit the column get it computed, writes that
+  * carry it are verified row-exactly, rewrite verbs recompute post-images,
+  * and rows written before the rule existed keep their legitimate nulls —
+  * never backfilled by unrelated rewrites. */
+class TxLogGencolSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    Files.createTempDirectory(s"txgen_$name").resolve("t").toString
+
+  private def vals(t: String): Map[Long, (String, Any)] =
+    TxLog.snapshot(t).read(spark).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+
+  test("a write omitting the generated column gets it computed; pre-rule rows stay null") {
+    val t = freshTable("compute")
+    TxLog.append(Seq((1L, "aa"), (2L, "bbb")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    TxLog.append(Seq((3L, "cccc")).toDF("k", "v"), t)
+    val got = vals(t)
+    assert(got(3L) == (("cccc", 4)), "computed on write")
+    assert(got(1L) == (("aa", null)) && got(2L) == (("bbb", null)),
+      "pre-rule rows legitimately null")
+    // a merge touching ONLY row 3's file must not backfill rows 1/2
+    TxLog.merge(Seq((3L, "c")).toDF("k", "v"), t, "k")
+    val got2 = vals(t)
+    assert(got2(3L) == (("c", 1)), "merge computed the update row")
+    assert(got2(1L)._2 == null, "survivors keep their pre-rule null")
+  }
+
+  test("a write carrying the column is verified: liars refused, truth accepted") {
+    val t = freshTable("verify")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    intercept[TxLog.ConstraintViolation](
+      TxLog.append(Seq((2L, "bb", 99)).toDF("k", "v", "v_len"), t))
+    TxLog.append(Seq((2L, "bb", 2)).toDF("k", "v", "v_len"), t)
+    assert(vals(t)(2L) == (("bb", 2)))
+    // merge with a lying value refuses too
+    intercept[TxLog.ConstraintViolation](
+      TxLog.merge(Seq((2L, "xyz", 7)).toDF("k", "v", "v_len"), t, "k"))
+  }
+
+  test("partition by a generated column: the writer never materializes it") {
+    val t = freshTable("part")
+    TxLog.append(Seq((0L, "seed", "g0")).toDF("k", "v", "grp"), t, statsCol = Some("k"))
+    // the rule derives the partition value from v; future appends omit it
+    val t2 = freshTable("part2")
+    TxLog.append(Seq((0L, "a")).toDF("k", "v"), t2, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t2, "bucket", StringType,
+      "CASE WHEN length(v) > 2 THEN 'long' ELSE 'short' END")
+    TxLog.overwrite(Seq((1L, "aa"), (2L, "bbbb")).toDF("k", "v"), t2,
+      partitionBy = Seq("bucket"))
+    // the layout is keyed by the PHYSICAL name (fresh, e.g. c_bucket)
+    val phys = TxLog.columnMapping(t2)
+      .collectFirst { case ("bucket", p) => p }.get
+    assert(TxLog.snapshot(t2).files.exists(_.contains(s"__part_$phys=long")))
+    assert(TxLog.snapshot(t2).files.exists(_.contains(s"__part_$phys=short")))
+    // pruned public read on the generated partition column
+    val longs = spark.read.format("txlog").load(t2)
+      .where(col("bucket") === "long").select("k").as[Long].collect().toSet
+    assert(longs == Set(2L))
+  }
+
+  test("UPDATE recomputes on hit rows only; SET on the rule is refused") {
+    val t = freshTable("update")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    TxLog.append(Seq((2L, "bb"), (3L, "ccc")).toDF("k", "v"), t)
+    // update a DEPENDENCY: the derived value refreshes on the hit row
+    TxLog.update(spark, t, col("k") === 2L, Map("v" -> lit("zzzzz")))
+    val got = vals(t)
+    assert(got(2L) == (("zzzzz", 5)), "recomputed over the post image")
+    assert(got(3L) == (("ccc", 3)), "untouched row keeps its value")
+    assert(got(1L)._2 == null, "pre-rule row in the same rewritten file stays null")
+    // writing the generated column directly is refused
+    intercept[TxLog.SchemaMismatch](
+      TxLog.update(spark, t, col("k") === 2L, Map("v_len" -> lit(1))))
+    // DV update recomputes too (postimage staging path)
+    TxLog.update(spark, t, col("k") === 3L, Map("v" -> lit("dddddd")), useDV = true)
+    assert(vals(t)(3L) == (("dddddd", 6)))
+  }
+
+  test("mergeFull: inserts compute, matched updates recompute, keep rows stay") {
+    val t = freshTable("mfull")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    TxLog.append(Seq((2L, "bb"), (3L, "ccc")).toDF("k", "v"), t)
+    TxLog.mergeFull(Seq((2L, "yyyy"), (9L, "zzzzz")).toDF("k", "v"), t, "k",
+      Seq(TxLog.MatchedUpdate(Map("v" -> col("s.v"))), TxLog.NotMatchedInsert()))
+    val got = vals(t)
+    assert(got(2L) == (("yyyy", 4)), "matched update recomputed")
+    assert(got(9L) == (("zzzzz", 5)), "insert computed")
+    assert(got(3L) == (("ccc", 3)) && got(1L)._2 == null, "keep rows untouched")
+    // SET naming the generated column is refused
+    intercept[TxLog.SchemaMismatch](
+      TxLog.mergeFull(Seq((2L, "x")).toDF("k", "v"), t, "k",
+        Seq(TxLog.MatchedUpdate(Map("v_len" -> lit(1))))))
+  }
+
+  test("rule DDL validation: self-reference, bad type, dependency drops") {
+    val t = freshTable("ddl")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    intercept[TxLog.SchemaMismatch](
+      TxLog.addGeneratedColumn(spark, t, "self", IntegerType, "self + 1"))
+    intercept[TxLog.SchemaMismatch](
+      TxLog.addGeneratedColumn(spark, t, "bad", IntegerType, "v")) // string→int lossy
+    TxLog.addGeneratedColumn(spark, t, "v_len", LongType, "length(v)") // int→long upcasts
+    // dropping the dependency is refused while the rule reads it
+    intercept[TxLog.SchemaMismatch](TxLog.dropColumn(spark, t, "v"))
+    // dropping the generated column drops its rule
+    TxLog.dropColumn(spark, t, "v_len")
+    assert(TxLog.generatedColumns(t).isEmpty)
+    TxLog.dropColumn(spark, t, "v") // now free
+    assert(TxLog.snapshot(t).read(spark).columns.toSeq == Seq("k"))
+  }
+
+  test("rules survive checkpoint and CLONE; SQL DDL + rename compose") {
+    val t = freshTable("carry")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    TxLog.checkpoint(t)
+    TxLog.append(Seq((2L, "bbb")).toDF("k", "v"), t)
+    assert(vals(t)(2L) == (("bbb", 3)), "rule survives log compaction")
+    val dst = freshTable("carryclone")
+    TxLog.clone(t, dst)
+    TxLog.append(Seq((3L, "cccc")).toDF("k", "v"), dst)
+    assert(vals(dst)(3L) == (("cccc", 4)), "rule rides the clone")
+    // renaming the DEPENDENCY is fine: the rule is stored physical
+    TxLog.renameColumn(t, "v", "text")
+    TxLog.append(Seq((4L, "ddddd")).toDF("k", "text"), t)
+    assert(TxLog.snapshot(t).read(spark).where(col("k") === 4L)
+      .select("v_len").as[Int].head() == 5)
+  }
+
+  test("SQL: ALTER ADD COLUMN ... GENERATED ALWAYS AS (...) end-to-end") {
+    val t = freshTable("sql")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s.sql(s"ALTER TXLOG '$t' ADD COLUMN v_up STRING GENERATED ALWAYS AS (upper(v))")
+      s.sql(s"INSERT INTO txlog.`$t` SELECT 2L AS k, 'bb' AS v")
+      val got = s.read.format("txlog").load(t)
+        .where(col("k") === 2L).select("v_up").as(
+          org.apache.spark.sql.Encoders.STRING).head()
+      assert(got == "BB")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    }
+  }
+}
