@@ -10,7 +10,7 @@ sbt -batch compile > /tmp/bench_compile.log 2>&1 || { touch /tmp/BENCH_FAILED; e
 
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf0.1_run$i.json \
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final174_sf0.1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf01_run$i.log 2>&1
 done
 
@@ -20,7 +20,7 @@ if [ ! -d target/sf1 ]; then
 fi
 for i in 1 2; do
   SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf1_run$i.json \
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final174_sf1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf1_run$i.log 2>&1
 done
 
@@ -30,7 +30,7 @@ if [ ! -d target/sf10 ]; then
 fi
 SPARK_GRAFT_SKIP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells \
 SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final169_sf10_comparable_run1.json \
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r13_final174_sf10_comparable_run1.json \
 sbt -batch "runMain graft.Bench" > /tmp/bench_169_sf10_run1.log 2>&1
 
 touch /tmp/ALL_BENCHES_DONE
