@@ -126,7 +126,21 @@ object Bench {
     val contended = loadBefore > 4.0
     if (contended)
       System.err.println(f"[bench] WARNING: loadavg_before=$loadBefore%.2f > 4 — machine contended; artifact stamped contended:true and MUST NOT be used as a baseline")
-    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":"$cpus","failed":$failed"""
+    // PROVENANCE (r12 ADVICE, closed r13): every artifact names the exact
+    // binary and instant it measured — a bench number without its commit
+    // hash cannot be re-run, A/B'd, or trusted later. Read from the repo
+    // the class was BUILT from (user.dir = the sbt project dir, which for
+    // pinned-worktree runs is the worktree, so the hash is the pinned one).
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+          .directory(new java.io.File(System.getProperty("user.dir"))).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Exception => "unknown" }
+    val stampedAt = java.time.Instant.now().toString
+    val skipped = skip.toSeq.sorted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":"$cpus","failed":$failed,"commit":"$commit","stamped_at":"$stampedAt","skipped":$skipped"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
     println(json)
     // The artifact also lands in a file (SPARK_GRAFT_BENCH_OUT, default
