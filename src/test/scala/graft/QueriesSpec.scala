@@ -115,6 +115,29 @@ class QueriesSpec extends SparkSpec {
       s"expected partial+final aggregation:\n$plan")
   }
 
+  test("the partsupp TPC-H shapes decorrelate: joins + aggregates, never row-at-a-time plans") {
+    def planOf(q: String): String =
+      SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    // q2's correlated MIN must become an aggregate + join-back; a plan that
+    // kept a per-row subquery would show a nested-loop/cartesian shape
+    val p2 = planOf("sql_tpch_q2")
+    assert(p2.contains("HashAggregate"), s"q2 lost its decorrelated MIN aggregate:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"q2 planned a cartesian:\n$p2")
+    // q20's nested IN chain must plan as semi joins
+    val p20 = planOf("sql_tpch_q20")
+    assert(p20.contains("LeftSemi"), s"q20's IN chain is not a semi join:\n$p20")
+    assert(!p20.contains("CartesianProduct"), s"q20 planned a cartesian:\n$p20")
+    // q9's six-way spine broadcasts its dimension sides
+    val p9 = planOf("sql_tpch_q9")
+    assert(p9.contains("BroadcastHashJoin"), s"q9 broadcasts no dimension:\n$p9")
+    assert(!p9.contains("CartesianProduct"), s"q9 planned a cartesian:\n$p9")
+    // q11 aggregates twice (groups + the HAVING threshold) with no cartesian
+    val p11 = planOf("sql_tpch_q11")
+    assert("HashAggregate".r.findAllIn(p11).size >= 2,
+      s"q11 lost an aggregation side:\n$p11")
+    assert(!p11.contains("CartesianProduct"), s"q11 planned a cartesian:\n$p11")
+  }
+
   test("text_ttr is a shuffle-free expression pass (sort excepted)") {
     val plan = SparkEntry.queries("text_ttr")(spark, dir)
       .queryExecution.executedPlan.toString
