@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
-import graft.expressions.VecDot
+import graft.expressions.{SigPlanes, SketchAgree, VecDot}
 
 /** Public similarity-search / embedding-dedup API.
   *
@@ -216,46 +216,22 @@ object Similarity {
     lshCosineNearDup(emb, idCol, embCol, tau, b, w)
   }
 
-  /** 256-plane sign SIGNATURE of one embedding, packed as 4 longs — the
-    * coarse sketch behind [[lshCosineNearDupSketched]]. The plane family is
-    * DISJOINT from the banding family (the same parity construction with
-    * the plane index offset by 100000 — BandKeys never reaches plane 10⁵),
-    * so the agreement estimate is independent of the collisions that made
-    * a pair a candidate: conditioning on "collided in ≥1 band" would bias
-    * a shared-plane estimate upward and silently loosen the margin. */
-  private[graft] def signature256(a: Seq[Float]): Array[Long] = {
-    val planes = 256
-    val out = new Array[Long](4)
-    val proj = new Array[Double](planes)
-    var i = 1
-    while (i <= a.length) {
-      val x = a(i - 1).toDouble
-      var j = 0
-      while (j < planes) {
-        proj(j) +=
-          (if (((j + 100001L) * (i + 7L) * 2654435761L % 1000000007L) % 2L == 1L) x
-           else -x)
-        j += 1
-      }
-      i += 1
-    }
-    var j = 0
-    while (j < planes) {
-      if (proj(j) > 0) out(j >>> 6) |= (1L << (j & 63))
-      j += 1
-    }
-    out
-  }
-
   /** Two-stage SKETCH-VERIFIED near-dup — the verify shape for corpora
     * whose candidate volume outgrows shuffle capacity (the production
     * coarse-filter → exact-rerank pattern, same as IVF-PQ's ADC + rerank):
     *
-    *  1. every vector's 256-plane sign signature (32 B) broadcasts — at
-    *     10⁷ vectors that is ~400 MB once per executor, vs the embedding
-    *     payload crossing a shuffle once per CANDIDATE in the exact verify;
-    *  2. the banded candidate stream filters MAP-SIDE on signature
-    *     agreement (two binary searches + 4 XOR/popcounts per pair): the
+    *  1. every vector's 256-plane sign signature (32 B, [[SigPlanes]] —
+    *     a plane family disjoint from the banding family, so the agreement
+    *     estimate is independent of the collisions that made a pair a
+    *     candidate) is computed ONCE per vector, codegen'd, and rides the
+    *     banded index as a column: the banded shuffle carries
+    *     (id, sketch, band, key) rows — O(n·bands), never the embedding
+    *     payload, and NO driver-side state (the r12 form collected all
+    *     signatures to the driver — O(n) driver memory, a 40 GB OOM at 10⁹
+    *     vectors; this form is fully distributed);
+    *  2. the banded self-join applies the agreement cut ([[SketchAgree]],
+    *     4 XOR/popcounts per pair) as a join POST-condition — evaluated on
+    *     the streamed join output inside the join stage, i.e. MAP-SIDE: the
     *     quadratic-ish candidate multiset never crosses a shuffle at all —
     *     the only shuffles are the banded index self-join (O(n·bands)) and
     *     the tiny survivor distinct;
@@ -273,51 +249,24 @@ object Similarity {
       tau: Double, nBands: Int, bitsPerBand: Int,
       marginSigmas: Double = 4.0): DataFrame = {
     require(tau > -1 && tau < 1, s"tau must be in (-1,1), got $tau")
-    val spark = emb.sparkSession
-    val sigUdf = udf((v: Seq[Float]) => signature256(v))
-    // signatures computed DISTRIBUTED, collected compressed: 40 B/vector
-    val sigRows = emb
-      .select(col(idCol).cast("long").as("__id"), sigUdf(col(embCol)).as("__sig"))
-      .collect()
-    val n = sigRows.length
-    val byId = sigRows.sortBy(_.getLong(0))
-    val ids = new Array[Long](n)
-    val sigs = new Array[Long](4 * n)
-    var k = 0
-    while (k < n) {
-      ids(k) = byId(k).getLong(0)
-      val s = byId(k).getSeq[Long](1)
-      var w = 0
-      while (w < 4) { sigs(4 * k + w) = s(w); w += 1 }
-      k += 1
-    }
-    val bcIds = spark.sparkContext.broadcast(ids)
-    val bcSigs = spark.sparkContext.broadcast(sigs)
     val p = 1.0 - math.acos(tau) / math.Pi
     val cut = p - marginSigmas * math.sqrt(p * (1 - p) / 256.0)
     val minAgree = math.max(0, math.ceil(cut * 256.0).toInt)
-    val agreeUdf = udf { (id1: Long, id2: Long) =>
-      val idArr = bcIds.value
-      val sg = bcSigs.value
-      val i1 = java.util.Arrays.binarySearch(idArr, id1)
-      val i2 = java.util.Arrays.binarySearch(idArr, id2)
-      i1 >= 0 && i2 >= 0 && {
-        var agree = 256
-        var w = 0
-        while (w < 4) {
-          agree -= java.lang.Long.bitCount(sg(4 * i1 + w) ^ sg(4 * i2 + w))
-          w += 1
-        }
-        agree >= minAgree
-      }
-    }
-    val bands = bandsOf(emb, idCol, embCol, nBands, bitsPerBand)
-    val cands = bands.as("a")
-      .join(bands.as("b"),
+    // banded index with the 32-byte sketch inline: one projection pass per
+    // vector computes both the band keys and the signature (same reshuffle
+    // rationale as bandsOf — spread few input splits by id first)
+    val e = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+      .repartition(col("__id"))
+    val banded = e.select(col("__id"), SigPlanes(col("__emb")).as("__sig"),
+      posexplode(graft.expressions.BandKeys(col("__emb"), nBands, bitsPerBand))
+        .as(Seq("band", "key")))
+    val survivors = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__id") < col("b.__id") &&
+          SketchAgree(col("a.__sig"), col("b.__sig")) >= minAgree)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-    val survivors = cands.where(agreeUdf(col("id1"), col("id2"))).distinct()
+      .distinct()
     val withNorm = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"),
       VecDot(col(embCol), col(embCol)).as("__nn"))
     survivors

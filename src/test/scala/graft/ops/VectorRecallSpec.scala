@@ -216,6 +216,30 @@ class VectorRecallSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).size} planted pairs")
   }
 
+  test("sketch verify is fully distributed: cut inside the join, no UDF, no driver state") {
+    import graft.api.Similarity
+    // the r13 weak mark was a driver-side collect+broadcast of all
+    // signatures; the fix carries the sketch as a column through the banded
+    // self-join and cuts in the join post-condition. Assert the shape:
+    //  - graft_sketch_agree sits in the join node's condition (map-side on
+    //    streamed join output), not in a Filter above an Exchange — i.e.
+    //    the candidate multiset never crosses a shuffle;
+    //  - no ScalaUDF anywhere (the old signature udf is gone);
+    //  - building the plan triggers no Spark job (nothing collects).
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = Similarity.lshCosineNearDupSketched(emb, "vec_id", "embedding", 0.8, 16, 8)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "building the sketched plan ran a Spark job (driver-side collect?)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("pythonudf"),
+      s"sketched path contains a UDF:\n$plan")
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("graft_sketch_agree"))
+    assert(joinLine.isDefined,
+      s"agreement cut is not a join post-condition (candidates would shuffle):\n$plan")
+  }
+
   test("adaptive band geometry: bits track log2(n), bands from the recall formula") {
     import graft.api.Similarity
     // hand-computed against the formula (τ=0.8: p ≈ 0.79517; bits floor
