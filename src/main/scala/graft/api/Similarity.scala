@@ -394,6 +394,58 @@ object Similarity {
       .select(col(idCol), col(embCol), col("__nn"), col("__cid").as("cell"))
   }
 
+  /** Band geometry for the SKETCH-VERIFIED path ([[lshCosineNearDupSketched]]).
+    *
+    * The exact path's [[adaptiveBandGeometry]] sizes bits ≈ ⌈log₂ n⌉ − 2
+    * because each random candidate there costs a shuffled payload — the
+    * index must spread the corpus until collisions are rare. The sketch
+    * path's economics are inverted: a candidate costs 4 XOR/popcounts
+    * evaluated INSIDE the join stage (never shuffled, never materialized),
+    * while every extra band duplicates the 32-byte signature through the
+    * banded index's sort — at 2.2 M vectors the (225, 20) exact-path
+    * geometry put ~100 GB through the self-join's sort and died on disk
+    * (r14 ladder, first attempt), where (45, 13) streams ~13 G cheap
+    * popcount rejections through a 99 M-row index instead. So bits backs
+    * off to ⌈log₂ n⌉ − 8: 256× more random collisions per band — each ~4 ns
+    * of filter, LINEAR in n at fixed bits-lag — and p^bits grows, cutting
+    * the band count ~5× (recall restored by the same Indyk–Motwani band
+    * formula). Index cost n·bands stays the dominant, linear term at any n:
+    * at n = 10⁹, (356, 22) streams ~4·10¹³ rejections — seconds per core
+    * across a 1000-executor fleet, vs an index 5× wider. */
+  def sketchBandGeometry(tau: Double, n: Long, targetRecall: Double = 0.9,
+      maxBands: Int = 512): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val (tierBands, tierBits) = bandGeometry(tau)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val bits = math.min(30, math.max(tierBits,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 8))
+    val pb = math.pow(p, bits)
+    val bands =
+      if (pb >= 1.0) 1
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toLong
+    val capped = math.max(tierBands.toLong, math.min(bands, maxBands.toLong)).toInt
+    if (bands > maxBands)
+      log.warn(s"sketchBandGeometry: band count $bands capped at $maxBands " +
+        s"(tau=$tau n=$n bits=$bits) — recall at tau will be below $targetRecall")
+    (capped, bits)
+  }
+
+  /** [[lshCosineNearDupSketched]] with the geometry chosen from the corpus
+    * size by [[sketchBandGeometry]] — the 100 TB near-dup shape: fully
+    * distributed (no driver-side signature state), candidates never shuffle,
+    * miss probability bounded by the 4σ margin. Costs one column-pruned
+    * `count()` up front. */
+  def lshCosineNearDupSketchedAdaptive(emb: DataFrame, idCol: String,
+      embCol: String, tau: Double, targetRecall: Double = 0.9,
+      marginSigmas: Double = 4.0): DataFrame = {
+    val n = emb.select(idCol).count()
+    val (bands, bits) = sketchBandGeometry(tau, math.max(n, 1L), targetRecall)
+    log.info(s"lshCosineNearDupSketchedAdaptive: n=$n -> ($bands bands, $bits bits)")
+    lshCosineNearDupSketched(emb, idCol, embCol, tau, bands, bits, marginSigmas)
+  }
+
   /** Near-dup pairs (cosine ≥ tau) WITHIN cells of an assigned corpus — the
     * blocking half of SemDeDup. The pair join shuffles by `cell`, so the
     * cost is quadratic only per cell; cross-cell pairs are forfeited by the

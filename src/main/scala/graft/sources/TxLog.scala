@@ -946,7 +946,12 @@ object TxLog {
     val updBounds: Option[(Any, Any)] =
       updKeys.agg(min("__k").as("__bmn"), max("__k").as("__bmx")).collect()
         .headOption.filterNot(_.isNullAt(0)).map(r => (r.get(0), r.get(1)))
-    var genVerified = false // one verification job per merge, not per retry
+    // one verification job per DISTINCT rule set, not per retry — and a
+    // racing rule change between verification and commit re-verifies on
+    // the loop's next derivation (the staged bytes are re-derived per loop,
+    // so unlike append there is nothing stale to abort over; committing
+    // values checked against superseded rules would violate the NEW rule)
+    var verifiedGens: Option[scala.collection.Map[String, String]] = None
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     while (true) {
       mergeDerivations.incrementAndGet()
@@ -995,11 +1000,12 @@ object TxLog {
             (hit ++ opaque).toSeq
         }
       // NEW columns in the updates need the mergeSchema gate (checked by
-      // schemaActions); a table column MISSING from the updates is fine
-      // always — a merge REPLACES matched rows wholesale, so unmentioned
-      // columns null-fill, exactly like an append missing them. Coupling
-      // that null-fill to mergeSchema would make every merge against an
-      // evolved table fail until every writer learned the new column.
+      // schemaActions); a table column MISSING from the updates PRESERVES
+      // the matched row's current value (Delta updateAll semantics —
+      // unmentioned target columns are never silently nulled), and inserts
+      // null-fill it exactly like an append missing the column. This keeps
+      // old writers working after an evolution without losing the new
+      // column's data on every merge.
       val schemaActs = schemaActions(replay, updates, mergeSchema, "merge")
       // rewritten files read under the LOG schema (touched files may
       // predate an evolution and null-fill the later columns), deletion
@@ -1008,9 +1014,9 @@ object TxLog {
       // CARRY the column are verified against the rule (survivor rows are
       // restaged as-is — rows written before a rule existed legitimately
       // hold null and must not be "corrected" by a later merge)
-      if (!genVerified) {
+      if (!verifiedGens.contains(replay.gens)) {
         verifyProvidedGenerated(updates, replay.gens, "merge")
-        genVerified = true
+        verifiedGens = Some(replay.gens.toMap) // immutable snapshot for the compare
       }
       val updatesG = computeGenerated(updates, replay.gens)
       val current =
@@ -1018,8 +1024,24 @@ object TxLog {
         else readLive(spark,
           replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
           touched, replay.live)
+      // table columns the updates frame does not mention (generated ones
+      // were just computed, so they are never in this set)
+      val resolver = spark.sessionState.conf.resolver
+      val missingCols = current.columns.toSeq.filterNot(tc =>
+        updatesG.columns.exists(uc => resolver(uc, tc)))
+      val replacement =
+        if (missingCols.isEmpty) updatesG
+        else
+          // inherit the pre-image's values for unmentioned columns: one
+          // key-hashed join over the TOUCHED files' rows only (never the
+          // table). An unmatched update key finds no pre-image and
+          // null-fills — insert semantics. A duplicate-keyed target row
+          // contributes its own pre-image (each matched row is updated in
+          // place, the Delta rule), instead of collapsing to one nulled row.
+          updatesG.join(current.select((keyCol +: missingCols).map(col): _*),
+            Seq(keyCol), "left")
       val merged = current.join(updatesG.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updatesG, allowMissingColumns = true)
+        .unionByName(replacement, allowMissingColumns = true)
       // change-data sidecars (opt-in): a matched key emits its old row as
       // 'update_preimage' and its update row as 'update_postimage'; an
       // unmatched update row (null keys included — they match nothing) is
@@ -1032,9 +1054,11 @@ object TxLog {
           val pre = current
             .join(updatesG.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
             .withColumn("_change_type", lit("update_preimage"))
-          val post = updatesG.join(presentKeys, Seq(keyCol), "left_semi")
+          // post-images carry the PRESERVED values of unmentioned columns
+          // (the row as it lands), not the updates frame's missing-as-null
+          val post = replacement.join(presentKeys, Seq(keyCol), "left_semi")
             .withColumn("_change_type", lit("update_postimage"))
-          val ins = updatesG.join(presentKeys, Seq(keyCol), "left_anti")
+          val ins = replacement.join(presentKeys, Seq(keyCol), "left_anti")
             .withColumn("_change_type", lit("insert"))
           stageCdcFiles(
             pre.unionByName(post, allowMissingColumns = true)
@@ -1354,6 +1378,19 @@ object TxLog {
     * stats-less add or an unparsable stat is NOT provable and forces the
     * conservative re-derive. A never-committed version is vacuously
     * disjoint. */
+  /** Any action that changes how staged bytes must be derived, verified, or
+    * laid out: schema, constraints, generated-column rules, column mapping,
+    * partition spec, protocol. A winning commit carrying one of these
+    * defeats disjoint admission unconditionally — our staged actions were
+    * computed under the OLD metadata and re-committing them verbatim could
+    * violate the new (e.g. values checked against a superseded GENERATED
+    * ALWAYS rule, or a layout staged for a replaced partition spec). */
+  private def metadataInteraction(l: String): Boolean =
+    parseSchema(l).isDefined || parseConstraint(l).isDefined ||
+      parseDropConstraint(l).isDefined || parseGencol(l).isDefined ||
+      parseColmap(l).isDefined || parseParts(l).isDefined ||
+      parseProtocol(l).isDefined
+
   private def commitIsDisjoint(table: String, v: Long, ourRemoves: Set[String],
       keyCol: String, keyType: org.apache.spark.sql.types.DataType,
       bounds: Option[(Any, Any)], tzId: String): Boolean = {
@@ -1366,11 +1403,7 @@ object TxLog {
         case _                    => false // null ⇒ not provable
       }
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-    if (lines.exists(l => parseSchema(l).isDefined)) return false
-    // a constraint change is a metadata interaction: the merge's staged
-    // output was enforced against the OLD set, so admission must re-derive
-    if (lines.exists(l =>
-        parseConstraint(l).isDefined || parseDropConstraint(l).isDefined)) return false
+    if (lines.exists(metadataInteraction)) return false
     lines.forall { l =>
       parseAction(l) match {
         case Some(("remove", path)) => !ourRemoves.contains(path)
@@ -1410,9 +1443,7 @@ object TxLog {
     val p = versionPath(table, v)
     if (!Files.exists(p)) return true
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-    if (lines.exists(l => parseSchema(l).isDefined)) return false
-    if (lines.exists(l =>
-        parseConstraint(l).isDefined || parseDropConstraint(l).isDefined)) return false
+    if (lines.exists(metadataInteraction)) return false
     cond match {
       case None => false // nothing provable about an unresolved predicate
       case Some(c) =>
@@ -2639,7 +2670,8 @@ object TxLog {
   def addGeneratedColumn(spark: SparkSession, table: String, name: String,
       dataType: org.apache.spark.sql.types.DataType, exprSql: String,
       maxRetries: Int = 16): Long =
-    alterMapping(table, "addGeneratedColumn", maxRetries) { (r, m) =>
+    alterMapping(table, "addGeneratedColumn", maxRetries,
+        bumpWriter = Set("generatedColumns")) { (r, m) =>
       val resolver = caseInsensitiveResolver
       val (entry, acts) = newColumnActs(r, m, name, dataType, "addGeneratedColumn")
       // the stored rule speaks PHYSICAL names (it runs against staged
@@ -2697,8 +2729,13 @@ object TxLog {
 
   /** Shared ALTER loop: replay → writable gate → auto-enable mapping
     * (identity over the recorded schema) → apply `f` (new mapping, extra
-    * actions) → commit mapping + protocol bump, optimistic-retried. */
-  private def alterMapping(table: String, op: String, maxRetries: Int)(
+    * actions) → commit mapping + protocol bump, optimistic-retried.
+    * `bumpWriter` stamps EXTRA writer-only features beyond columnMapping
+    * (e.g. generatedColumns — readable by any engine since values are
+    * materialized, but a writer that ignores the rule lines would violate
+    * GENERATED ALWAYS, so it must be fenced out). */
+  private def alterMapping(table: String, op: String, maxRetries: Int,
+      bumpWriter: Set[String] = Set.empty)(
       f: (Replay, Seq[(String, String)]) => (Seq[(String, String)], Seq[String])): Long = {
     var attempt = 0
     while (true) {
@@ -2712,7 +2749,7 @@ object TxLog {
               "(legacy tables: overwrite once to record it)"))
       val (m, extra) = f(r, base)
       val acts = (if (m == r.colmap) Seq.empty else Seq(colmapLine(m))) ++
-        extra ++ protocolBump(r, Set("columnMapping"))
+        extra ++ protocolBump(r, Set("columnMapping"), bumpWriter)
       if (acts.isEmpty) return r.tip // already in the asked-for state
       try {
         commit(table, r.tip + 1, acts, "alter")
@@ -3404,7 +3441,8 @@ object TxLog {
   /** Every feature this engine can WRITE THROUGH without corrupting (a
     * writer must preserve invariants it did not create — e.g. restage
     * under the partition spec, mask DVs in rewrites). */
-  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures + "generatedColumns"
 
   private val ProtocolRe =
     """\{"protocol":\{"rf":\[((?:"(?:[^"\\]|\\.)*",?)*)\],"wf":\[((?:"(?:[^"\\]|\\.)*",?)*)\]\}\}""".r
@@ -3436,11 +3474,15 @@ object TxLog {
     }
 
   /** The protocol action (if any) that records `features` as required on
-    * top of the replayed state — empty when already recorded. */
-  private def protocolBump(r: Replay, features: Set[String]): Seq[String] = {
+    * top of the replayed state — empty when already recorded.
+    * `writerOnly` features gate writers without fencing readers (the
+    * Delta split — e.g. generatedColumns: the materialized values read
+    * fine anywhere, but an appender ignoring the rules corrupts them). */
+  private def protocolBump(r: Replay, features: Set[String],
+      writerOnly: Set[String] = Set.empty): Seq[String] = {
     val cur = r.protocol.getOrElse(Protocol(Set.empty, Set.empty))
     val next = Protocol(cur.readerFeatures ++ features,
-      cur.writerFeatures ++ features)
+      cur.writerFeatures ++ features ++ writerOnly)
     if (next == cur) Seq.empty else Seq(protocolLine(next))
   }
 

@@ -353,8 +353,30 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       // metadata-only OPS carry no rows by definition — skipping is exact.
       // Op-based, NOT added.isEmpty: a remove-only rewrite (a truncating
       // restore) changes rows and must still fail loudly below
-      else if (c.op == "addConstraint" || c.op == "dropConstraint" ||
-        c.op == "alter") Seq.empty
+      else if (c.op == "addConstraint" || c.op == "dropConstraint") Seq.empty
+      // alter commits carry no rows either, but a mid-stream DROP or RENAME
+      // of a streamed column would silently keep serving the dropped
+      // column's bytes / the stale logical name under the pinned at-start
+      // mapping — fail the stream (restart picks up the new schema). PURE
+      // ADDITIONS (ADD COLUMN, generated or not, and enabling an identity
+      // mapping) keep every pinned (logical → physical) pair valid and
+      // stream on: the new column simply isn't in this stream's schema.
+      else if (c.op == "alter") {
+        val before =
+          if (colmapAtStart.nonEmpty) colmapAtStart.toSet
+          else readSchema.fieldNames.map(n => (n, n)).toSet
+        val after = TxLog.columnMapping(table, asOf = c.version) match {
+          case Seq() => readSchema.fieldNames.map(n => (n, n)).toSet
+          case m     => m.toSet
+        }
+        if (!before.subsetOf(after)) throw new IllegalStateException(
+          s"txlog stream on $table hit a non-additive schema change at " +
+            s"version ${c.version} (rename or drop of a streamed column: " +
+            s"${(before -- after).map(_._1).mkString(", ")}). The stream " +
+            "serves the column mapping pinned at its start; restart the " +
+            "stream to adopt the new schema.")
+        Seq.empty
+      }
       else if (ignoreChanges) c.added
       else throw new IllegalStateException(
         s"txlog stream on $table hit a ${c.op} commit at version ${c.version}: " +

@@ -11,7 +11,6 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev pipeline <sfDir> [n]  — end-to-end CorpusPipeline timing
   *   runMain graft.tools.Dev adaptlsh <sfDir> [τ]  — fixed vs adaptive LSH geometry A/B
   *   runMain graft.tools.Dev lshladder <sfDir> [τ] [xK] — candidate-volume ladder at K× the corpus
-  *   runMain graft.tools.Dev geomsweep <sfDir> [τ] [reps] [bitsCsv] — end-to-end sweep over band widths
   *   runMain graft.tools.Dev ivfab <sfDir> [k] [nCells] [nProbe] — trained-IVF recall/time A/B
   *   runMain graft.tools.Dev ivfsplit <sfDir> [reps] [nCells] — trained-IVF fit vs probe attribution
   *   runMain graft.tools.Dev lshlayout <sfDir> [bands] [bits] [reps] — verify-layout A/B at one geometry
@@ -162,10 +161,15 @@ object Dev {
         // exact verify shuffles the embedding payload once per candidate —
         // at ~2M+ vectors that measured 137 GB of local shuffle (r12, died
         // on a 75 GB disk), so past the exact-arm bound the end-to-end runs
-        // the SKETCH-VERIFIED path instead: broadcast 256-plane signatures
-        // filter the candidate stream map-side (no candidate shuffle at
-        // all), survivors rerank exactly — recall on planted EXACT dups is
-        // unconditional (their agreement is 256/256)
+        // the SKETCH-VERIFIED path instead: the 256-plane signature rides
+        // the banded index as a column and filters the candidate stream
+        // inside the join stage (no candidate shuffle, no driver state),
+        // survivors rerank exactly — recall on planted EXACT dups is
+        // unconditional (their agreement is 256/256). The sketch arm runs
+        // its OWN geometry (sketchBandGeometry): cheap in-join rejections
+        // let bits back off 8 from log2(n), shrinking the signature-wide
+        // index ~5x — the exact-path (225,20) geometry put ~100 GB through
+        // the self-join sort at 2.2M and died on disk (r14, first attempt)
         if (n <= 500000) {
           val t1 = System.nanoTime()
           val found = graft.api.Similarity.lshCosineNearDup(
@@ -175,10 +179,12 @@ object Dev {
             s"recall-check=${if (found >= planted) "PASS" else "FAIL"}")
         } else println(s"adaptive exact-verify e2e SKIPPED at n=$n " +
           "(candidate-payload shuffle exceeds local disk; see r12 record)")
+        val (sb, sw) = graft.api.Similarity.sketchBandGeometry(tau, n)
+        histo("sketch-geo", sb, sw)
         val t2 = System.nanoTime()
         val sk = graft.api.Similarity.lshCosineNearDupSketched(
-          corpus, "vec_id", "embedding", tau, ab, aw).count()
-        println(f"adaptive end-to-end (sketch verify): pairs=$sk " +
+          corpus, "vec_id", "embedding", tau, sb, sw).count()
+        println(f"sketch-geometry ($sb bands x $sw bits) end-to-end (sketch verify): pairs=$sk " +
           f"(${(System.nanoTime() - t2) / 1e9}%.1f s); planted=$planted " +
           s"recall-check=${if (sk >= planted) "PASS" else "FAIL"}")
         corpus.unpersist()
@@ -218,48 +224,6 @@ object Dev {
             f"${(System.nanoTime() - t0) / 1e9}%.1f s, pairs=$found")
         }
         bands.unpersist(); corpus.unpersist()
-      case "geomsweep" :: sfDir :: rest =>
-        // Calibration sweep for adaptiveBandGeometry's bits rule: for each
-        // candidate bits width, derive the band count from the SAME recall
-        // formula the adaptive geometry uses, run the full near-dup
-        // end-to-end (reps in one JVM; rep 1 discarded as warmup), and print
-        // wall time + the shape stats lshCosineNearDup measured internally
-        // (candidates, banded-index rows, verify layout). No separate
-        // candidate-count materialization — that's what poisoned the r7 A/B.
-        import org.apache.spark.sql.functions._
-        val tau = rest.headOption.map(_.toDouble).getOrElse(0.8)
-        val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
-        val bitsList = rest.drop(2).headOption
-          .map(_.split(",").map(_.toInt).toList).getOrElse(List(8, 10, 12, 14, 16, 18))
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-        val corpus = emb.union(
-          emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
-            .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-          .cache()
-        val n = corpus.count()
-        val planted = emb.filter(pmod(col("vec_id"), lit(10L)) === 0).count()
-        val p = 1.0 - math.acos(tau) / math.Pi
-        println(s"geomsweep: n=$n planted=$planted tau=$tau reps=$reps bits=$bitsList")
-        for (bits <- bitsList) {
-          val pb = math.pow(p, bits)
-          val bands = math.max(16L, math.min(512L,
-            math.ceil(math.log1p(-0.9) / math.log1p(-pb)).toLong)).toInt
-          for (r <- 1 to reps) {
-            graft.api.Similarity.lastLshShape = None
-            val t0 = System.nanoTime()
-            val found = graft.api.Similarity.lshCosineNearDup(
-              corpus, "vec_id", "embedding", tau, bands, bits).count()
-            val t = (System.nanoTime() - t0) / 1e9
-            val sh = graft.api.Similarity.lastLshShape
-            println(f"bits=$bits bands=$bands rep=$r: $t%.1f s, pairs=$found, " +
-              s"cands=${sh.map(_.candidates).getOrElse(-1L)} " +
-              s"bandRows=${sh.map(_.bandRows).getOrElse(-1L)} " +
-              s"layout=${sh.map(_.shapeName).getOrElse("?")}")
-          }
-        }
-        corpus.unpersist()
       case "pipeline" :: rest =>
         // end-to-end CorpusPipeline over a documents table: timing + stage
         // survivor counts (the number a capacity plan starts from)
@@ -780,25 +744,6 @@ object Dev {
           f"(${tsecs}%.1f s incl. 8 block fits)")
         e.unpersist()
 
-      case "mart" :: _ =>
-        // game-domain flagship over the bundled fixture subsets
-        val res = "src/test/resources/game"
-        val ab = spark.read.schema(graft.domain.GameSchemas.rawAbilities)
-          .option("header", "true").csv(s"$res/raw_abilities_subset.csv")
-        val bt = spark.read.schema(graft.domain.GameSchemas.rawBtEffects)
-          .option("header", "true").csv(s"$res/raw_bt_effects_subset.csv")
-        val ha = spark.read.schema(graft.domain.GameSchemas.rawHighArmorCaps)
-          .option("header", "true").csv(s"$res/raw_high_armor_caps_subset.csv")
-        graft.domain.Mart.effectiveHpCap(ab, bt, ha)
-          .orderBy("char_name", "game_version").show(20, truncate = false)
-        // BT/HA buff-line extraction over sample effect lines
-        import spark.implicits._
-        val lines = Seq(
-          ("sherlotta", "GL", "MAX BRV Cap Up by 30%"),
-          ("sherlotta", "GL", "party  MAX BRV Cap Up by 15%"),
-          ("kelger", "GL", "party  MAX BRV Cap Up by 30%"))
-          .toDF("char_name", "game_version", "line")
-        graft.domain.BuffParsers.btCaps(lines).orderBy("char_name").show(truncate = false)
       case "stateful" :: rest =>
         // flatMapGroupsWithState dedup over the real documents table (batch
         // execution of the same state function the streaming query runs)
@@ -917,15 +862,6 @@ object Dev {
             s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
-      case "sqlfns" :: rest =>
-        // native expressions through the spark.sql surface
-        graft.expressions.GraftFunctions.register(spark)
-        val d = rest.headOption.getOrElse("/root/testdata/sf0.001")
-        graft.Tables.documents(spark, d).createOrReplaceTempView("documents_v")
-        spark.sql(
-          """SELECT count(DISTINCT graft_poly_hash(text)) AS distinct_hashes,
-                    min(size(graft_shingle_hashes(split(text, ' ')))) AS min_shingles
-             FROM documents_v""").show(truncate = false)
       case other =>
         System.err.println(s"unknown args: $other")
     }

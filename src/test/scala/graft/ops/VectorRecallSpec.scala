@@ -240,6 +240,29 @@ class VectorRecallSpec extends SparkSpec {
       s"agreement cut is not a join post-condition (candidates would shuffle):\n$plan")
   }
 
+  test("sketch band geometry: bits back off 8 (cheap in-join rejections), bands from recall") {
+    import graft.api.Similarity
+    // hand-computed against the formula (τ=0.8, p ≈ 0.79517, bits floor
+    // ⌈log₂ n⌉ − 8 — see sketchBandGeometry's cost model)
+    assert(Similarity.sketchBandGeometry(0.8, 2200000) == ((56, 14)))
+    assert(Similarity.sketchBandGeometry(0.8, 1000000000L) == ((356, 22)))
+    // small corpora keep the fixed tier
+    assert(Similarity.sketchBandGeometry(0.8, 5000) == ((16, 8)))
+    // the index is ~5x narrower than the exact-path geometry at 2.2M —
+    // the property that fits the signature-wide index on one box
+    val (eb, _) = Similarity.adaptiveBandGeometry(0.8, 2200000)
+    val (sb, _) = Similarity.sketchBandGeometry(0.8, 2200000)
+    assert(sb * 4 <= eb, s"sketch bands $sb not meaningfully below exact bands $eb")
+    // and the adaptive wrapper routes through it with recall intact
+    val planted = randomCorpus(n = 5000, dim = 64, dupEvery = 10)
+    val pairs = Similarity.lshCosineNearDupSketchedAdaptive(
+      planted, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5000).filter(_ % 10 == 0)
+      .map(i => (i.toLong, i + 10000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).size} planted pairs")
+  }
+
   test("adaptive band geometry: bits track log2(n), bands from the recall formula") {
     import graft.api.Similarity
     // hand-computed against the formula (τ=0.8: p ≈ 0.79517; bits floor

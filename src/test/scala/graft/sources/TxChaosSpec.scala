@@ -187,4 +187,156 @@ class TxChaosSpec extends SparkSpec {
     assert(derived == want,
       s"feed-derived state diverged from the table under contention")
   }
+
+  test("three-plane lifecycle chaos: CLONE/RESTORE/CONVERT race colmap renames, gencol rewrites, DVs") {
+    // r13 caught two cross-plane bugs (CLONE dropping DV refs and the
+    // partition spec) with targeted specs; this storm interleaves ALL the
+    // metadata planes at once — generated-column rewrites, column-mapping
+    // churn, deletion vectors — while a lifecycle thread CLONEs the
+    // contended table mid-storm, CONVERTs a plain directory and walks it
+    // through gencol + rename + DV, and RESTORE is exercised on the clone.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.IntegerType
+    val base = Files.createTempDirectory("txchaos3")
+    val t = base.resolve("src").toString
+    val c1 = base.resolve("clone1").toString
+    val conv = base.resolve("conv").toString
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+
+    // the rule predates every storm row: glen == length(v) everywhere
+    // except the one pre-rule seed row, whose null must survive every
+    // rewrite (no backfill) — a whole-run invariant checked at the end
+    TxLog.append(Seq(1L -> "seed").toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "glen", IntegerType, "length(v)")
+
+    // a write racing a metadata commit aborts loudly BEFORE committing
+    // (the Delta MetadataChangedException discipline — staged litter, no
+    // version claimed), so the client-side contract is retry: serial
+    // history "alter, then the write". The storm exercises exactly that.
+    def retrying[A](f: => A): A = {
+      var last: Throwable = null
+      for (_ <- 1 to 8)
+        try return f
+        catch { case e: RuntimeException
+            if e.getMessage != null && e.getMessage.contains("changed concurrently") =>
+          last = e }
+      throw last
+    }
+
+    @volatile var c1state: Set[(Long, String)] = null
+    val threads = Seq(
+      // T0 — deletion-vector plane on keys 10x
+      new Thread(() => try {
+        start.await()
+        retrying(TxLog.append((100L to 105L).map(k => k -> s"a$k").toDF("k", "v")
+          .repartition(1), t, statsCol = Some("k")))
+        retrying(TxLog.delete(spark, t, col("k") === 101L, statsCol = Some("k"),
+          changeFeed = true, useDV = true))
+        retrying(TxLog.update(spark, t, col("k") === 102L,
+          Map("v" -> org.apache.spark.sql.functions.lit("U0")),
+          statsCol = Some("k"), changeFeed = true, useDV = true))
+      } catch { case e: Throwable => errors.add(e) }),
+      // T1 — generated-column rewrite plane on keys 20x
+      new Thread(() => try {
+        start.await()
+        retrying(TxLog.append(Seq(200L -> "aa", 201L -> "bbb").toDF("k", "v"), t,
+          statsCol = Some("k")))
+        retrying(TxLog.update(spark, t, col("k") === 200L,
+          Map("v" -> org.apache.spark.sql.functions.lit("xyzw")),
+          statsCol = Some("k"), changeFeed = true))
+        retrying(TxLog.merge(Seq(202L -> "cc").toDF("k", "v"), t, "k",
+          changeFeed = true))
+      } catch { case e: Throwable => errors.add(e) }),
+      // T2 — column-mapping churn: pure-metadata commits racing every verb
+      // (each one defeats disjoint admission → forces live re-derivations)
+      new Thread(() => try {
+        start.await()
+        TxLog.addColumn(t, "aux", org.apache.spark.sql.types.StringType)
+        TxLog.renameColumn(t, "aux", "aux2")
+        TxLog.renameColumn(t, "aux2", "aux_final")
+      } catch { case e: Throwable => errors.add(e) }),
+      // T3 — lifecycle: mid-storm CLONE of the contended table, plus a
+      // CONVERT lineage walked through gencol + rename + DV concurrently
+      new Thread(() => try {
+        start.await()
+        TxLog.clone(t, c1)
+        c1state = TxLog.snapshot(c1).read(spark)
+          .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        Seq(9000L -> "pp", 9001L -> "qq").toDF("k", "v")
+          .write.parquet(conv)
+        TxLog.convert(spark, conv, statsCol = Some("k"))
+        TxLog.addGeneratedColumn(spark, conv, "glen", IntegerType, "length(v)")
+        TxLog.renameColumn(conv, "v", "val")
+        TxLog.delete(spark, conv, col("k") === 9001L, changeFeed = true,
+          useDV = true)
+        // rewrite the surviving row through the NEW name: the update must
+        // recompute the rule (converted rows predate it, so their null is
+        // legitimate until a rewrite touches them)
+        TxLog.update(spark, conv, col("k") === 9000L,
+          Map("val" -> org.apache.spark.sql.functions.lit("ppp")))
+      } catch { case e: Throwable => errors.add(e) }))
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"storm errors: ${errors.toArray.mkString("; ")}")
+
+    // 1. the serial model, all planes composed
+    val want = Set(1L -> "seed", 100L -> "a100", 102L -> "U0", 103L -> "a103",
+      104L -> "a104", 105L -> "a105", 200L -> "xyzw", 201L -> "bbb", 202L -> "cc")
+    val fin = TxLog.snapshot(t).read(spark).collect()
+    assert(fin.map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // gencol invariant: recomputed through every rewrite, seed's null kept
+    fin.foreach { r =>
+      val glen = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      if (r.getLong(0) == 1L) assert(glen.isEmpty, "pre-rule null was backfilled")
+      else assert(glen.contains(r.getString(1).length), s"glen drifted on $r")
+    }
+    // colmap churn settled: only the final name is a logical column
+    val cols = TxLog.snapshot(t).read(spark).columns.toSet
+    assert(cols("aux_final") && !cols("aux") && !cols("aux2"), cols.toString)
+
+    // 2. the feed replays to the final (k, v) state under full contention
+    val feedRows = TxLog.readChangeFeed(spark, t, 0L)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+    val derived: Set[(Long, String)] = feedRows.groupBy(_.getLong(0)).flatMap {
+      case (k, rs) =>
+        val last = rs.maxBy(r => (r.getLong(3),
+          if (r.getString(2) == "update_preimage") 0 else 1))
+        if (last.getString(2) == "delete") None
+        else Some((k, last.getString(1)))
+    }.toSet
+    assert(derived == want, "feed-derived state diverged under the 3-plane storm")
+
+    // 3. the mid-storm CLONE is a point-in-time snapshot: every cloned row
+    // is a state the source actually passed through (feed is the witness),
+    // it is UNCHANGED by the rest of the storm, and it carries the rules
+    val histStates = feedRows.groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    c1state.foreach { case (k, v) =>
+      assert(k == 1L && v == "seed" || histStates.get(k).exists(_.contains(v)),
+        s"clone holds ($k, $v), a state the source never passed through")
+    }
+    assert(TxLog.snapshot(c1).read(spark).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == c1state,
+      "the clone drifted while only the source was written")
+    val vm = TxLog.merge(Seq(9500L -> "zz").toDF("k", "v"), c1, "k")
+    val mergedState = TxLog.snapshot(c1).read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(mergedState.contains((9500L, "zz", 2)),
+      "clone lost the generated-column rules")
+    // 4. RESTORE on the contended-origin clone: junk append rolls back
+    TxLog.append(Seq(9600L -> "junk").toDF("k", "v"), c1)
+    TxLog.restore(c1, vm)
+    assert(TxLog.snapshot(c1).read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet == mergedState,
+      "restore did not return the clone to its pre-junk state")
+
+    // 5. the CONVERT lineage composed all three planes mid-storm
+    val cv = TxLog.snapshot(conv).read(spark)
+    assert(cv.columns.toSeq == Seq("k", "val", "glen"), cv.columns.mkString(","))
+    val cvRows = cv.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(cvRows == Set((9000L, "ppp", 3)), s"convert lineage diverged: $cvRows")
+  }
 }

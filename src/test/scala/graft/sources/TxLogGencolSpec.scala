@@ -144,6 +144,58 @@ class TxLogGencolSpec extends SparkSpec {
       .select("v_len").as[Int].head() == 5)
   }
 
+  test("addGeneratedColumn stamps generatedColumns as a WRITER feature") {
+    // a protocol-aware engine that supports columnMapping but ignores the
+    // gencol rule lines must be fenced out of WRITING (it would append
+    // without computing/verifying the rule — a silent GENERATED ALWAYS
+    // violation); readers stay unfenced (values are materialized).
+    val t = freshTable("proto")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    val line = Files.readAllLines(
+      java.nio.file.Paths.get(t, "_txlog",
+        f"${TxLog.latestVersion(t)}%020d.json")).toArray.mkString("\n")
+    val proto = line.linesIterator.find(_.contains("\"protocol\"")).getOrElse(
+      fail(s"no protocol action in the alter commit:\n$line"))
+    val Array(rf, wf) = proto.split("\"wf\":")
+    assert(wf.contains("generatedColumns"), s"writer features missing gencol: $proto")
+    assert(!rf.contains("generatedColumns"), s"gencol must be writer-only: $proto")
+    // and this engine (which does implement it) still writes through
+    TxLog.append(Seq((2L, "bbb")).toDF("k", "v"), t)
+    assert(vals(t)(2L) == (("bbb", 3)))
+  }
+
+  test("a racing rule change mid-merge re-verifies provided values against the new rules") {
+    // the race: merge verifies its provided columns against the rules at
+    // entry, loses the commit slot to a concurrent addGeneratedColumn whose
+    // rule those values VIOLATE, then re-derives. Without re-verification
+    // the re-derivation would commit the lying values under the new rule —
+    // a silent GENERATED ALWAYS violation.
+    val t = freshTable("race")
+    TxLog.append(Seq((1L, "aaa")).toDF("k", "v"), t, statsCol = Some("k"))
+    // rule r0 accepts 99 for v='xyz' (3·33); the racing commit REPLACES it
+    // with length(v), which 99 violates — simulating an engine that alters
+    // a rule (the log format allows it: last gencol line per name wins)
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v) * 33")
+    val phys = TxLog.columnMapping(t).collectFirst { case ("v_len", p) => p }.get
+    @volatile var fired = false
+    TxLog.mergeCommitHook = () => if (!fired) {
+      fired = true
+      TxLog.commit(t, TxLog.latestVersion(t) + 1,
+        Seq(s"""{"gencol":{"name":"$phys","expr":"length(v)"}}"""), "alter")
+    }
+    try {
+      intercept[TxLog.ConstraintViolation](
+        TxLog.merge(Seq((1L, "xyz", 99)).toDF("k", "v", "v_len"), t, "k"))
+      assert(fired, "the concurrent rule change never ran — test is vacuous")
+      // and nothing committed: the table still holds only the seed row
+      assert(vals(t).keySet == Set(1L) && vals(t)(1L)._1 == "aaa")
+      // the truthful value for the NEW rule goes through
+      TxLog.merge(Seq((1L, "xyz", 3)).toDF("k", "v", "v_len"), t, "k")
+      assert(vals(t)(1L) == (("xyz", 3)))
+    } finally TxLog.mergeCommitHook = () => ()
+  }
+
   test("SQL: ALTER ADD COLUMN ... GENERATED ALWAYS AS (...) end-to-end") {
     val t = freshTable("sql")
     TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))

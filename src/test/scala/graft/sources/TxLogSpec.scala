@@ -35,6 +35,29 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
   }
 
+  test("merge preserves unmentioned target columns (Delta updateAll), inserts null-fill") {
+    import spark.implicits._
+    val t = freshTable("preserve")
+    TxLog.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "extra"), t,
+      statsCol = Some("k"))
+    // updates frame lacks `extra`: the matched row must KEEP 20, not null it
+    TxLog.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), t, "k")
+    val got = TxLog.snapshot(t).read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, "a", Some(10L)), (2L, "B", Some(20L)), (3L, "c", None)),
+      s"unmentioned column silently changed: $got")
+    // and the change feed's post-image carries the PRESERVED value
+    val t2 = freshTable("preserve_cdf")
+    TxLog.append(Seq((1L, "a", 10L)).toDF("k", "v", "extra"), t2, statsCol = Some("k"))
+    TxLog.merge(Seq((1L, "A")).toDF("k", "v"), t2, "k", changeFeed = true)
+    val post = spark.read.format("txlog")
+      .option("startingVersion", 1).option("readChangeFeed", "true").load(t2)
+      .where(col("_change_type") === "update_postimage").collect()
+    assert(post.length == 1 && post.head.getAs[Long]("extra") == 10L,
+      "post-image must carry the preserved value")
+  }
+
   test("time travel: an old snapshot replays exactly, immune to later rewrites") {
     import spark.implicits._
     val t = freshTable("tt")

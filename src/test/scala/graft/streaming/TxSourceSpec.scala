@@ -180,6 +180,41 @@ class TxSourceSpec extends SparkSpec {
     } finally loose.stop()
   }
 
+  test("mid-stream RENAME fails the stream; ADD COLUMN (incl. generated) streams on") {
+    // the stream pins the column mapping at start: a later DROP/RENAME of a
+    // streamed column would silently serve stale names or dropped bytes, so
+    // the source must fail loudly (restart adopts the new schema). Pure
+    // additions keep every pinned (logical → physical) pair valid.
+    import org.apache.spark.sql.types.IntegerType
+    val t = freshTable("alter")
+    TxLog.append(df(1L -> "a"), t, statsCol = Some("k"))
+    val q = spark.readStream.format("txlog").load(t)
+      .writeStream.format("memory").queryName("txsrc_alter")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_alter_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // additive alters: plain ADD COLUMN and a generated column — both fine
+      TxLog.addColumn(t, "w", org.apache.spark.sql.types.StringType)
+      TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+      TxLog.append(df(2L -> "b"), t)
+      q.processAllAvailable()
+      assert(spark.table("txsrc_alter").count() == 2L,
+        "additive alters must not interrupt the stream")
+      // non-additive: rename a streamed column → the stream must fail
+      TxLog.renameColumn(t, "v", "val")
+      TxLog.append(df(3L -> "c").withColumnRenamed("v", "val"), t)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def causes(x: Throwable): List[Throwable] =
+        if (x == null) Nil else x :: causes(x.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("non-additive schema change")),
+        s"expected the rename refusal, got: ${causes(e).map(_.getMessage)}")
+    } finally {
+      try q.stop() catch { case _: StreamingQueryException => () }
+    }
+  }
+
   test("strict stream fails ignoreChanges message names the option") {
     // the refusal message must tell the operator the escape hatch
     val t = freshTable("msg")
