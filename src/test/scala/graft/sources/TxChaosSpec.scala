@@ -338,5 +338,28 @@ class TxChaosSpec extends SparkSpec {
     assert(cv.columns.toSeq == Seq("k", "val", "glen"), cv.columns.mkString(","))
     val cvRows = cv.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(cvRows == Set((9000L, "ppp", 3)), s"convert lineage diverged: $cvRows")
+
+    // 6. VACUUM the clone first (its sweep walks ITS root only, so the
+    // zero-copy references into the source's directory are never candidates
+    // — only the clone's own staged-then-superseded files are), then the
+    // SOURCE at the harshest setting (zero retention, zero grace): every
+    // LIVE byte across all three planes must survive — data files, DV
+    // sidecars, the glen/colmap metadata planes. (Vacuuming the source
+    // CAN break the zero-copy clone — the documented Delta shallow-clone
+    // hazard — which is why the clone is checked before, not after.)
+    TxLog.vacuum(c1, retainVersions = 0L, graceMs = 0L)
+    assert(TxLog.snapshot(c1).read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet == mergedState,
+      "the clone's own vacuum collected one of its live or source-referenced files")
+    TxLog.vacuum(t, retainVersions = 0L, graceMs = 0L)
+    val postVac = TxLog.snapshot(t).read(spark).collect()
+    assert(postVac.map(r => (r.getLong(0), r.getString(1))).toSet == want,
+      "vacuum collected a live byte (data file or DV sidecar)")
+    postVac.foreach { r =>
+      val glen = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      if (r.getLong(0) == 1L) assert(glen.isEmpty)
+      else assert(glen.contains(r.getString(1).length), s"post-vacuum glen drift on $r")
+    }
   }
 }
