@@ -501,6 +501,53 @@ object VectorQueries {
             ORDER BY id1, id2"""))
 
 
+  // The 100 TB sketched near-dup end-to-end: sketchBandGeometry sizes the
+  // banding for the sketch path's inverted economics (bits back off 8 —
+  // in-join popcount rejections are ~free, the signature-wide index is the
+  // cost; see api.Similarity.sketchBandGeometry), the 256-plane sketch
+  // rides the banded join as a codegen'd column, and survivors rerank
+  // exactly. The DuckDB twin re-derives the SAME geometry from count(*)
+  // (the −8 bits rule) and verifies candidates with the exact cosine — a
+  // valid oracle because every qualifying pair in the widened corpus is an
+  // exact duplicate (organic max cosine ≈ 0.6), whose 256/256 agreement
+  // the 4σ cut admits unconditionally, and the exact rerank forbids false
+  // positives on both sides.
+  private val dedupLshSketchedAdaptive = Q(
+    (s, d) => graft.api.Similarity.lshCosineNearDupSketchedAdaptive(
+        widenedCorpus(embeddings(s, d)), "vec_id", "embedding", tau = 0.8)
+      .orderBy("id1", "id2"),
+    Some(s"""WITH $sqlWidenedCorpus,
+            g AS (SELECT LEAST(30, GREATEST(8,
+                    CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT) - 8)) AS bits,
+                    (1.0 - acos(0.8) / pi()) AS p
+                  FROM wc),
+            g2 AS (SELECT bits,
+                    CAST(GREATEST(16, LEAST(CAST(ceil(ln(0.1) /
+                      ln(1.0 - pow(p, bits))) AS BIGINT), 512)) AS INT) AS bands
+                   FROM g),
+            planes AS (SELECT t.j, CAST(t.j // g2.bits AS INT) AS band
+                       FROM generate_series(0, 15359) AS t(j), g2
+                       WHERE t.j < g2.bands * g2.bits),
+            keys AS (
+              SELECT wc.vec_id, p.band,
+                     string_agg(CASE WHEN list_sum(list_transform(
+                         generate_series(1, len(wc.embedding)),
+                         i -> CAST(wc.embedding[i] AS DOUBLE) *
+                              (CASE WHEN ((p.j + 1) * (i + 7) * 2654435761)
+                                    % 1000000007 % 2 = 1
+                               THEN 1.0 ELSE -1.0 END))) > 0
+                       THEN '1' ELSE '0' END, '' ORDER BY p.j) AS key
+              FROM wc, planes p
+              GROUP BY wc.vec_id, p.band),
+            cand AS (SELECT DISTINCT k1.vec_id AS v1, k2.vec_id AS v2
+                     FROM keys k1 JOIN keys k2 ON k1.band = k2.band
+                       AND k1.key = k2.key AND k1.vec_id < k2.vec_id)
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM cand JOIN wc a ON a.vec_id = cand.v1
+                      JOIN wc b ON b.vec_id = cand.v2
+            WHERE ${sqlCos("a", "b")} >= 0.8
+            ORDER BY id1, id2"""))
+
   // Product-quantization ADC search (Jégou et al. 2011 — the memory half of
   // IVF-PQ, the standard web-scale vector-store layout): corpus vectors are
   // stored as m=8 codes into per-block k=16 codebooks; queries score exact
@@ -711,6 +758,7 @@ object VectorQueries {
     "lsh_bands_wide" -> lshBandsWide,
     "dedup_lsh_cosine_wide" -> dedupLshCosineWide,
     "dedup_lsh_cosine_adaptive" -> dedupLshCosineAdaptive,
+    "dedup_lsh_sketched_adaptive" -> dedupLshSketchedAdaptive,
     "dedup_embedding_cluster_wide" -> dedupEmbeddingClusterWide,
     "vec_quantize_int8" -> vecQuantizeInt8,
     "decontam_semantic" -> decontamSemantic)
