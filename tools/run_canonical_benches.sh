@@ -17,7 +17,7 @@ sbt -batch compile > /tmp/bench_compile.log 2>&1 || { touch /tmp/BENCH_FAILED; e
 
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final174_sf0.1_run$i.json \
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final175_sf0.1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_r14_sf01_run$i.log 2>&1
 done
 
@@ -27,7 +27,7 @@ if [ ! -d target/sf1 ]; then
 fi
 for i in 1 2; do
   SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final174_sf1_run$i.json \
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final175_sf1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_r14_sf1_run$i.log 2>&1
 done
 
@@ -38,7 +38,19 @@ fi
 SPARK_GRAFT_SKIP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,sql_tpch_q9,sql_tpch_q21 \
 SPARK_DRIVER_MEM=16g \
 SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final174_sf10_comparable_run1.json \
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final175_sf10_comparable_run1.json \
 sbt -batch "runMain graft.Bench" > /tmp/bench_r14_sf10_run1.log 2>&1
+
+# Run B — the FULL catalog at sf10 under the spill-budget recipe
+# (tools/sf10_heavy.yml: zstd, 96 partitions, AQE, 16g driver), only the
+# five quadratic-by-contract oracle twins skipped: fills the sf10 column
+# completely. Confs differ from the default-conf comparable run above, so
+# the two artifacts answer different questions (comparability vs coverage).
+SPARK_GRAFT_SKIP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells \
+SPARK_GRAFT_CONFIG_YML=/root/repo/tools/sf10_heavy.yml \
+SPARK_DRIVER_MEM=16g \
+SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r14_final175_sf10_full_heavyconf_run1.json \
+sbt -batch "runMain graft.Bench" > /tmp/bench_r14_sf10_full_run1.log 2>&1
 
 touch /tmp/ALL_BENCHES_DONE
