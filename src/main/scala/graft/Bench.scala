@@ -94,6 +94,12 @@ object Bench {
             .linesIterator.take(1).mkString.take(160)
           System.err.println(s"[bench] $name FAILED: ${failures(name)}")
       }
+      // Shuffle files live until the ContextCleaner GCs their dependency —
+      // across ~175 queries x 3 passes in ONE JVM at sf10 that litter
+      // accumulated to >60 GB and ENOSPC'd mid-query (r14, two artifacts).
+      // A GC nudge between timed queries lets the cleaner reclaim the
+      // previous queries' shuffle dirs; it runs OUTSIDE the timed window.
+      System.gc()
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
