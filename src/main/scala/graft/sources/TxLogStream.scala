@@ -361,18 +361,35 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
       // ADDITIONS (ADD COLUMN, generated or not, and enabling an identity
       // mapping) keep every pinned (logical → physical) pair valid and
       // stream on: the new column simply isn't in this stream's schema.
+      //
+      // The gate classifies THE COMMIT ITSELF — the pairs present at
+      // c.version − 1 and gone at c.version — and fails only when that
+      // delta touches a pair this stream pinned at start. Comparing the
+      // pin against the commit's as-of state instead (the r14 shape) was
+      // a checkpoint wedge: after a RENAME, a restarted stream replaying
+      // any EARLIER purely-additive alter threw on that older commit on
+      // every restart — the post-rename pin is never a subset of a
+      // pre-rename as-of mapping, and the error's own remedy (restart)
+      // could never succeed.
       else if (c.op == "alter") {
-        val before =
+        val pinned =
           if (colmapAtStart.nonEmpty) colmapAtStart.toSet
           else readSchema.fieldNames.map(n => (n, n)).toSet
-        val after = TxLog.columnMapping(table, asOf = c.version) match {
-          case Seq() => readSchema.fieldNames.map(n => (n, n)).toSet
-          case m     => m.toSet
-        }
-        if (!before.subsetOf(after)) throw new IllegalStateException(
+        // identity fallback uses the schema AS OF that version, not the
+        // current one — alter commits always record a mapping, so the
+        // fallback only fires for versions before mapping was enabled
+        def mappingAt(v: Long): Set[(String, String)] =
+          TxLog.columnMapping(table, asOf = v) match {
+            case Seq() =>
+              TxLog.snapshot(table, v).schemaJson.map(TxLog.schemaOf)
+                .getOrElse(readSchema).fieldNames.map(n => (n, n)).toSet
+            case m => m.toSet
+          }
+        val gone = (mappingAt(c.version - 1) -- mappingAt(c.version)) & pinned
+        if (gone.nonEmpty) throw new IllegalStateException(
           s"txlog stream on $table hit a non-additive schema change at " +
             s"version ${c.version} (rename or drop of a streamed column: " +
-            s"${(before -- after).map(_._1).mkString(", ")}). The stream " +
+            s"${gone.map(_._1).mkString(", ")}). The stream " +
             "serves the column mapping pinned at its start; restart the " +
             "stream to adopt the new schema.")
         Seq.empty

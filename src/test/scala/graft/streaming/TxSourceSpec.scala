@@ -215,6 +215,66 @@ class TxSourceSpec extends SparkSpec {
     }
   }
 
+  test("restart after RENAME replays an older additive alter without wedging") {
+    // the r14 gate compared the mapping pinned at (re)start against the
+    // mapping AS OF each replayed alter commit: after a RENAME, a restarted
+    // stream whose uncommitted replay range contained any EARLIER (purely
+    // additive) alter threw 'non-additive schema change' on that older
+    // commit on every restart — the post-rename pin is never a subset of a
+    // pre-rename as-of mapping, so the error's own remedy (restart) could
+    // never succeed and the checkpoint was permanently wedged. The gate now
+    // classifies each commit by its OWN delta, so the replay sails through
+    // and the restarted stream serves the new schema.
+    val t = freshTable("wedge")
+    TxLog.append(df(1L -> "a"), t, statsCol = Some("k"))                   // v1
+    val ck = Files.createTempDirectory("txsrc_wedge_ck").toString
+    // memory sink cannot recover a checkpoint — land in txlog tables (the
+    // restarted stream carries the NEW schema, so it lands in a second one)
+    val out1 = freshTable("wedgeout1")
+    val q1 = spark.readStream.format("txlog").load(t)
+      .writeStream.format("txlog").option("checkpointLocation", ck)
+      .outputMode("append").start(out1)
+    try { q1.processAllAvailable() } finally q1.stop()                     // consumed v1
+    TxLog.addColumn(t, "w", org.apache.spark.sql.types.StringType)         // v2 additive
+    TxLog.renameColumn(t, "v", "val")                                      // v3 rename
+    TxLog.append(df(2L -> "b").withColumnRenamed("v", "val"), t)           // v4
+    val out2 = freshTable("wedgeout2")
+    val q2 = spark.readStream.format("txlog").load(t)
+      .writeStream.format("txlog").option("checkpointLocation", ck)
+      .outputMode("append").start(out2)
+    try {
+      q2.processAllAvailable() // replay range (v1, v4] holds BOTH alters
+      val got = TxLog.snapshot(out2).read(spark).select("k", "val").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set(2L -> "b"),
+        s"restart must replay past the old additive alter and serve v4, got $got")
+    } finally {
+      try q2.stop() catch { case _: StreamingQueryException => () }
+    }
+  }
+
+  test("mid-stream CHECK constraint add streams on (write-side gate; reads unaffected)") {
+    // addConstraint changes what future WRITERS must prove, not what any
+    // committed file means — a tailing reader is unaffected, so the source
+    // skips the row-less commit and streams on (same discipline as the
+    // additive-alter rule above; pinned here so a future refactor cannot
+    // silently turn it into a stream-killer).
+    val t = freshTable("consadd")
+    TxLog.append(df(1L -> "a"), t, statsCol = Some("k"))
+    val q = spark.readStream.format("txlog").load(t)
+      .writeStream.format("memory").queryName("txsrc_consadd")
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_consadd_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      TxLog.addConstraint(spark, t, "v_nonempty", "length(v) > 0")
+      TxLog.append(df(2L -> "b"), t)
+      q.processAllAvailable()
+      assert(spark.table("txsrc_consadd").count() == 2L,
+        "a CHECK-constraint add must not interrupt the stream")
+    } finally q.stop()
+  }
+
   test("strict stream fails ignoreChanges message names the option") {
     // the refusal message must tell the operator the escape hatch
     val t = freshTable("msg")
