@@ -1013,22 +1013,47 @@ object TxLog {
       // GENERATED columns the updates omit are computed; update rows that
       // CARRY the column are verified against the rule (survivor rows are
       // restaged as-is — rows written before a rule existed legitimately
-      // hold null and must not be "corrected" by a later merge)
+      // hold null and must not be "corrected" by a later merge).
+      //
+      // Rules whose INPUTS the updates frame omits cannot run against
+      // `updates` at all (the input column is unresolvable there) — they
+      // DEFER until after the preservation join below binds the pre-image
+      // values (Delta's composition: preservation first, generation
+      // against the row as it lands). Three deferred cases:
+      //   - the gencol is provided: verified against the preserved inputs;
+      //   - omitted, but ANOTHER input IS updated: recomputed from the
+      //     mixed (updated + preserved) values — a changed input must
+      //     refresh the derived value;
+      //   - omitted and NO input updated: matched rows PRESERVE the
+      //     pre-image value (inputs unchanged ⇒ value unchanged, and a
+      //     pre-rule null stays null — never "corrected"); unmatched rows
+      //     are inserts and compute from the values as they land.
+      val resolver = spark.sessionState.conf.resolver
+      def ruleInputs(rule: String): Seq[String] =
+        spark.sessionState.sqlParser.parseExpression(rule).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }
+      def inUpdates(name: String): Boolean =
+        updates.columns.exists(uc => resolver(uc, name))
+      val (gensNow, gensDeferred) = replay.gens.partition { case (_, rule) =>
+        ruleInputs(rule).forall(inUpdates)
+      }
       if (!verifiedGens.contains(replay.gens)) {
-        verifyProvidedGenerated(updates, replay.gens, "merge")
+        verifyProvidedGenerated(updates, gensNow, "merge")
         verifiedGens = Some(replay.gens.toMap) // immutable snapshot for the compare
       }
-      val updatesG = computeGenerated(updates, replay.gens)
+      val updatesG = computeGenerated(updates, gensNow)
       val current =
         if (touched.isEmpty) updatesG.limit(0)
         else readLive(spark,
           replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
           touched, replay.live)
-      // table columns the updates frame does not mention (generated ones
-      // were just computed, so they are never in this set)
-      val resolver = spark.sessionState.conf.resolver
+      // table columns the updates frame does not mention (deferred
+      // generated columns land here too — the join binds their pre-image)
       val missingCols = current.columns.toSeq.filterNot(tc =>
         updatesG.columns.exists(uc => resolver(uc, tc)))
+      val matchedMark = "__graft_gen_matched"
       val replacement =
         if (missingCols.isEmpty) updatesG
         else
@@ -1038,10 +1063,29 @@ object TxLog {
           // null-fills — insert semantics. A duplicate-keyed target row
           // contributes its own pre-image (each matched row is updated in
           // place, the Delta rule), instead of collapsing to one nulled row.
-          updatesG.join(current.select((keyCol +: missingCols).map(col): _*),
+          updatesG.join(
+            current.select(((keyCol +: missingCols).map(col) :+
+              lit(true).as(matchedMark)): _*),
             Seq(keyCol), "left")
+      val replacementG = {
+        var r = replacement
+        gensDeferred.foreach { case (g, rule) =>
+          if (!inUpdates(g)) {
+            if (ruleInputs(rule).exists(inUpdates)) r = r.withColumn(g, expr(rule))
+            else r = r.withColumn(g,
+              when(col(matchedMark), col(g)).otherwise(expr(rule)))
+          }
+        }
+        r.drop(matchedMark)
+      }
+      // deferred PROVIDED gencols verify against the row as it lands (the
+      // preserved inputs) — per derivation, uncached: the frame depends on
+      // `current`, which a re-derivation recomputes
+      val deferredProvided = gensDeferred.filter { case (g, _) => inUpdates(g) }
+      if (deferredProvided.nonEmpty)
+        verifyProvidedGenerated(replacementG, deferredProvided, "merge")
       val merged = current.join(updatesG.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(replacement, allowMissingColumns = true)
+        .unionByName(replacementG, allowMissingColumns = true)
       // change-data sidecars (opt-in): a matched key emits its old row as
       // 'update_preimage' and its update row as 'update_postimage'; an
       // unmatched update row (null keys included — they match nothing) is
@@ -1056,9 +1100,9 @@ object TxLog {
             .withColumn("_change_type", lit("update_preimage"))
           // post-images carry the PRESERVED values of unmentioned columns
           // (the row as it lands), not the updates frame's missing-as-null
-          val post = replacement.join(presentKeys, Seq(keyCol), "left_semi")
+          val post = replacementG.join(presentKeys, Seq(keyCol), "left_semi")
             .withColumn("_change_type", lit("update_postimage"))
-          val ins = replacement.join(presentKeys, Seq(keyCol), "left_anti")
+          val ins = replacementG.join(presentKeys, Seq(keyCol), "left_anti")
             .withColumn("_change_type", lit("insert"))
           stageCdcFiles(
             pre.unionByName(post, allowMissingColumns = true)

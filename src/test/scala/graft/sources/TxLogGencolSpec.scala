@@ -196,6 +196,66 @@ class TxLogGencolSpec extends SparkSpec {
     } finally TxLog.mergeCommitHook = () => ()
   }
 
+  test("merge composes with a gencol whose rule inputs the updates omit") {
+    // the r14 shape ran computeGenerated/verifyProvidedGenerated on the
+    // updates frame BEFORE the preservation join, so a rule over an
+    // unmentioned column threw an unresolved-column AnalysisException —
+    // despite merge's own claim that old writers keep working after an
+    // evolution. The rule now defers until the join binds the pre-image:
+    //  - matched rows with NO updated input PRESERVE the stored value
+    //    (a pre-rule null stays null — never "corrected");
+    //  - unmatched rows are inserts and COMPUTE from the values as they
+    //    land (null-filled inputs included).
+    val t = freshTable("defer")
+    TxLog.append(Seq((1L, "aa", 10L)).toDF("k", "v", "w"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "coalesce(length(v), -1)")
+    TxLog.append(Seq((2L, "bbb", 20L)).toDF("k", "v", "w"), t) // computes v_len = 3
+    // updates mention ONLY (k, w): v and v_len both preserve on match
+    TxLog.merge(Seq((1L, 11L), (2L, 21L), (9L, 90L)).toDF("k", "w"), t, "k")
+    val got = TxLog.snapshot(t).read(spark).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3))))).toMap
+    assert(got(1L) == ((Some("aa"), 11L, None)),
+      s"pre-rule row preserves v AND its legitimate null v_len, got ${got(1L)}")
+    assert(got(2L) == ((Some("bbb"), 21L, Some(3))),
+      s"post-rule row preserves v and its computed v_len, got ${got(2L)}")
+    assert(got(9L) == ((None, 90L, Some(-1))),
+      s"insert computes the gencol from its null-filled input, got ${got(9L)}")
+  }
+
+  test("merge recomputes a deferred gencol when SOME rule inputs are updated") {
+    // mixed case: the rule reads (v, x); updates carry x only. The changed
+    // input must refresh the derived value from (preserved v, new x) — the
+    // Delta recompute-on-changed-inputs discipline.
+    val t = freshTable("defer2")
+    TxLog.append(Seq((1L, "aa", "p")).toDF("k", "v", "x"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "tag", StringType,
+      "concat(coalesce(v, '?'), ':', coalesce(x, '?'))")
+    TxLog.merge(Seq((1L, "q"), (2L, "r")).toDF("k", "x"), t, "k")
+    val got = TxLog.snapshot(t).read(spark).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((Some("aa"), "q", "aa:q")),
+      s"changed input must recompute from (preserved v, new x), got ${got(1L)}")
+    assert(got(2L) == ((None, "r", "?:r")),
+      s"insert computes from the null-filled v, got ${got(2L)}")
+  }
+
+  test("merge verifies a PROVIDED gencol against the preserved inputs") {
+    // updates carry the gencol but omit its input: verification must bind
+    // the pre-image value through the preservation join — a liar refuses,
+    // the truth commits.
+    val t = freshTable("defer3")
+    TxLog.append(Seq((0L, "seed")).toDF("k", "v"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "length(v)")
+    TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t) // v_len = 2
+    intercept[TxLog.ConstraintViolation](
+      TxLog.merge(Seq((1L, 99)).toDF("k", "v_len"), t, "k"))
+    TxLog.merge(Seq((1L, 2)).toDF("k", "v_len"), t, "k")
+    val r = TxLog.snapshot(t).read(spark).where(col("k") === 1L).collect().head
+    assert(r.getString(1) == "aa" && r.getInt(2) == 2)
+  }
+
   test("SQL: ALTER ADD COLUMN ... GENERATED ALWAYS AS (...) end-to-end") {
     val t = freshTable("sql")
     TxLog.append(Seq((1L, "aa")).toDF("k", "v"), t, statsCol = Some("k"))
