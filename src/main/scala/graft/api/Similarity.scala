@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
@@ -254,9 +254,16 @@ object Similarity {
     val minAgree = math.max(0, math.ceil(cut * 256.0).toInt)
     // banded index with the 32-byte sketch inline: one projection pass per
     // vector computes both the band keys and the signature (same reshuffle
-    // rationale as bandsOf — spread few input splits by id first)
-    val e = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
-      .repartition(col("__id"))
+    // rationale as bandsOf — spread FEW input splits by id first). The
+    // exchange is CONDITIONAL on input parallelism: at 100 TB the table
+    // already arrives as thousands of splits, and an unconditional
+    // repartition there is one full shuffle of embedding payloads bought
+    // for nothing (r14 verdict). Local few-split inputs still spread.
+    val e0 = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+    val e =
+      if (e0.rdd.getNumPartitions >=
+          e0.sparkSession.sessionState.conf.numShufflePartitions) e0
+      else e0.repartition(col("__id"))
     val banded = e.select(col("__id"), SigPlanes(col("__emb")).as("__sig"),
       posexplode(graft.expressions.BandKeys(col("__emb"), nBands, bitsPerBand))
         .as(Seq("band", "key")))
@@ -436,14 +443,35 @@ object Similarity {
     * size by [[sketchBandGeometry]] — the 100 TB near-dup shape: fully
     * distributed (no driver-side signature state), candidates never shuffle,
     * miss probability bounded by the 4σ margin. Costs one column-pruned
-    * `count()` up front. */
+    * `count()` up front — unless the caller already knows the corpus size
+    * (`knownCount`), in which case the geometry derivation is FREE: zero
+    * Spark jobs before the banded pipeline itself. */
   def lshCosineNearDupSketchedAdaptive(emb: DataFrame, idCol: String,
       embCol: String, tau: Double, targetRecall: Double = 0.9,
-      marginSigmas: Double = 4.0): DataFrame = {
-    val n = emb.select(idCol).count()
+      marginSigmas: Double = 4.0, knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.select(idCol).count())
     val (bands, bits) = sketchBandGeometry(tau, math.max(n, 1L), targetRecall)
     log.info(s"lshCosineNearDupSketchedAdaptive: n=$n -> ($bands bands, $bits bits)")
     lshCosineNearDupSketched(emb, idCol, embCol, tau, bands, bits, marginSigmas)
+  }
+
+  /** [[lshCosineNearDupSketchedAdaptive]] over a TXLOG table: the corpus
+    * size comes from the log's per-file footer row counts
+    * ([[graft.sources.TxLog.rowCount]], the W24 metadata-COUNT(*) path —
+    * O(files) driver-side, zero Spark jobs) whenever every live file
+    * recorded one, falling back to the column-pruned `count()` scan on
+    * legacy tables. Geometry is IDENTICAL either way — rowCount is exact
+    * or absent, never approximate — so results match the generic entry
+    * point bit-for-bit. */
+  def lshCosineNearDupSketchedAdaptiveTable(spark: SparkSession,
+      table: String, idCol: String, embCol: String, tau: Double,
+      targetRecall: Double = 0.9, marginSigmas: Double = 4.0): DataFrame = {
+    val n = graft.sources.TxLog.rowCount(table)
+    log.info(s"lshCosineNearDupSketchedAdaptiveTable: metadata rowCount($table) = $n" +
+      (if (n.isEmpty) " — falling back to count()" else " (zero-job)"))
+    lshCosineNearDupSketchedAdaptive(
+      spark.read.format("txlog").load(table), idCol, embCol, tau,
+      targetRecall, marginSigmas, knownCount = n)
   }
 
   /** Near-dup pairs (cosine ≥ tau) WITHIN cells of an assigned corpus — the
