@@ -243,4 +243,50 @@ class TxLogDvSpec extends SparkSpec {
       "a clone of a DV'd table must not resurrect deleted rows")
     assert(TxLog.rowCount(dst).contains(90L), "metadata count masks too")
   }
+
+  test("two DV deletes on disjoint files admit without re-derivation") {
+    // the PROFITABLE positive case of disjoint-commit admission (r14
+    // verdict item 7): concurrent retention jobs DV-deleting disjoint key
+    // ranges must each pay exactly ONE derivation at 100 TB. The winner's
+    // DV swap commits remove(p) + re-add(p with the bitmap ref) carrying
+    // the ORIGINAL stats verbatim, so the loser's admission proof — the
+    // re-added envelope provably excludes its predicate — goes through
+    // and the SAME actions re-commit at the next slot. (r14 made metadata
+    // commits defeat admission, correctly conservative; this pins that a
+    // plain DV swap is NOT mistaken for one.)
+    import spark.implicits._
+    val t = freshTable("dvadmit")
+    TxLog.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), t, statsCol = Some("k"))        // v1
+    // stamp the deletionVectors protocol feature BEFORE the race: the
+    // FIRST DV delete on a table carries the protocol bump in its commit,
+    // and protocol lines defeat admission (correctly — a protocol change
+    // is a metadata interaction). Steady state — the 100 TB retention
+    // scenario — has the feature stamped long before jobs race.
+    TxLog.delete(spark, t, col("k") === 1L, statsCol = Some("k"), useDV = true) // v2
+    val livePaths = TxLog.snapshot(t).files.toSet
+    TxLog.deleteDerivations.set(0L)
+    TxLog.deleteCommitHook = () => {
+      TxLog.deleteCommitHook = () => ()
+      // concurrent retention job: DV-deletes a key in a DIFFERENT file
+      TxLog.delete(spark, t, col("k") === 5L, statsCol = Some("k"), useDV = true)
+      ()
+    }
+    try {
+      val v = TxLog.delete(spark, t, col("k") === 95L,
+        statsCol = Some("k"), useDV = true)
+      assert(v == 4L, "winner lands v3; the admitted DV delete lands v4")
+    } finally TxLog.deleteCommitHook = () => ()
+    // two derivations TOTAL: one per delete — the loser re-committed its
+    // same actions, it did not re-derive
+    assert(TxLog.deleteDerivations.get == 2L,
+      s"disjoint DV winner must not force a re-derivation, saw ${TxLog.deleteDerivations.get}")
+    val ks = TxLog.snapshot(t).read(spark).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ks.contains(5L) && !ks.contains(95L) && ks.size == 97,
+      s"all three deletes applied, got ${ks.size} rows")
+    // both were DV swaps: every live path is an ORIGINAL file (no rewrite)
+    assert(TxLog.snapshot(t).files.toSet == livePaths,
+      "DV swaps keep file paths — a rewrite appeared where none should")
+  }
 }
