@@ -66,6 +66,28 @@ object Bench {
     // rather than all repetitions of the unlucky one. System load average is
     // recorded before and after so a contended run is visible in the artifact
     // itself instead of needing a judge re-run to detect.
+    // BOX-SPEED CALIBRATION (r14 verdict item 5): a fixed, single-thread,
+    // CPU-bound microbench timed into the artifact, so cross-artifact
+    // ratios can be normalized for the host's documented drift (~1.3-1.5x
+    // between windows) WITHOUT re-running old binaries. The loop is pure
+    // register arithmetic (multiply/rotate/xor — no allocation, no memory
+    // traffic), so it tracks effective clock speed, not cache state. One
+    // discarded JIT-warm pass, then min of 3 (the least-interrupted pass
+    // is the box's true speed; medians would re-absorb the contention this
+    // stamp exists to expose).
+    def calibrationPass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 27)) {
+        x = java.lang.Long.rotateLeft(x * 0x2545F4914F6CDD1DL, 31) ^ (x >>> 17)
+        i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationPass() // JIT warm, discarded
+    val calibration = (1 to 3).map(_ => calibrationPass()).min
     val runs = math.max(1, args.collectFirst { case a if a.startsWith("--runs=") => a.stripPrefix("--runs=") }
       .orElse(sys.env.get("SPARK_GRAFT_RUNS"))
       .orElse(yml.flatMap(_.get("bench.runs")))
@@ -146,7 +168,7 @@ object Bench {
       } catch { case _: Exception => "unknown" }
     val stampedAt = java.time.Instant.now().toString
     val skipped = skip.toSeq.sorted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":"$cpus","failed":$failed,"commit":"$commit","stamped_at":"$stampedAt","skipped":$skipped"""
+    val meta = s""""runs":$runs,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"calibration_s":${fmt(calibration)},"cpus":"$cpus","failed":$failed,"commit":"$commit","stamped_at":"$stampedAt","skipped":$skipped"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
     println(json)
     // The artifact also lands in a file (SPARK_GRAFT_BENCH_OUT, default

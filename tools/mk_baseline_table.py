@@ -32,6 +32,16 @@ for a in sf01 + sf1 + ([sf10] if sf10 else []):
     assert not a["failed"], a["failed"]
     assert not a.get("contended"), "contended artifact must not be canonical"
 
+# Box-speed stamps (r14 verdict item 5): every artifact since r15 carries
+# `calibration_s` — a fixed single-thread CPU microbench. Surface them so
+# a reader comparing this table against another window can normalize for
+# box drift without re-running binaries. (Absent on pre-r15 artifacts.)
+cals = [a.get("calibration_s") for a in sf01 + sf1 + ([sf10] if sf10 else [])]
+if any(c is not None for c in cals):
+    shown = ", ".join(f"{c:.3f}" if c is not None else "—" for c in cals)
+    print(f"calibration_s per artifact (sf0.1×{len(sf01)}, sf1×{len(sf1)}"
+          f"{', sf10' if sf10 else ''}): {shown}", file=sys.stderr)
+
 names = sorted(sf01[0]["queries"])
 rows = []
 for n in names:
