@@ -377,9 +377,14 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
           else readSchema.fieldNames.map(n => (n, n)).toSet
         // identity fallback uses the schema AS OF that version, not the
         // current one — alter commits always record a mapping, so the
-        // fallback only fires for versions before mapping was enabled
+        // fallback only fires for versions before mapping was enabled.
+        // Before v1 no column existed at all (empty set, NOT the current
+        // schema: an alter in the very first slot can have dropped
+        // nothing, and the current-schema fallback would fabricate a
+        // delta for every column added since).
         def mappingAt(v: Long): Set[(String, String)] =
-          TxLog.columnMapping(table, asOf = v) match {
+          if (v < 1) Set.empty
+          else TxLog.columnMapping(table, asOf = v) match {
             case Seq() =>
               TxLog.snapshot(table, v).schemaJson.map(TxLog.schemaOf)
                 .getOrElse(readSchema).fieldNames.map(n => (n, n)).toSet
