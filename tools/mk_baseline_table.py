@@ -15,7 +15,11 @@ def load(path):
         return json.load(f)
 
 prefix = sys.argv[1] if len(sys.argv) > 1 else "r13_final174"
-sf01 = [load(f"bench/BENCH_{prefix}_sf0.1_run{i}.json") for i in (1, 2, 3)]
+# optional second arg: comma-separated sf0.1 run ids (default 1,2,3) — for
+# programs where one leg drew a contended window and a supplemental quiet
+# run replaces it (artifact names are never reused, per the discipline)
+run_ids = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 3]
+sf01 = [load(f"bench/BENCH_{prefix}_sf0.1_run{i}.json") for i in run_ids]
 sf1 = []
 for i in (1, 2):
     try:

@@ -35,12 +35,18 @@ SKIP_SF10_FULL=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embe
 if [ -d /root/repo/.benchtree_r14 ]; then
   ( cd /root/repo/.benchtree_r14 && \
     sbt -batch compile > /tmp/bench_r14ab_compile.log 2>&1 && \
+    sleep 170 && \
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_ab_r14binary_sf0.1_run1.json \
     sbt -batch "runMain graft.Bench" > /tmp/bench_r15_ab_r14.log 2>&1 )
 fi
 
+# settle sleeps between legs (r15 lesson): without them each leg's own
+# teardown load leaks into the next leg's loadavg_before and every
+# back-to-back artifact stamps contended:true — 1-min loadavg needs
+# ~3 min to decay below the threshold after a 32-thread run exits.
 for i in 1 2 3; do
+  sleep 170
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf0.1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf01_run$i.log 2>&1
@@ -51,6 +57,7 @@ if [ ! -d target/sf1 ]; then
     > /tmp/genscale_sf1.log 2>&1
 fi
 for i in 1 2; do
+  sleep 170
   SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf1_run$i.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf1_run$i.log 2>&1
@@ -60,6 +67,7 @@ if [ ! -d target/sf10 ]; then
   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 target/sf10 100" \
     > /tmp/genscale_sf10.log 2>&1
 fi
+sleep 170
 SPARK_GRAFT_SKIP=$SKIP_SF10_CMP \
 SPARK_DRIVER_MEM=16g \
 SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
@@ -72,6 +80,7 @@ sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf10_run1.log 2>&1
 # as this box can. Confs differ from the default-conf comparable run
 # above, so the two artifacts answer different questions (comparability
 # vs coverage).
+sleep 170
 SPARK_GRAFT_SKIP=$SKIP_SF10_FULL \
 SPARK_GRAFT_CONFIG_YML=/root/repo/tools/sf10_heavy.yml \
 SPARK_DRIVER_MEM=16g \
