@@ -20,8 +20,10 @@ prefix = sys.argv[1] if len(sys.argv) > 1 else "r13_final174"
 # run replaces it (artifact names are never reused, per the discipline)
 run_ids = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 3]
 sf01 = [load(f"bench/BENCH_{prefix}_sf0.1_run{i}.json") for i in run_ids]
+# optional third arg: sf1 run ids (default 1,2)
+sf1_ids = [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [1, 2]
 sf1 = []
-for i in (1, 2):
+for i in sf1_ids:
     try:
         sf1.append(load(f"bench/BENCH_{prefix}_sf1_run{i}.json"))
     except FileNotFoundError:
