@@ -31,13 +31,17 @@ sbt -batch compile > /tmp/bench_compile.log 2>&1 || { touch /tmp/BENCH_FAILED; e
 SKIP_SF10_CMP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,dedup_lsh_sketched,sql_tpch_q9,sql_tpch_q21
 SKIP_SF10_FULL=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,dedup_lsh_sketched
 
-# -- Same-day A/B: r14 binary first (pinned in .benchtree_r14) --
-if [ -d /root/repo/.benchtree_r14 ]; then
-  ( cd /root/repo/.benchtree_r14 && \
+# -- Same-day A/B: PREVIOUS round's binary first. Pin it before launch:
+#   git worktree add --detach /root/repo/.benchtree_prev <prev-round-commit>
+# (.benchtree_r14 kept as a fallback name for the r15 program's layout) --
+ABTREE=/root/repo/.benchtree_prev
+[ -d "$ABTREE" ] || ABTREE=/root/repo/.benchtree_r14
+if [ -d "$ABTREE" ]; then
+  ( cd "$ABTREE" && \
     sbt -batch compile > /tmp/bench_r14ab_compile.log 2>&1 && \
     sleep 170 && \
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_ab_r14binary_sf0.1_run1.json \
+    SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_ab_prevbinary_sf0.1_run1.json \
     sbt -batch "runMain graft.Bench" > /tmp/bench_r15_ab_r14.log 2>&1 )
 fi
 
