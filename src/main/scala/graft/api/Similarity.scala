@@ -260,8 +260,11 @@ object Similarity {
     // repartition there is one full shuffle of embedding payloads bought
     // for nothing (r14 verdict). Local few-split inputs still spread.
     val e0 = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+    // parallelism probe from the LOGICAL scan (cached file listing), not
+    // .rdd — which would plan the whole physical lineage per call just to
+    // count partitions (r15 advisor finding)
     val e =
-      if (e0.rdd.getNumPartitions >=
+      if (org.apache.spark.sql.GraftBridge.inputSplitEstimate(e0) >=
           e0.sparkSession.sessionState.conf.numShufflePartitions) e0
       else e0.repartition(col("__id"))
     val banded = e.select(col("__id"), SigPlanes(col("__emb")).as("__sig"),

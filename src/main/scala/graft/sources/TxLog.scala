@@ -1044,8 +1044,20 @@ object TxLog {
         verifiedGens = Some(replay.gens.toMap) // immutable snapshot for the compare
       }
       val updatesG = computeGenerated(updates, gensNow)
+      // when NO file holds an update key (empty table, or an all-insert
+      // merge whose keys miss every envelope) the pre-image is empty — but
+      // it must still carry the LOG schema: missingCols below derives the
+      // preservation + deferred-gencol inputs from current's columns, and
+      // an updates-shaped empty frame would leave a deferred rule's inputs
+      // unresolvable (r15 advisor finding). Tables with gens always have a
+      // schema action (addGeneratedColumn commits one), so the fold's
+      // updates-shaped fallback only ever fires with gensDeferred empty.
       val current =
-        if (touched.isEmpty) updatesG.limit(0)
+        if (touched.isEmpty)
+          replay.schema.fold(updatesG.limit(0))(j =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schemaOf(j)))
         else readLive(spark,
           replay.schema.fold(spark.read)(j => spark.read.schema(schemaOf(j))),
           touched, replay.live)

@@ -44,6 +44,39 @@ object GraftBridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     execution.datasources.LogicalRelation(rel)
 
+  /** Estimated input parallelism of a frame WITHOUT building its physical
+    * plan (r15 advisor finding: `.rdd.getNumPartitions` plans the whole
+    * physical RDD lineage — for file sources that repeats split planning,
+    * and it is driver-side overhead on every call). Walks the OPTIMIZED
+    * logical plan instead: an explicit Repartition answers directly; a
+    * file scan is estimated by mirroring `FilePartition.maxSplitBytes`
+    * arithmetic over the FileIndex's cached listing (no job, no physical
+    * plan); anything else falls back to the physical count. The estimate
+    * can differ from Spark's exact bin-packing by ~nFiles·openCost/split —
+    * callers use it for coarse `>= parallelism` routing, never semantics. */
+  def inputSplitEstimate(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: Repartition => r.numPartitions
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(conf.numShufflePartitions)
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = l.relation.asInstanceOf[HadoopFsRelation]
+        val nFiles = fs.location.inputFiles.length.toLong
+        val openCost = conf.filesOpenCostInBytes
+        val totalWithOpen = fs.location.sizeInBytes + nFiles * openCost
+        val minPartitionNum: Long = conf.filesMinPartitionNum
+          .getOrElse(spark.sparkContext.defaultParallelism).toLong
+        val bytesPerCore = totalWithOpen / math.max(1L, minPartitionNum)
+        val maxSplit =
+          math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+        math.max(1L, (totalWithOpen + maxSplit - 1) / math.max(1L, maxSplit)).toInt
+    }.getOrElse(df.rdd.getNumPartitions)
+  }
+
   /** Analyze + wrap a LogicalPlan as a DataFrame — the command-side
     * counterpart of `spark.sql` for a plan captured BEFORE analysis (an
     * INSERT command defers its source query to run time; `Dataset.ofRows`

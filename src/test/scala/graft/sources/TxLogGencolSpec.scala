@@ -241,6 +241,46 @@ class TxLogGencolSpec extends SparkSpec {
       s"insert computes from the null-filled v, got ${got(2L)}")
   }
 
+  test("all-insert merge missing every envelope composes with a deferred gencol") {
+    // r15 advisor finding: when `touched` is empty (no file's key envelope
+    // can hold an update key) the pre-image frame was built updates-shaped,
+    // so a deferred rule's inputs were unresolvable and the merge threw
+    // AnalysisException — the exact "old writers keep working after an
+    // evolution" case the deferral exists for. The pre-image must carry
+    // the LOG schema even when empty.
+    val t = freshTable("defer4")
+    TxLog.append(Seq((1L, "aa", 10L)).toDF("k", "v", "w"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "coalesce(length(v), -1)")
+    // keys 100/101 miss file 1's [1,1] envelope entirely: touched = ∅
+    TxLog.merge(Seq((100L, 5L), (101L, 6L)).toDF("k", "w"), t, "k")
+    val got = TxLog.snapshot(t).read(spark).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3))))).toMap
+    assert(got(1L) == ((Some("aa"), 10L, None)), s"untouched survivor, got ${got(1L)}")
+    assert(got(100L) == ((None, 5L, Some(-1))) && got(101L) == ((None, 6L, Some(-1))),
+      s"inserts compute the gencol from null-filled inputs, got $got")
+    // provided-gencol variant through the same empty-pre-image path:
+    // verification must run (liar refused) and the truth commit
+    intercept[TxLog.ConstraintViolation](
+      TxLog.merge(Seq((200L, 99)).toDF("k", "v_len"), t, "k"))
+    TxLog.merge(Seq((200L, -1)).toDF("k", "v_len"), t, "k")
+    assert(TxLog.snapshot(t).read(spark).where(col("k") === 200L).count() == 1)
+  }
+
+  test("merge into an EMPTY table composes with a deferred gencol") {
+    // the other touched-is-empty shape: the table exists (schema + rule in
+    // the log) but holds zero live rows — every merge row is an insert
+    val t = freshTable("defer5")
+    TxLog.append(Seq((1L, "aa", 10L)).toDF("k", "v", "w"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "v_len", IntegerType, "coalesce(length(v), -1)")
+    TxLog.delete(spark, t, lit(true))
+    assert(TxLog.snapshot(t).read(spark).count() == 0)
+    TxLog.merge(Seq((7L, 70L)).toDF("k", "w"), t, "k")
+    val r = TxLog.snapshot(t).read(spark).collect().head
+    assert(r.getLong(0) == 7L && r.isNullAt(1) && r.getLong(2) == 70L &&
+      r.getInt(3) == -1, s"insert into empty table computes the gencol, got $r")
+  }
+
   test("merge verifies a PROVIDED gencol against the preserved inputs") {
     // updates carry the gencol but omit its input: verification must bind
     // the pre-image value through the preservation join — a liar refuses,

@@ -15,10 +15,20 @@ qa, qb = a["queries"], b["queries"]
 shared = sorted(set(qa) & set(qb))
 sa = sum(qa[n] for n in shared)
 sb = sum(qb[n] for n in shared)
+
+def fmt_load(art):
+    # pre-r14 artifacts carry no loadavg_before — format only when present
+    v = art.get("loadavg_before")
+    return f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+
 print(f"A: {sys.argv[1]}  commit={a.get('commit')} contended={a.get('contended')} "
-      f"load={a.get('loadavg_before'):.2f} cal={a.get('calibration_s', '—')}")
+      f"load={fmt_load(a)} cal={a.get('calibration_s', '—')}")
 print(f"B: {sys.argv[2]}  commit={b.get('commit')} contended={b.get('contended')} "
-      f"load={b.get('loadavg_before'):.2f} cal={b.get('calibration_s', '—')}")
+      f"load={fmt_load(b)} cal={b.get('calibration_s', '—')}")
+if not shared or sa == 0:
+    print(f"no comparable shared set (shared={len(shared)}, A subtotal={sa}) — "
+          "nothing to ratio")
+    sys.exit(0)
 print(f"shared-{len(shared)} subtotal: A {sa:.1f} s, B {sb:.1f} s -> B/A = {sb/sa:.3f}x")
 only_a = set(qa) - set(qb); only_b = set(qb) - set(qa)
 if only_a: print(f"only in A: {sorted(only_a)}")

@@ -1,11 +1,13 @@
 #!/bin/bash
-# Canonical r15 baseline program, quiet box required. Sequence:
+# Canonical per-round baseline program, quiet box required. Usage:
+#   tools/run_canonical_benches.sh rNN Sequence:
 #   A/B  — the R14 binary (pinned second worktree) at sf0.1, then the r15
 #          binary at sf0.1: same-day same-box ratio that separates code
 #          delta from the documented box drift. Every artifact now also
 #          stamps `calibration_s` (fixed single-thread CPU microbench) so
 #          later readers can normalize across windows without reruns.
-#   sf0.1 x3, sf1 x2 (GenScale 10x), sf10-comparable x1 (GenScale 100x),
+#   sf0.1 x3, sf1 x3 (GenScale 10x; r15 verdict item 5 — median-of-3
+#   quiet legs), sf10-comparable x1 (GenScale 100x),
 #   then Run B: full catalog at sf10 under the heavy-conf YAML.
 # Runs from the PINNED git worktree (.benchtree) so working-tree edits can
 # never change the measured binary mid-program. Artifacts land in the main
@@ -21,6 +23,16 @@
 # dedup_lsh_sketched_adaptive, which stays in). The skip list is stamped
 # into the artifact.
 set -u
+# Round tag is REQUIRED (r15 advisor finding: a hardcoded name silently
+# overwrote the prior round's A/B artifact on re-run). Artifacts refuse
+# to overwrite — never reuse an artifact name; bump the run suffix.
+ROUND=${1:?usage: run_canonical_benches.sh rNN (round tag for artifact names)}
+fresh() {  # fresh <path>: fail the program rather than clobber history
+  if [ -e "$1" ]; then
+    echo "REFUSING to overwrite existing artifact $1" >&2
+    touch /tmp/BENCH_FAILED; exit 1
+  fi
+}
 cd /root/repo/.benchtree || { touch /tmp/BENCH_FAILED; exit 1; }
 # pin the worktree to main's HEAD as of program LAUNCH (one checkout, so
 # mid-program edits to the working tree can never change the binary)
@@ -41,8 +53,9 @@ if [ -d "$ABTREE" ]; then
     sbt -batch compile > /tmp/bench_r14ab_compile.log 2>&1 && \
     sleep 170 && \
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_ab_prevbinary_sf0.1_run1.json \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_r15_ab_r14.log 2>&1 )
+    fresh /root/repo/bench/BENCH_${ROUND}_ab_prevbinary_sf0.1_run1.json && \
+    SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_ab_prevbinary_sf0.1_run1.json \
+    sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_ab_prev.log 2>&1 )
 fi
 
 # settle sleeps between legs (r15 lesson): without them each leg's own
@@ -52,19 +65,21 @@ fi
 for i in 1 2 3; do
   sleep 170
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf0.1_run$i.json \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf01_run$i.log 2>&1
+  fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf0.1_run$i.json
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf0.1_run$i.json \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf01_run$i.log 2>&1
 done
 
 if [ ! -d target/sf1 ]; then
   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 target/sf1 10" \
     > /tmp/genscale_sf1.log 2>&1
 fi
-for i in 1 2; do
+for i in 1 2 3; do
   sleep 170
   SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf1_run$i.json \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf1_run$i.log 2>&1
+  fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf1_run$i.json
+  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf1_run$i.json \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf1_run$i.log 2>&1
 done
 
 if [ ! -d target/sf10 ]; then
@@ -75,8 +90,9 @@ sleep 170
 SPARK_GRAFT_SKIP=$SKIP_SF10_CMP \
 SPARK_DRIVER_MEM=16g \
 SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf10_comparable_run1.json \
-sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf10_run1.log 2>&1
+fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json \
+sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf10_run1.log 2>&1
 
 # Run B — the FULL catalog at sf10 under the spill-budget recipe
 # (tools/sf10_heavy.yml: zstd, 96 partitions, AQE, 16g driver), only the
@@ -89,7 +105,8 @@ SPARK_GRAFT_SKIP=$SKIP_SF10_FULL \
 SPARK_GRAFT_CONFIG_YML=/root/repo/tools/sf10_heavy.yml \
 SPARK_DRIVER_MEM=16g \
 SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_r15_final175_sf10_full_heavyconf_run1.json \
-sbt -batch "runMain graft.Bench" > /tmp/bench_r15_sf10_full_run1.log 2>&1
+fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf10_full_heavyconf_run1.json
+SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf10_full_heavyconf_run1.json \
+sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf10_full_run1.log 2>&1
 
 touch /tmp/ALL_BENCHES_DONE
