@@ -559,9 +559,15 @@ object TxLog {
     // that fails to read just leaves that file count-less.
     val rowsOf = footerRowCounts(df.sparkSession, files)
     files.map { p =>
-      addLine(p, rowsOf.get(p), stats.getOrElse(normalize(p), Seq.empty))
+      addLine(p, rowsOf.get(p), fileSize(p), stats.getOrElse(normalize(p), Seq.empty))
     }
   }
+
+  /** On-disk byte size of a just-staged file (Delta's add.size): one local
+    * stat at write time so readers — notably streaming byte-based admission
+    * (`maxBytesPerTrigger`) — never have to touch the filesystem per file. */
+  private def fileSize(path: String): Option[Long] =
+    try Some(Files.size(Paths.get(path))) catch { case _: Exception => None }
 
   /** Row count per file from parquet footer metadata (no data I/O). */
   private def footerRowCounts(spark: SparkSession,
@@ -579,10 +585,12 @@ object TxLog {
     }.toMap
   }
 
-  /** One add-action line with optional row count + per-column stats. */
-  private def addLine(path: String, rows: Option[Long],
+  /** One add-action line with optional row count, byte size and
+    * per-column stats. */
+  private def addLine(path: String, rows: Option[Long], size: Option[Long],
       entries: Seq[ColStat]): String = {
-    val rowsPart = rows.map(n => s""","rows":$n""").getOrElse("")
+    val rowsPart = rows.map(n => s""","rows":$n""").getOrElse("") +
+      size.map(n => s""","size":$n""").getOrElse("")
     if (entries.isEmpty) s"""{"add":{"path":${quote(path)}$rowsPart}}"""
     else {
       val body = entries.map { s =>
@@ -2546,7 +2554,7 @@ object TxLog {
     val rowsOf = footerRowCounts(spark, files)
     val adds = files.map { p =>
       val abs = normalize(p)
-      addLine(abs, rowsOf.get(p), stats.getOrElse(abs, Seq.empty))
+      addLine(abs, rowsOf.get(p), fileSize(p), stats.getOrElse(abs, Seq.empty))
     }
     commit(dir, 1L, adds :+ schemaLine(schema.json), "convert")
     1L
@@ -2926,7 +2934,8 @@ object TxLog {
     require(latestVersion(dst) == 0L,
       s"clone target $dst is already a txlog table (tip ${latestVersion(dst)})")
     val adds = r.live.toSeq.map { case (path, line) =>
-      val base = addLine(normalize(path), parseRows(line), parseStatsAll(line))
+      val base = addLine(normalize(path), parseRows(line), parseSize(line),
+        parseStatsAll(line))
       // an unabsorbed deletion vector MUST ride the clone: the re-spelled
       // add-line without its dv field would serve the source's deleted rows
       // back to life (the sidecar path is already absolute, so the clone's
@@ -3204,7 +3213,11 @@ object TxLog {
     * added. Removals are not surfaced — a streaming reader of an
     * append-style table never sees them, and a rewrite commit is exactly
     * one whose op is not `append` (see [[TxLogStreamSource]]). */
-  final case class Commit(version: Long, op: String, added: Seq[String])
+  /** `addedSizes` aligns 1:1 with `added`: the recorded byte size of each
+    * added file (None for lines from writers that predate size recording —
+    * consumers needing bytes fall back to a filesystem stat). */
+  final case class Commit(version: Long, op: String, added: Seq[String],
+      addedSizes: Seq[Option[Long]] = Seq.empty)
 
   /** The commits in version range (`fromExclusive`, `toInclusive`], oldest
     * first — the batch change-feed behind the streaming source. O(range)
@@ -3222,10 +3235,10 @@ object TxLog {
         val op = lines.iterator.flatMap(parseMeta).collectFirst {
           case (o, _) => o
         }.getOrElse("append")
-        val added = lines.iterator.flatMap(parseAction).collect {
-          case ("add", path) => path
-        }.toSeq
-        Some(Commit(v, op, added))
+        val added = lines.iterator.flatMap(l => parseAction(l).collect {
+          case ("add", path) => (path, parseSize(l))
+        }).toSeq
+        Some(Commit(v, op, added.map(_._1), added.map(_._2)))
       }
     }
   }
@@ -3766,6 +3779,13 @@ object TxLog {
     * writer's stats scan ran. */
   private[sources] def parseRows(line: String): Option[Long] =
     RowsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+
+  private val SizeRe = """"size":(\d+)""".r
+
+  /** The add-action's recorded byte size (Delta's add.size), if the writer
+    * recorded one (writers since r16 always do; None on older lines). */
+  private[sources] def parseSize(line: String): Option[Long] =
+    SizeRe.findFirstMatchIn(line).map(_.group(1).toLong)
 
   /** The table's exact row count FROM LOG METADATA — Some only when every
     * live file carries a recorded count (all files written by a stats-

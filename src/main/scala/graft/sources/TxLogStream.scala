@@ -49,7 +49,17 @@ import org.apache.spark.sql.types.StructType
   * Options: `ignoreChanges` (above); `maxVersionsPerTrigger` (cap versions
   * consumed per micro-batch — best-effort per driver JVM, the first batch
   * after a restart is uncapped because V1 sources learn the committed
-  * offset only from the engine's first getBatch call); `startingVersion`
+  * offset only from the engine's first getBatch call);
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` (Delta-parity byte/file
+  * admission: a 100-commit backlog of fat commits must not plan one giant
+  * batch — versions are admitted oldest-first while the accumulated batch
+  * stays within BOTH caps, and the first data-carrying version always
+  * admits so a single commit larger than a cap stays consumable; offsets
+  * are version-granular, so caps round UP to whole commits. Bytes accept
+  * `512m`/`1g` suffixes. Sizes come from the add-actions' recorded `size`
+  * field — O(pending-commits) driver-side log reads, with a per-file stat
+  * fallback only for legacy lines written before size recording. Same
+  * best-effort restart caveat as maxVersionsPerTrigger); `startingVersion`
   * (tail-only mode: skip the initial snapshot and consume only commits
   * AFTER the given version — `startingVersion=latest-at-start` is the
   * "new data only" stream; the pinned start rides the offset log, so a
@@ -158,7 +168,13 @@ class TxLogStreamProvider extends StreamSourceProvider with RelationProvider
       schema.getOrElse(TxLogStreamSource.inferSchema(sqlContext, table)),
       ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
       maxVersionsPerTrigger = lower.get("maxversionspertrigger").map(_.toLong),
-      startingVersion = startingVersion)
+      startingVersion = startingVersion,
+      maxFilesPerTrigger = lower.get("maxfilespertrigger").map { s =>
+        val n = s.toLong
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $s"); n
+      },
+      maxBytesPerTrigger = lower.get("maxbytespertrigger")
+        .map(TxLogStreamSource.parseByteString))
   }
 }
 
@@ -185,6 +201,28 @@ object TxLogStreamSource {
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "txlog source needs a table path: .load(<tablePath>)"))
+
+  /** `"512m"`/`"2g"`-style byte strings (Delta's maxBytesPerTrigger
+    * spelling), plain digits = bytes. */
+  private[graft] def parseByteString(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val (digits, mult) = t.takeWhile(c => c.isDigit) match {
+      case d if d.length == t.length => (d, 1L)
+      case d => (d, t.drop(d.length) match {
+        case "b"          => 1L
+        case "k" | "kb"   => 1L << 10
+        case "m" | "mb"   => 1L << 20
+        case "g" | "gb"   => 1L << 30
+        case "t" | "tb"   => 1L << 40
+        case suffix => throw new IllegalArgumentException(
+          s"maxBytesPerTrigger: unknown byte suffix '$suffix' in '$s'")
+      })
+    }
+    require(digits.nonEmpty, s"maxBytesPerTrigger: no digits in '$s'")
+    val v = digits.toLong * mult
+    require(v > 0, s"maxBytesPerTrigger must be positive, got $s")
+    v
+  }
 
   /** Schema = the log-recorded table schema when present (tables created
     * since schema tracking; a mid-stream evolution does NOT retype a
@@ -287,7 +325,9 @@ class TxLogCdfStreamSource(sqlContext: SQLContext, table: String,
 class TxLogStreamSource(sqlContext: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long],
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   /** Last version handed to the engine (from getOffset or getBatch) — the
     * base the per-trigger cap advances from. -1 = unknown (fresh source;
@@ -301,13 +341,53 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
     if (startingVersion.exists(tip <= _)) None
     else if (tip < 1) None
     else {
-      val end = maxVersionsPerTrigger match {
+      val vCapped = maxVersionsPerTrigger match {
         case Some(cap) if lastEnd >= 0 => math.min(tip, lastEnd + math.max(1L, cap))
         case _                         => tip
       }
+      val end = if (lastEnd < 0) vCapped else admitUpTo(vCapped)
       lastEnd = math.max(lastEnd, end)
       Some(LongOffset(end))
     }
+  }
+
+  /** FILE/BYTE admission (Delta's AdmissionLimits at commit granularity):
+    * advance from `lastEnd` toward `maxV`, admitting whole versions
+    * oldest-first while the accumulated batch stays within both caps.
+    * Metadata-only commits (optimize/alter/constraints) are free. The first
+    * DATA-carrying version always admits — a single commit larger than a
+    * cap must still be consumable, it just gets a batch to itself. Cost:
+    * O(pending commits) driver-side log-json reads per trigger, bounded by
+    * the caps themselves once the stream is caught up; byte sizes come
+    * from the add-actions' recorded `size` (stat fallback only for lines
+    * from pre-size writers). */
+  private def admitUpTo(maxV: Long): Long = {
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) return maxV
+    var end = lastEnd
+    var files = 0L
+    var bytes = 0L
+    var admittedData = false
+    val metaOnly = Set("optimize", "alter", "addConstraint", "dropConstraint")
+    for (c <- TxLog.changes(table, lastEnd, maxV)) {
+      val n = if (metaOnly.contains(c.op)) 0 else c.added.length
+      val sz =
+        if (n == 0) 0L
+        else c.added.zipAll(c.addedSizes, "", None).map {
+          case (_, Some(s)) => s
+          case (p, None) =>
+            try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+            catch { case _: Exception => 0L }
+        }.sum
+      val over = n > 0 && admittedData &&
+        (maxFilesPerTrigger.exists(files + n > _) ||
+          maxBytesPerTrigger.exists(bytes + sz > _))
+      if (over) return end
+      files += n
+      bytes += sz
+      if (n > 0) admittedData = true
+      end = c.version
+    }
+    maxV // everything fit (trailing never-committed slots consume for free)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -397,6 +397,83 @@ class TxSourceSpec extends SparkSpec {
       Set(1L -> "A", 2L -> "b", 3L -> "c"))
   }
 
+  test("maxFilesPerTrigger bounds files consumed per micro-batch") {
+    // Delta-parity rate control (r15 verdict item 7): a backlog of commits
+    // must not plan one giant batch. Offsets are version-granular, so the
+    // cap admits whole commits oldest-first; each 1-file append here lands
+    // its own batch under maxFilesPerTrigger=1.
+    val t = freshTable("fcap")
+    TxLog.append(df(1L -> "a"), t)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txlog")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_fcap_ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // initial snapshot batch (uncapped, documented)
+      TxLog.append(df(2L -> "b"), t)
+      TxLog.append(df(3L -> "c"), t)
+      TxLog.append(df(4L -> "d"), t)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val counts = batches.asScala.toSeq
+      assert(counts.sum == 4, s"all rows exactly once, got $counts")
+      assert(counts.count(_ == 1L) >= 3, s"expected per-file batches, got $counts")
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger admits whole commits; oversized commits still consumable") {
+    // byte cap of 1b: every data commit exceeds it, so each admits alone
+    // (the first data-carrying version always admits — a commit larger
+    // than the cap gets a batch to itself rather than wedging the stream)
+    val t = freshTable("bcap")
+    TxLog.append(df(1L -> "a"), t)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txlog")
+      .option("maxBytesPerTrigger", "1b").load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_bcap_ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(df(2L -> "b"), t)
+      // a metadata-only commit in the window is free and must not stall
+      TxLog.addConstraint(spark, t, "v_ok", "length(v) > 0")
+      TxLog.append(df(3L -> "c"), t)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val counts = batches.asScala.toSeq
+      assert(counts.sum == 3, s"all rows exactly once, got $counts")
+      assert(counts.count(_ == 1L) >= 2, s"expected per-commit batches, got $counts")
+    } finally q.stop()
+  }
+
+  test("byte-string parsing and recorded add sizes") {
+    import graft.sources.TxLogStreamSource.parseByteString
+    assert(parseByteString("123") == 123L)
+    assert(parseByteString("1b") == 1L && parseByteString("2k") == 2048L)
+    assert(parseByteString("512m") == 512L * (1L << 20))
+    assert(parseByteString("1G") == (1L << 30) && parseByteString("1tb") == (1L << 40))
+    intercept[IllegalArgumentException](parseByteString("10x"))
+    intercept[IllegalArgumentException](parseByteString("0"))
+    // writers record add.size so byte admission reads the log, never stat
+    val t = freshTable("sizes")
+    TxLog.append(df(1L -> "a"), t)
+    val c = TxLog.changes(t, 0L, 1L).head
+    assert(c.addedSizes.length == c.added.length && c.addedSizes.forall(_.isDefined),
+      s"every add must carry a recorded size, got ${c.addedSizes}")
+    assert(c.addedSizes.flatten.head ==
+      java.nio.file.Paths.get(c.added.head).toFile.length(),
+      "recorded size must equal the on-disk byte size")
+  }
+
   test("maxVersionsPerTrigger bounds versions consumed per micro-batch") {
     val t = freshTable("cap")
     TxLog.append(df(1L -> "a"), t)
