@@ -558,7 +558,17 @@ object TxLog {
     // answer from log metadata alone (see rowCount). Best-effort: a footer
     // that fails to read just leaves that file count-less.
     val rowsOf = footerRowCounts(df.sparkSession, files)
-    files.map { p =>
+    // a staged file that PROVABLY recorded zero rows carries no data:
+    // committing it grows the live set with noise (a file-scoped merge
+    // whose touched file keeps no survivors routinely writes one empty
+    // part file) and, stats-less as empty files are, defeats disjoint
+    // admission for every concurrent writer racing this commit. Delete it
+    // instead of committing it — only a footer-proven Some(0) is dropped;
+    // a file whose footer failed to read stays (conservative).
+    val (emptyFiles, keep) = files.partition(p => rowsOf.get(p).contains(0L))
+    emptyFiles.foreach(p =>
+      try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
+    keep.map { p =>
       addLine(p, rowsOf.get(p), fileSize(p), stats.getOrElse(normalize(p), Seq.empty))
     }
   }
@@ -1471,18 +1481,21 @@ object TxLog {
     lines.forall { l =>
       parseAction(l) match {
         case Some(("remove", path)) => !ourRemoves.contains(path)
-        case Some(("add", _)) => bounds match {
-          case None => true // no non-null update keys ⇒ adds cannot collide
-          case Some((lo, hi)) =>
-            parseStatsAll(l)
-              .collectFirst { case st if st.col == keyCol => (st.min, st.max) }
-              .exists { case (mn, mx) =>
-                proven(GreaterThan(
-                  Cast(Literal(mn), keyType, Some(tzId), EvalMode.TRY), Literal(hi))) ||
-                proven(LessThan(
-                  Cast(Literal(mx), keyType, Some(tzId), EvalMode.TRY), Literal(lo)))
-              }
-        }
+        case Some(("add", _)) =>
+          // a ZERO-row add (legacy logs — current writers drop empty staged
+          // files before committing) provably holds no key
+          parseRows(l).contains(0L) || (bounds match {
+            case None => true // no non-null update keys ⇒ adds cannot collide
+            case Some((lo, hi)) =>
+              parseStatsAll(l)
+                .collectFirst { case st if st.col == keyCol => (st.min, st.max) }
+                .exists { case (mn, mx) =>
+                  proven(GreaterThan(
+                    Cast(Literal(mn), keyType, Some(tzId), EvalMode.TRY), Literal(hi))) ||
+                  proven(LessThan(
+                    Cast(Literal(mx), keyType, Some(tzId), EvalMode.TRY), Literal(lo)))
+                }
+          })
         case _ => true
       }
     }
@@ -1515,9 +1528,12 @@ object TxLog {
           parseAction(l) match {
             case Some(("remove", path)) => !ourFiles.contains(path)
             case Some(("add", _)) =>
-              val ss = parseStatsAll(l)
-              ss.nonEmpty && !StatsSkipping.mayContain(
-                ss.map(st => st.col -> ((st.min, st.max))).toMap, c, tzId)
+              // zero-row adds provably hold no matching row (legacy logs)
+              parseRows(l).contains(0L) || {
+                val ss = parseStatsAll(l)
+                ss.nonEmpty && !StatsSkipping.mayContain(
+                  ss.map(st => st.col -> ((st.min, st.max))).toMap, c, tzId)
+              }
             case _ => true
           }
         }

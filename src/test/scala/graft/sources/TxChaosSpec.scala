@@ -188,6 +188,135 @@ class TxChaosSpec extends SparkSpec {
       s"feed-derived state diverged from the table under contention")
   }
 
+  test("r15-surface storm: deferred-gencol merges and disjoint DV verbs each pay ONE derivation") {
+    // The r15 paths under contention (r15 verdict item 6): merges whose
+    // updates OMIT the gencol rule's input (deferred past the preservation
+    // join), all-insert merges whose keys miss every envelope (empty
+    // pre-image — the r16 fix), and racing disjoint DV deletes/updates
+    // (the r15 admission fast path). Threads own disjoint key ranges and
+    // NO metadata changes land mid-storm, so every conflict interleaving
+    // is provably disjoint — the assertion is not just the serial model
+    // but the DERIVATION COUNTS: each merge/delete/update pays exactly one
+    // file-scoping + rewrite derivation no matter who wins the slot race
+    // (an unprovable case would re-derive and inflate the count).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.IntegerType
+    val t = Files.createTempDirectory("txchaos_r15").resolve("t").toString
+    val nThreads = 4
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val committed = new ConcurrentLinkedQueue[Long]()
+    val start = new CountDownLatch(1)
+
+    // serial setup: schema (k, v, w), the rule, and the protocol-bumping
+    // FIRST DV commit (which rightly defeats admission — keep it out of
+    // the counted storm)
+    TxLog.append(Seq((-1L, "seed", -1L)).toDF("k", "v", "w"), t, statsCol = Some("k"))
+    TxLog.addGeneratedColumn(spark, t, "vlen", IntegerType, "coalesce(length(v), -1)")
+    // one PROFITABLE DV publish (1 of 3 rows in one file — a covered-file
+    // delete would drop the file as metadata and stage no DV at all),
+    // so the protocol bump lands serially here, not mid-storm
+    TxLog.append(Seq((-2L, "gone", -2L), (-3L, "keep", -3L), (-4L, "keep", -4L))
+      .toDF("k", "v", "w").repartition(1), t, statsCol = Some("k"))
+    TxLog.delete(spark, t, col("k") === -2L, statsCol = Some("k"), useDV = true)
+    assert(TxLog.snapshot(t).dvs.nonEmpty,
+      "setup must have published a DV so the protocol bump precedes the storm")
+
+    def far(i: Int): Long = 1000000L + i * 1000L
+    def expect(i: Int): Set[(Long, Option[String], Long, Option[Int])] = {
+      val b = i * 1000L
+      Set(
+        (b + 0, Some("a0"), 100L, Some(2)),      // deferred merge: v+vlen preserved, w updated
+        (b + 1, Some("B1"), 1L, Some(2)),        // recompute merge: vlen from new v
+        (b + 2, None, 200L, Some(-1)),           // deferred-merge insert: null v computes -1
+        (b + 5, Some("U5"), 5L, Some(2)),        // DV update recomputes the gencol
+        (far(i) + 0, None, 7L, Some(-1)),        // all-insert far merge (empty pre-image)
+        (far(i) + 1, None, 8L, Some(-1))
+      ) ++ (6 to 9).map(j => (b + j, Some(s"d$j"), j.toLong, Some(2)))
+      // b+4 DV-deleted
+    }
+    val mergeBase = TxLog.mergeDerivations.get
+    val deleteBase = TxLog.deleteDerivations.get
+    val updateBase = TxLog.updateDerivations.get
+    val threads = (0 until nThreads).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          val b = i * 1000L
+          committed.add(TxLog.append(
+            Seq((b + 0, "a0", 0L), (b + 1, "a1", 1L)).toDF("k", "v", "w"), t,
+            statsCol = Some("k")))
+          committed.add(TxLog.append(
+            (4 to 9).map(j => (b + j, s"d$j", j.toLong)).toDF("k", "v", "w")
+              .repartition(1), t, statsCol = Some("k")))
+          // deferred-PRESERVE merge: updates carry (k, w) only — the rule's
+          // input v is omitted, so vlen defers past the preservation join
+          committed.add(TxLog.merge(
+            Seq((b + 0, 100L), (b + 2, 200L)).toDF("k", "w"), t, "k",
+            changeFeed = true))
+          // recompute merge: updates carry v, the gencol refreshes
+          committed.add(TxLog.merge(
+            Seq((b + 1, "B1")).toDF("k", "v"), t, "k", changeFeed = true))
+          // all-insert merge missing EVERY envelope: empty pre-image path
+          committed.add(TxLog.merge(
+            Seq((far(i) + 0, 7L), (far(i) + 1, 8L)).toDF("k", "w"), t, "k",
+            changeFeed = true))
+          // disjoint DV verbs racing each other and the merges
+          committed.add(TxLog.delete(spark, t, col("k") === (b + 4),
+            statsCol = Some("k"), changeFeed = true, useDV = true))
+          committed.add(TxLog.update(spark, t, col("k") === (b + 5),
+            Map("v" -> lit("U5")), statsCol = Some("k"), changeFeed = true,
+            useDV = true))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString("; ")}")
+
+    import scala.jdk.CollectionConverters._
+    val versions = committed.asScala.toSeq
+    assert(versions.distinct.size == versions.size, "a version slot was double-claimed")
+    assert(TxLog.latestVersion(t) == versions.size + 4L, // 4 setup commits
+      s"tip ${TxLog.latestVersion(t)} != ${versions.size} storm + 4 setup commits")
+
+    // serial model, all four columns (v and vlen prove the deferred rule
+    // never corrected a preserved value or missed a recompute)
+    val got = TxLog.snapshot(t).read(spark)
+      .where(col("k") >= 0L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+    val want = (0 until nThreads).map(expect).reduce(_ ++ _)
+    assert(got == want, {
+      s"final state diverged from the serial model:\n  missing=${want -- got}\n  extra=${got -- want}"
+    })
+
+    // THE COUNT: every verb paid exactly one derivation — every slot-race
+    // loss was admitted as provably disjoint, never re-derived
+    assert(TxLog.mergeDerivations.get - mergeBase == nThreads * 3L,
+      s"merge derivations ${TxLog.mergeDerivations.get - mergeBase} != ${nThreads * 3} " +
+        "(an unprovable interleaving forced a re-derivation)")
+    assert(TxLog.deleteDerivations.get - deleteBase == nThreads.toLong,
+      s"delete derivations ${TxLog.deleteDerivations.get - deleteBase} != $nThreads")
+    assert(TxLog.updateDerivations.get - updateBase == nThreads.toLong,
+      s"update derivations ${TxLog.updateDerivations.get - updateBase} != $nThreads")
+
+    // the exact feed, recorded under the storm, replays to the final state
+    val feedRows = TxLog.readChangeFeed(spark, t, 4L) // storm window only
+      .select("k", "v", "w", "vlen", "_change_type", "_commit_version").collect()
+    val derived = feedRows.filter(_.getLong(0) >= 0L).groupBy(_.getLong(0)).flatMap {
+      case (k, rs) =>
+        val last = rs.maxBy(r => (r.getLong(5),
+          if (r.getString(4) == "update_preimage") 0 else 1))
+        if (last.getString(4) == "delete") None
+        else Some((k, Option(last.getString(1)), last.getLong(2),
+          if (last.isNullAt(3)) None else Some(last.getInt(3))))
+    }.toSet
+    // appends don't write change rows; only merge/delete/update keys appear
+    val feedKeys = feedRows.filter(_.getLong(0) >= 0L).map(_.getLong(0)).toSet
+    assert(derived == want.filter(r => feedKeys.contains(r._1)),
+      "feed-derived state diverged from the table under contention")
+  }
+
   test("three-plane lifecycle chaos: CLONE/RESTORE/CONVERT race colmap renames, gencol rewrites, DVs") {
     // r13 caught two cross-plane bugs (CLONE dropping DV refs and the
     // partition spec) with targeted specs; this storm interleaves ALL the
