@@ -335,10 +335,17 @@ object TxLog {
         }
       }
     }
+    // stream lines straight into `take` — materializing a 10⁶-element
+    // java List first (readAllLines) costs a second full copy of the
+    // checkpoint's heap at the txladder top rung for nothing
+    def eachLine(p: Path): Unit =
+      scala.util.Using.resource(Files.newBufferedReader(p, StandardCharsets.UTF_8)) { r =>
+        var l = r.readLine()
+        while (l != null) { take(l); l = r.readLine() }
+      }
     val from = (if (useCheckpoint) latestCheckpoint(table, tip) else None) match {
       case Some(cv) =>
-        Files.readAllLines(checkpointPath(table, cv), StandardCharsets.UTF_8).asScala
-          .foreach(take)
+        eachLine(checkpointPath(table, cv))
         cv + 1
       case None => 1L
     }
@@ -347,7 +354,7 @@ object TxLog {
       val p = versionPath(table, v)
       if (Files.exists(p)) {
         commitFilesReplayed.incrementAndGet()
-        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach(take)
+        eachLine(p)
       }
       v += 1
     }
@@ -394,9 +401,14 @@ object TxLog {
     try {
       scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
           java.nio.file.StandardOpenOption.WRITE)) { ch =>
-        ch.write(java.nio.ByteBuffer.wrap(
-          (meta +: (txnLines ++ r.live.valuesIterator.toSeq))
-            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)))
+        // stream line-by-line: one mkString of 10⁶ add-lines is two extra
+        // full copies of the checkpoint (string + byte[]) on the driver heap
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8),
+          1 << 20)
+        (Iterator.single(meta) ++ txnLines.iterator ++ r.live.valuesIterator)
+          .foreach { l => w.write(l); w.write('\n') }
+        w.flush()
         ch.force(true)
       }
       try Files.createLink(checkpointPath(table, tip), tmp)
@@ -649,7 +661,12 @@ object TxLog {
     """"dv":\{"path":"((?:[^"\\]|\\.)*)","card":(\d+)\}""".r
 
   private[sources] def parseDv(line: String): Option[Dv.Ref] =
-    DvRe.findFirstMatchIn(line).map(m => Dv.Ref(unquote(m.group(1)), m.group(2).toLong))
+    // cheap substring pre-check: snapshot() runs this over EVERY live line
+    // (10⁶ at the txladder top rung) and the steady state is dv-less — the
+    // regex only ever matches lines containing the literal `"dv":` token
+    if (line.indexOf("\"dv\":") < 0) None
+    else DvRe.findFirstMatchIn(line).map(m =>
+      Dv.Ref(unquote(m.group(1)), m.group(2).toLong))
 
   // the writer always injects dv with its leading comma, so the strip
   // removes exactly that token — never a comma belonging to another field
@@ -3436,9 +3453,6 @@ object TxLog {
   private def unquote(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  // path capture stops at the first unescaped quote so an optional trailing
-  // `"stats":{...}` object never bleeds into it
-  private val ActRe = """\{"(add|remove)":\{"path":"((?:[^"\\]|\\.)*)".*""".r
   // one per-column stats ENTRY — matches inside both the modern array form
   // ("stats":[{...},{...}]) and the legacy single-object form ("stats":{...});
   // the trailing null count is OPTIONAL so pre-nulls lines keep parsing
@@ -3446,10 +3460,31 @@ object TxLog {
   // proofs are simply never attempted on them)
   private val StatsEntryRe = """\{"col":"((?:[^"\\]|\\.)*)","min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)"(?:,"nulls":(\d+))?\}""".r
 
-  private def parseAction(line: String): Option[(String, String)] = line match {
-    case ActRe(kind, path) => Some((kind, unquote(path)))
-    case _                 => None
+  private final val AddPrefix = "{\"add\":{\"path\":\""
+  private final val RemovePrefix = "{\"remove\":{\"path\":\""
+
+  /** The path capture of an add/remove line: content from `from` up to the
+    * first UNESCAPED quote (exactly the old `(?:[^"\\]|\\.)*` capture — an
+    * optional trailing `"stats":...` never bleeds in); None when the line
+    * ends before the closing quote (malformed), like the regex it replaces. */
+  private def pathCapture(line: String, from: Int): Option[String] = {
+    var i = from
+    val n = line.length
+    while (i < n && line.charAt(i) != '"') i += (if (line.charAt(i) == '\\') 2 else 1)
+    if (i >= n) None else Some(unquote(line.substring(from, i)))
   }
+
+  /** Hand-rolled prefix parse, NOT a regex: `take` runs this on every line
+    * of every replayed checkpoint — at 10⁶ live files the old backtracking
+    * `ActRe` match was the txladder-measured bulk of the 4.6 s steady-state
+    * snapshot cost. Semantics are byte-identical to the regex (same prefix,
+    * same escape-aware capture, same malformed-line None). */
+  private def parseAction(line: String): Option[(String, String)] =
+    if (line.startsWith(AddPrefix))
+      pathCapture(line, AddPrefix.length).map(("add", _))
+    else if (line.startsWith(RemovePrefix))
+      pathCapture(line, RemovePrefix.length).map(("remove", _))
+    else None
 
   // `ts` is optional so pre-W16 commit files (no in-commit timestamp) keep
   // parsing; their stamp falls back to the commit file's mtime

@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dev prune <sfDir> [files] — data-skipping A/B: snapshot scan vs readPruned
   *   runMain graft.tools.Dev media [families] — multimodal ingest→dedup stage over generated files
   *   runMain graft.tools.Dev lakehouse [sfDir] — recorded end-to-end run of the lakehouse verbs
+  *   runMain graft.tools.Dev txladder [rungs] [addsPerCommit] — txlog driver-side replay/heap ladder
   */
 
 /** Replayed events row for the `stream` subcommand's MemoryStream (field
@@ -859,6 +860,87 @@ object Dev {
         } finally {
           scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
             import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+      case "txladder" :: rest =>
+        // Driver-side ceiling ladder for the transaction log (r15 verdict
+        // item 1): TxLog.Snapshot holds the live-file list (+ verbatim
+        // add-lines during replay) on the driver — the standard Delta-OSS
+        // posture. This ladder measures, per synthetic live-set size n
+        // (default 10⁴ → 10⁵ → 10⁶ add-actions with rows/size/stats),
+        // what every verb actually pays:
+        //   tip_ms        — latestVersion discovery (full listing, no pointer)
+        //   replay_ms     — cold snapshot() over the raw commit log
+        //   ckpt_write_ms — TxLog.checkpoint() (replay + materialize)
+        //   ckpt_read_ms  — snapshot() from the checkpoint (the steady state)
+        //   warm_ms       — second checkpoint-path snapshot (JIT-warm)
+        //   retained_mb   — heap held by the returned Snapshot (GC'd delta)
+        //   peak_mb       — transient heap peak during the cold replay
+        //   ckpt_bytes    — checkpoint file size (the thing a 100 TB table's
+        //                   driver parses per cold process start)
+        // The log shape is Delta-realistic: 1000 adds per commit, every add
+        // carrying rows/size and one min/max stat column; 0.1% of commits
+        // are remove+re-add compactions so replay exercises the remove arm.
+        val rungs = rest.headOption.map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(10000, 100000, 1000000))
+        val perCommit = rest.drop(1).headOption.map(_.toInt).getOrElse(1000)
+        val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        import scala.jdk.CollectionConverters._
+        def heapUsed(): Long = {
+          System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
+          val r = Runtime.getRuntime; r.totalMemory - r.freeMemory
+        }
+        def resetPeaks(): Unit = pools.asScala.foreach(_.resetPeakUsage())
+        def peakHeap(): Long = pools.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+        for (n <- rungs) {
+          val dir = java.nio.file.Files.createTempDirectory(s"txladder_$n")
+          val table = dir.resolve("t").toString
+          val logd = java.nio.file.Paths.get(table, "_txlog")
+          java.nio.file.Files.createDirectories(logd)
+          val commits = math.max(1, n / perCommit)
+          val sb = new java.lang.StringBuilder(perCommit * 220)
+          for (c <- 1 to commits) {
+            sb.setLength(0)
+            if (c % 1000 == 3) {
+              // a vacuum-ish commit: retire two earlier files so replay
+              // exercises the remove arm at every rung
+              val b = (c - 2).toLong * perCommit
+              sb.append(s"""{"remove":{"path":"$table/part-${b}-aaaaaaaa.parquet"}}""").append('\n')
+              sb.append(s"""{"remove":{"path":"$table/part-${b + 1}-aaaaaaaa.parquet"}}""").append('\n')
+            }
+            val base = c.toLong * perCommit
+            for (i <- 0 until perCommit) {
+              val k = base + i
+              sb.append(s"""{"add":{"path":"$table/part-$k-aaaaaaaa.parquet","rows":$perCommit,"size":134217728,"stats":[{"col":"k","min":"${k * 1000}","max":"${k * 1000 + 999}"}]}}""")
+              sb.append('\n')
+            }
+            java.nio.file.Files.write(logd.resolve(f"$c%020d.json"),
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          def ms[T](f: => T): (T, Double) = {
+            val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e6)
+          }
+          val (_, tipMs) = ms(graft.sources.TxLog.latestVersion(table))
+          val used0 = heapUsed(); resetPeaks()
+          val (snap, replayMs) = ms(graft.sources.TxLog.snapshot(table))
+          val peak = peakHeap() - used0
+          val used1 = heapUsed()
+          val (_, ckptWriteMs) = ms(graft.sources.TxLog.checkpoint(table))
+          val ckptBytes = scala.util.Using.resource(
+            java.nio.file.Files.list(logd))(_.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+              .map(java.nio.file.Files.size).sum)
+          val (snap2, ckptReadMs) = ms(graft.sources.TxLog.snapshot(table))
+          val (_, warmMs) = ms(graft.sources.TxLog.snapshot(table))
+          println(f"TXLADDER: n=${snap.files.size} commits=$commits tip_ms=$tipMs%.1f " +
+            f"replay_ms=$replayMs%.1f ckpt_write_ms=$ckptWriteMs%.1f " +
+            f"ckpt_read_ms=$ckptReadMs%.1f warm_ms=$warmMs%.1f " +
+            f"retained_mb=${(used1 - used0) / 1048576.0}%.1f peak_mb=${peak / 1048576.0}%.1f " +
+            f"ckpt_bytes=$ckptBytes live2=${snap2.files.size}")
+          scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
             s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
