@@ -127,10 +127,25 @@ class QueriesSpec extends SparkSpec {
     val p20 = planOf("sql_tpch_q20")
     assert(p20.contains("LeftSemi"), s"q20's IN chain is not a semi join:\n$p20")
     assert(!p20.contains("CartesianProduct"), s"q20 planned a cartesian:\n$p20")
-    // q9's six-way spine broadcasts its dimension sides
+    // q9's spine broadcasts its dimension sides, and the r16 engine-side
+    // form reduces lineitem by the broadcast %red% part filter BEFORE the
+    // derived-partsupp DISTINCT (the sf10 default-conf fit): the aggregate
+    // must sit above a broadcast join, not above a bare full scan
     val p9 = planOf("sql_tpch_q9")
     assert(p9.contains("BroadcastHashJoin"), s"q9 broadcasts no dimension:\n$p9")
     assert(!p9.contains("CartesianProduct"), s"q9 planned a cartesian:\n$p9")
+    val distinctIdx = p9.indexOf("HashAggregate(keys=[ps_partkey")
+    assert(distinctIdx >= 0, s"q9 lost the derived-partsupp DISTINCT:\n$p9")
+    assert(p9.indexOf("BroadcastHashJoin", distinctIdx) >= 0,
+      s"q9's partsupp DISTINCT does not sit above the red-part broadcast reduction:\n$p9")
+    // q21's engine-side form replaces the semi+anti fact self-joins with
+    // the per-order pre-aggregation: two stacked aggs, no anti/semi join,
+    // no sort-merge self-join of lineitem
+    val p21 = planOf("sql_tpch_q21")
+    assert(!p21.contains("LeftAnti") && !p21.contains("LeftSemi"),
+      s"q21 kept a semi/anti fact self-join:\n$p21")
+    assert("HashAggregate".r.findAllIn(p21).size >= 4,
+      s"q21 lost the per-order pre-aggregation:\n$p21")
     // q11 aggregates twice (groups + the HAVING threshold) with no cartesian
     val p11 = planOf("sql_tpch_q11")
     assert("HashAggregate".r.findAllIn(p11).size >= 2,

@@ -7,21 +7,27 @@
 #          stamps `calibration_s` (fixed single-thread CPU microbench) so
 #          later readers can normalize across windows without reruns.
 #   sf0.1 x3, sf1 x3 (GenScale 10x; r15 verdict item 5 — median-of-3
-#   quiet legs), sf10-comparable x1 (GenScale 100x),
-#   then Run B: full catalog at sf10 under the heavy-conf YAML.
+#   quiet legs), sf10-comparable x1 (GenScale 100x, now incl. q9/q21).
 # Runs from the PINNED git worktree (.benchtree) so working-tree edits can
 # never change the measured binary mid-program. Artifacts land in the main
 # repo's bench/.
 #
 # sf10-comparable skip list = the r10 five-op quadratic-by-contract set
-# PLUS sql_tpch_q9 / sql_tpch_q21 (default confs out-shuffle this box's
-# disk — proven to fit only under tools/sf10_heavy.yml, twice-documented)
 # PLUS dedup_lsh_sketched (r15: the DEMO-geometry sketch entry — 4 bands x
 # 4 bits mirrors the dedup_lsh_cosine oracle, so its candidate multiset is
 # quadratic-by-contract exactly like the cosine twin already skipped; all
 # three r14 sf10 passes died ENOSPC in its banded sort. The SCALE path is
 # dedup_lsh_sketched_adaptive, which stays in). The skip list is stamped
 # into the artifact.
+#
+# sql_tpch_q9 / sql_tpch_q21 REJOINED the comparable set in r16: the
+# engine-side rewrites (pre-aggregated q21 EXISTS/NOT EXISTS, red-filtered
+# q9 partsupp derivation — oracle SQL unchanged, hash-gated) fit default
+# confs at sf10 (probe: q9 17.7/3.8 s, q21 25.4/14.2 s cold/warm on the
+# 8 GiB default heap). That also retires the heavy-conf Run B: its only
+# purpose was q9/q21 coverage, and the comparable run now covers the same
+# 169-query set under default confs (the r14 heavy-vs-default conf ratio,
+# 1.044x, stays recorded in BASELINE.md).
 set -u
 # Round tag is REQUIRED (r15 advisor finding: a hardcoded name silently
 # overwrote the prior round's A/B artifact on re-run). Artifacts refuse
@@ -40,8 +46,7 @@ git checkout --detach "$(git -C /root/repo rev-parse main)" \
   > /tmp/bench_checkout.log 2>&1 || { touch /tmp/BENCH_FAILED; exit 1; }
 sbt -batch compile > /tmp/bench_compile.log 2>&1 || { touch /tmp/BENCH_FAILED; exit 1; }
 
-SKIP_SF10_CMP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,dedup_lsh_sketched,sql_tpch_q9,sql_tpch_q21
-SKIP_SF10_FULL=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,dedup_lsh_sketched
+SKIP_SF10_CMP=dedup_embedding,dedup_lsh_cosine,dedup_simhash_hamming,dedup_embedding_cluster,dedup_semantic_cells,dedup_lsh_sketched
 
 # -- Same-day A/B: PREVIOUS round's binary first. Pin it before launch:
 #   git worktree add --detach /root/repo/.benchtree_prev <prev-round-commit>
@@ -94,19 +99,8 @@ fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json
 SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json \
 sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf10_run1.log 2>&1
 
-# Run B — the FULL catalog at sf10 under the spill-budget recipe
-# (tools/sf10_heavy.yml: zstd, 96 partitions, AQE, 16g driver), only the
-# quadratic-by-contract oracle twins skipped: fills the sf10 column as far
-# as this box can. Confs differ from the default-conf comparable run
-# above, so the two artifacts answer different questions (comparability
-# vs coverage).
-sleep 170
-SPARK_GRAFT_SKIP=$SKIP_SF10_FULL \
-SPARK_GRAFT_CONFIG_YML=/root/repo/tools/sf10_heavy.yml \
-SPARK_DRIVER_MEM=16g \
-SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf10_full_heavyconf_run1.json
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf10_full_heavyconf_run1.json \
-sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf10_full_run1.log 2>&1
+# (Run B — the heavy-conf full-catalog sf10 pass — retired in r16: the
+# comparable run above now covers the same 169-query set under default
+# confs since q9/q21's engine-side rewrites fit the default budget.)
 
 touch /tmp/ALL_BENCHES_DONE
