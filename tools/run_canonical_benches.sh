@@ -1,11 +1,12 @@
 #!/bin/bash
 # Canonical per-round baseline program, quiet box required. Usage:
 #   tools/run_canonical_benches.sh rNN Sequence:
-#   A/B  — the R14 binary (pinned second worktree) at sf0.1, then the r15
-#          binary at sf0.1: same-day same-box ratio that separates code
-#          delta from the documented box drift. Every artifact now also
-#          stamps `calibration_s` (fixed single-thread CPU microbench) so
-#          later readers can normalize across windows without reruns.
+#   A/B  — the PREVIOUS round's binary (pinned second worktree) at sf0.1,
+#          then this round's binary at sf0.1: same-day same-box ratio that
+#          separates code delta from the documented box drift. Every
+#          artifact also stamps `calibration_s` (fixed single-thread CPU
+#          microbench) so later readers can normalize across windows
+#          without reruns.
 #   sf0.1 x3, sf1 x3 (GenScale 10x; r15 verdict item 5 — median-of-3
 #   quiet legs), sf10-comparable x1 (GenScale 100x, now incl. q9/q21).
 # Runs from the PINNED git worktree (.benchtree) so working-tree edits can
@@ -39,6 +40,19 @@ fresh() {  # fresh <path>: fail the program rather than clobber history
     touch /tmp/BENCH_FAILED; exit 1
   fi
 }
+# leg <artifact> <log> [env k=v ...]: freshness-check the artifact, settle,
+# then run Bench with the leg's env attached to the BENCH COMMAND ITSELF.
+# (r16 fix: the previous layout attached the env assignments to the `fresh`
+# shell-function call — temporary for the function only in bash — so the
+# sbt invocation would have run WITHOUT its SF dir. This generalized script
+# had not run a full program before r16; r15 used its predecessor.)
+leg() {
+  local artifact=$1 logf=$2; shift 2
+  fresh "$artifact"
+  sleep 170
+  env "$@" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$artifact" \
+    sbt -batch "runMain graft.Bench" > "$logf" 2>&1
+}
 cd /root/repo/.benchtree || { touch /tmp/BENCH_FAILED; exit 1; }
 # pin the worktree to main's HEAD as of program LAUNCH (one checkout, so
 # mid-program edits to the working tree can never change the binary)
@@ -55,24 +69,20 @@ ABTREE=/root/repo/.benchtree_prev
 [ -d "$ABTREE" ] || ABTREE=/root/repo/.benchtree_r14
 if [ -d "$ABTREE" ]; then
   ( cd "$ABTREE" && \
-    sbt -batch compile > /tmp/bench_r14ab_compile.log 2>&1 && \
-    sleep 170 && \
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    fresh /root/repo/bench/BENCH_${ROUND}_ab_prevbinary_sf0.1_run1.json && \
-    SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_ab_prevbinary_sf0.1_run1.json \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_ab_prev.log 2>&1 )
+    sbt -batch compile > /tmp/bench_prevab_compile.log 2>&1 && \
+    leg /root/repo/bench/BENCH_${ROUND}_ab_prevbinary_sf0.1_run1.json \
+        /tmp/bench_${ROUND}_ab_prev.log \
+        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 )
 fi
 
-# settle sleeps between legs (r15 lesson): without them each leg's own
-# teardown load leaks into the next leg's loadavg_before and every
-# back-to-back artifact stamps contended:true — 1-min loadavg needs
+# settle sleeps before every leg (r15 lesson, inside `leg`): without them
+# each leg's own teardown load leaks into the next leg's loadavg_before and
+# every back-to-back artifact stamps contended:true — 1-min loadavg needs
 # ~3 min to decay below the threshold after a 32-thread run exits.
 for i in 1 2 3; do
-  sleep 170
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf0.1_run$i.json
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf0.1_run$i.json \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf01_run$i.log 2>&1
+  leg /root/repo/bench/BENCH_${ROUND}_canonical_sf0.1_run$i.json \
+      /tmp/bench_${ROUND}_sf01_run$i.log \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 done
 
 if [ ! -d target/sf1 ]; then
@@ -80,24 +90,20 @@ if [ ! -d target/sf1 ]; then
     > /tmp/genscale_sf1.log 2>&1
 fi
 for i in 1 2 3; do
-  sleep 170
-  SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1 SPARK_GRAFT_CPUS=32 \
-  fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf1_run$i.json
-  SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf1_run$i.json \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf1_run$i.log 2>&1
+  leg /root/repo/bench/BENCH_${ROUND}_canonical_sf1_run$i.json \
+      /tmp/bench_${ROUND}_sf1_run$i.log \
+      SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf1
 done
 
 if [ ! -d target/sf10 ]; then
   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 target/sf10 100" \
     > /tmp/genscale_sf10.log 2>&1
 fi
-sleep 170
-SPARK_GRAFT_SKIP=$SKIP_SF10_CMP \
-SPARK_DRIVER_MEM=16g \
-SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 SPARK_GRAFT_CPUS=32 \
-fresh /root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json
-SPARK_GRAFT_BENCH_OUT=/root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json \
-sbt -batch "runMain graft.Bench" > /tmp/bench_${ROUND}_sf10_run1.log 2>&1
+leg /root/repo/bench/BENCH_${ROUND}_canonical_sf10_comparable_run1.json \
+    /tmp/bench_${ROUND}_sf10_run1.log \
+    SPARK_GRAFT_SF_DIR=/root/repo/.benchtree/target/sf10 \
+    SPARK_GRAFT_SKIP=$SKIP_SF10_CMP \
+    SPARK_DRIVER_MEM=16g
 
 # (Run B — the heavy-conf full-catalog sf10 pass — retired in r16: the
 # comparable run above now covers the same 169-query set under default
