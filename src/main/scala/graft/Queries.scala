@@ -473,6 +473,16 @@ object RelationalQueries {
     s"$root/graft_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
   }
 
+  // MAX(o_orderkey) for the ACID entries' slice boundaries, answered from
+  // parquet FOOTER stats (O(files) driver metadata — guide §1.2: the
+  // cheapest pass is the one you don't run) instead of a full agg scan
+  // job per query. INT64 footer stats are exact; on any doubt the scan
+  // fallback computes the same value the slow way. Same-value proof:
+  // FooterStatsSpec + the oracle gate (slice boundaries feed the appends).
+  private def maxOrderKey(s: SparkSession, d: String): Long =
+    graft.sources.ParquetFooters.maxLong(s, s"$d/orders.parquet", "o_orderkey")
+      .getOrElse(orders(s, d).agg(max("o_orderkey")).head.getLong(0))
+
   // JSONL source/sink round-trip — the format LLM corpora actually ship in.
   // Spark's json writer emits one JSON object per line; the read-back uses
   // an explicit schema (never inference — a schema-inference pass over
@@ -593,10 +603,10 @@ object RelationalQueries {
       val src = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       // contiguous key quarters → disjoint per-file [min,max] stats
-      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      val q = maxOrderKey(s, d) / 4 + 1
       for (slice <- 0 until 4)
         graft.sources.TxLog.append(
-          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice)
+          src.filter(col("o_orderkey").between(if (slice == 0) 2L - q else slice * q + 1, slice * q + q))
             .repartition(1), // one file per slice → slice-tight stats
           tbl, statsCol = Some("o_orderkey"))
       s.read.format("txlog").load(tbl)
@@ -667,10 +677,19 @@ object RelationalQueries {
       deleteRecursively(tbl)
       val src = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      val q = maxOrderKey(s, d) / 4 + 1
+      // BETWEEN, not `(k-1) DIV q = slice`: identical row set for EVERY
+      // bigint key — truncating division puts slice 0 at k ∈ [2−q, q]
+      // (key 0 included; caught by the oracle gate when the first cut of
+      // this rewrite assumed 1-based keys) and slice s ≥ 1 at
+      // k ∈ [s·q+1, s·q+q]. The range form REACHES THE SCAN as
+      // PushedFilters (guide §6) — arithmetic predicates never push, so
+      // each slice append was scanning the whole table at any scale. Same
+      // rewrite in acid_update / acid_merge_full / acid_delete_dv /
+      // acid_pruned_scan.
       for (slice <- 0 until 4)
         graft.sources.TxLog.append(
-          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          src.filter(col("o_orderkey").between(if (slice == 0) 2L - q else slice * q + 1, slice * q + q)).repartition(1),
           tbl, statsCol = Some("o_orderkey"))
       graft.sources.TxLog.delete(s, tbl, col("o_orderkey") % 7 === 0,
         statsCol = Some("o_orderkey"))
@@ -694,10 +713,10 @@ object RelationalQueries {
       deleteRecursively(tbl)
       val src = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      val q = maxOrderKey(s, d) / 4 + 1
       for (slice <- 0 until 4)
         graft.sources.TxLog.append(
-          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          src.filter(col("o_orderkey").between(if (slice == 0) 2L - q else slice * q + 1, slice * q + q)).repartition(1),
           tbl, statsCol = Some("o_orderkey"))
       graft.sources.TxLog.update(s, tbl, col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") * lit(2.0)),
@@ -725,11 +744,11 @@ object RelationalQueries {
       deleteRecursively(tbl)
       val src = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val maxK = src.agg(max("o_orderkey")).head.getLong(0)
+      val maxK = maxOrderKey(s, d)
       val q = maxK / 4 + 1
       for (slice <- 0 until 4)
         graft.sources.TxLog.append(
-          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          src.filter(col("o_orderkey").between(if (slice == 0) 2L - q else slice * q + 1, slice * q + q)).repartition(1),
           tbl, statsCol = Some("o_orderkey"))
       val source = src.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
@@ -800,10 +819,10 @@ object RelationalQueries {
       deleteRecursively(tbl)
       val src = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val q = src.agg(max("o_orderkey")).head.getLong(0) / 4 + 1
+      val q = maxOrderKey(s, d) / 4 + 1
       for (slice <- 0 until 4)
         graft.sources.TxLog.append(
-          src.filter(expr(s"(o_orderkey - 1) DIV $q") === slice).repartition(1),
+          src.filter(col("o_orderkey").between(if (slice == 0) 2L - q else slice * q + 1, slice * q + q)).repartition(1),
           tbl, statsCol = Some("o_orderkey"))
       graft.sources.TxLog.delete(s, tbl, col("o_orderkey") % 101 === 0,
         statsCol = Some("o_orderkey"), useDV = true)
@@ -992,7 +1011,7 @@ object RelationalQueries {
         .write.format("txlog")
         .option("clusterBy", "o_orderkey").option("clusterFiles", "8")
         .mode("append").save(tbl)
-      val mx = orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      val mx = maxOrderKey(s, d)
       s.read.format("txlog").load(tbl)
         .filter(col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx / 2)
         .orderBy("o_orderkey")

@@ -522,9 +522,22 @@ object TxLog {
     val cols: Seq[String] =
       (statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) ++
         partitionBy).distinct
-    val stats: Map[String, Seq[ColStat]] =
-      if (cols.isEmpty) Map.empty
-      else {
+    // FAST PATH (guide §1.2 — don't run a pass you can answer from
+    // metadata): the footers of the just-written files already hold exact
+    // row counts AND per-column min/max/null-counts, so when every file's
+    // stats are provably exact (ParquetFooters' trust rules) the staging
+    // cost is ONE write job — the second, stats-collecting Spark scan of
+    // the same bytes is skipped. Falls back to the scan path (byte-
+    // identical strings) when any footer can't be proven.
+    val footerMeta: Option[Map[String, ParquetFooters.Meta]] =
+      ParquetFooters.metaAll(df.sparkSession, files, cols)
+    val stats: Map[String, Seq[ColStat]] = footerMeta match {
+      case Some(metas) => metas.map { case (p, m) =>
+        normalize(p) -> cols.flatMap(k =>
+          m.stats.get(k).map { case (mn, mx, nl) => ColStat(k, mn, mx, Some(nl)) })
+      }
+      case None if cols.isEmpty => Map.empty
+      case None => {
         // keyed by file NAME (unique within this fresh stage dir) because
         // _metadata.file_path is URI-spelled while `files` is path-spelled
         // min/max MUST aggregate in the column's own type and cast only the
@@ -564,12 +577,17 @@ object TxLog {
             }
           }.toMap
       }
+    }
     // per-file row counts (Delta's numRecords) from the parquet FOOTERS —
     // O(files) driver-side metadata reads, no data scan, recorded on EVERY
     // write: with counts on all live files, COUNT(*) and DESCRIBE DETAIL
     // answer from log metadata alone (see rowCount). Best-effort: a footer
-    // that fails to read just leaves that file count-less.
-    val rowsOf = footerRowCounts(df.sparkSession, files)
+    // that fails to read just leaves that file count-less. When the stats
+    // fast path ran, the counts ride the SAME footer open — zero extra I/O.
+    val rowsOf: Map[String, Long] = footerMeta match {
+      case Some(metas) => metas.map { case (p, m) => p -> m.rows }
+      case None        => footerRowCounts(df.sparkSession, files)
+    }
     // a staged file that PROVABLY recorded zero rows carries no data:
     // committing it grows the live set with noise (a file-scoped merge
     // whose touched file keeps no survivors routinely writes one empty
@@ -2562,9 +2580,17 @@ object TxLog {
     // fresh single dir, a pre-existing tree can repeat file names)
     val cols: Seq[String] =
       statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val stats: Map[String, Seq[ColStat]] =
-      if (cols.isEmpty) Map.empty
-      else {
+    // footer fast path first (same trust rules as stageFiles — row counts
+    // ride the same footer open); scan fallback is byte-identical
+    val footerMeta: Option[Map[String, ParquetFooters.Meta]] =
+      ParquetFooters.metaAll(spark, files, cols)
+    val stats: Map[String, Seq[ColStat]] = footerMeta match {
+      case Some(metas) => metas.map { case (p, m) =>
+        normalize(p) -> cols.flatMap(k =>
+          m.stats.get(k).map { case (mn, mx, nl) => ColStat(k, mn, mx, Some(nl)) })
+      }
+      case None if cols.isEmpty => Map.empty
+      case None =>
         val aggs = cols.flatMap(k => Seq(
           min(col(k)).cast("string").as(s"__mn_$k"),
           max(col(k)).cast("string").as(s"__mx_$k"),
@@ -2583,8 +2609,11 @@ object TxLog {
               }
             }
           }.toMap
-      }
-    val rowsOf = footerRowCounts(spark, files)
+    }
+    val rowsOf: Map[String, Long] = footerMeta match {
+      case Some(metas) => metas.map { case (p, m) => p -> m.rows }
+      case None        => footerRowCounts(spark, files)
+    }
     val adds = files.map { p =>
       val abs = normalize(p)
       addLine(abs, rowsOf.get(p), fileSize(p), stats.getOrElse(abs, Seq.empty))

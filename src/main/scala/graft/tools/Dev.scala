@@ -55,16 +55,41 @@ object Dev {
           println(s"===== $id =====")
           graft.SparkEntry.queries(id)(spark, sfDir).explain("formatted")
         }
+      case "explainsql" :: sfDir :: sqlParts =>
+        // explain an arbitrary SQL over the testdata views — for plan
+        // evidence on SUBFRAMES (e.g. a write path's scan side) that no
+        // catalog entry's final frame surfaces
+        for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings"))
+          spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+        spark.sql(sqlParts.mkString(" ")).explain("formatted")
       case "time" :: sfDir :: id :: rest =>
         // optional repeat count: run N times in one JVM to separate cold
         // (codegen/classload/footer) cost from steady-state operator cost
         val reps = rest.headOption.map(_.toInt).getOrElse(1)
+        // Spark JOB/STAGE counter (r16): write-inclusive entries spend
+        // their time in setup ACTIONS the final frame's explain never
+        // shows — the per-run job/stage/task counts are the measurement
+        // that attributes those (guide §1: measure where the time goes).
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+          }
+        })
         for (r <- 1 to reps) {
           graft.ops.JaccardPrefix.lastDecision = None // print only THIS run's decisions
           graft.api.Similarity.lastLshShape = None
+          val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
           val t0 = System.nanoTime()
           val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
-          println(f"$id[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+          println(f"$id[$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows, " +
+            s"jobs=${jobs.get - j0} stages=${stages.get - s0} tasks=${tasks.get - k0}")
           // auto-select observability: which join shape ran and the measured
           // statistic that decided it (operator diagnostics — the lines a
           // 100 TB run greps for)
