@@ -85,6 +85,7 @@ object Dev {
         for (r <- 1 to reps) {
           graft.ops.JaccardPrefix.lastDecision = None // print only THIS run's decisions
           graft.api.Similarity.lastLshShape = None
+          graft.ops.ConnectedComponents.lastRounds = None
           val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
           val t0 = System.nanoTime()
           val n = graft.SparkEntry.queries(id)(spark, sfDir).count()
@@ -99,6 +100,9 @@ object Dev {
           graft.api.Similarity.lastLshShape.foreach { sh =>
             println(s"$id[$r]: lsh verify shape=${sh.shapeName} candidates=${sh.candidates} " +
               s"bandRows=${sh.bandRows} dim=${sh.dim}")
+          }
+          graft.ops.ConnectedComponents.lastRounds.foreach { n =>
+            println(s"$id[$r]: cc fixpoint rounds=$n")
           }
         }
       case "adaptlsh" :: sfDir :: rest =>

@@ -67,4 +67,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq((5L, 6L), (100L, 101L))
     assert(run(edges) == Map(5L -> 5L, 6L -> 5L, 100L -> 100L, 101L -> 100L))
   }
+
+  test("pointer-doubling path reaches the same fixpoint in fewer rounds") {
+    // the scale path (jump ≥ threshold nodes) must agree with plain
+    // propagation on every graph — pin it via the test hook on the
+    // property cases plus the worst-case chain, and check the round
+    // count actually drops on the deep path
+    val cases = (0 until 4).flatMap(i =>
+      graphGen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(100L + i)))
+        .filter(_.nonEmpty)
+    val path = (0L until 24L).sliding(2).map(s => (s(0), s(1))).toSeq
+    try {
+      for (edges <- cases :+ path) {
+        ConnectedComponents.forceJump = Some(false)
+        val plain = run(edges)
+        val plainRounds = ConnectedComponents.lastRounds.get
+        ConnectedComponents.forceJump = Some(true)
+        assert(run(edges) == plain, s"jump path diverged on $edges")
+        val jumpRounds = ConnectedComponents.lastRounds.get
+        if (edges eq path) {
+          assert(plainRounds >= 23, s"chain-24 plain rounds: $plainRounds")
+          assert(jumpRounds <= 10, s"chain-24 jump rounds: $jumpRounds")
+        }
+      }
+    } finally ConnectedComponents.forceJump = None
+  }
 }
