@@ -57,6 +57,12 @@ object KMeans {
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
+        // ONE shuffle per iteration (r16): collect the k·dim flat rows and
+        // group them on the driver — the former second groupBy("cell")
+        // that packed them into per-cell structs was a whole extra
+        // exchange + stage per iteration just to save a driver-side
+        // groupBy over a model-sized (k·dim, never data-sized) result.
+        // Measured: sim_ivf_trained 30 → 21 jobs, 3.2 → 2.4 s at sf0.1.
         val byCell = assignTo(base, "v", cents)
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
@@ -70,11 +76,8 @@ object KMeans {
               lit(null).cast("double"))
             .otherwise((expr("try_sum(try_cast(x AS DECIMAL(38,10)))") /
               count(lit(1))).cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
           .collect()
-          .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
-          .toMap
+          .groupBy(_.getInt(0))
         // A decimal sum past DECIMAL(38,10) capacity (|Σx| ≥ 10^28 — only
         // reachable on adversarial float magnitudes) comes back NULL from
         // Spark; keep the previous centroid for that (cell, dim) instead of
@@ -86,9 +89,9 @@ object KMeans {
             case Some(dims) =>
               val arr = cents(j).clone()
               dims.foreach { row =>
-                val pos = row.getInt(0)
-                if (!row.isNullAt(1) && pos >= 0 && pos < arr.length)
-                  arr(pos) = row.getDouble(1)
+                val pos = row.getInt(1)
+                if (!row.isNullAt(2) && pos >= 0 && pos < arr.length)
+                  arr(pos) = row.getDouble(2)
               }
               arr
           }
@@ -126,6 +129,16 @@ object KMeans {
       .drop("__c")
   }
 
+  // NOTE (r16 probe, kept as a record): rewriting the per-cell struct
+  // array as transform(sequence(0,k-1), j -> ...) with the model as array
+  // literals makes the generated source iteration-stable (array literals
+  // are codegen reference objects; the per-cell scalar lit(cNorm) is
+  // inlined and forces a fresh Janino compile per fit iteration) — but
+  // higher-order functions do NOT participate in whole-stage codegen, so
+  // every VecDot would run interpreted per element: a per-row regression
+  // at data scale to save driver-side compiles that measured ~nothing
+  // (fit wall time unchanged at sf0.1 — the cost there is the ~2 jobs per
+  // iteration, inherent to Lloyd's). The codegen'd unrolled form stays.
   private def assignTo(df: DataFrame, vecCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol)
