@@ -44,7 +44,9 @@ object Dev {
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)
     })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_LOGLVL=INFO surfaces DAGScheduler per-job wall times —
+    // the cheapest "where did the seconds go" probe for multi-job entries
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "ERROR"))
     args.toList match {
       case "smoke" :: _ =>
         println("ENTRY_ROWS=" + graft.SparkEntry.entry(spark).count())
