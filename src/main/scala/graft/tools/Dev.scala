@@ -38,6 +38,9 @@ object Dev {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: hold the whole catalog's generated classes (the
+      // 100-entry static default evicts across a 175-query sweep)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     yml.foreach(_.applySparkConfs(builder))
     // extra confs: SPARK_GRAFT_CONF="k=v,k2=v2" (beats the YAML's spark.conf)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("=")).foreach { kv =>
