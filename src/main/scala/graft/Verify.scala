@@ -20,6 +20,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: the oracle gate must exercise the same execution confs
+      // the bench measures (AQE coalescing inside cached-plan
+      // materialization — see Bench.scala for the r17 rationale)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     yml.foreach(_.applySparkConfs(builder))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

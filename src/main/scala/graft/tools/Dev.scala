@@ -41,6 +41,9 @@ object Dev {
       // match Bench: hold the whole catalog's generated classes (the
       // 100-entry static default evicts across a 175-query sweep)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // match Bench: AQE partition coalescing applies inside cached-plan
+      // materialization (see Bench.scala for the r17 measurements)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     yml.foreach(_.applySparkConfs(builder))
     // extra confs: SPARK_GRAFT_CONF="k=v,k2=v2" (beats the YAML's spark.conf)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("=")).foreach { kv =>
