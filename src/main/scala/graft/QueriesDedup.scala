@@ -100,8 +100,16 @@ object DedupQueries {
     * conditional sums over exploded (doc_id, token-hash) rows — shared by
     * the signature entry and the hamming-banded pairing entry. */
   private def simhashOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Explicit width: this repartition EXISTS to parallelize the
+    // tokenize+hash+32-sum pipeline over few-split inputs, and its
+    // per-byte compute dwarfs its bytes — AQE (sizing by bytes) would
+    // coalesce the kB-scale text exchange to 1-2 partitions and run the
+    // signature pass nearly single-threaded (measured r17 inside the
+    // Hamming entry's cached signature frame: 4.3 s vs 1.3 s). The width
+    // is the session's parallelism knob, not a constant.
     val tokHash = docs
-      .repartition(col("doc_id"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), graft.expressions.PolyHash(col("t")).as("h"))
     val votes = (0 until 32).map { b =>

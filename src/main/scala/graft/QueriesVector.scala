@@ -346,6 +346,20 @@ object VectorQueries {
                      list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
               FROM embeddings WHERE vec_id % 10 = 0)"""
 
+  /** Exact row count of [[widenedCorpus]] from ONE pass over the BASE
+    * table (r17, guide §1.2): `count(widenedCorpus(e))` scans the
+    * embeddings table twice (once per union leg); base count and planted
+    * count fold into a single column-pruned aggregate instead. Feeds the
+    * adaptive entries' `knownCount` — the count must stay EXACT (the
+    * oracle derives the identical geometry from `count(wc)`), which is
+    * also why it cannot come from parquet footers alone: the planted leg's
+    * `vec_id % 10 = 0` membership is data, not metadata. */
+  private def widenedCount(e: org.apache.spark.sql.DataFrame): Long = {
+    val r = e.agg(count(lit(1)),
+      sum(when(pmod(col("vec_id"), lit(10L)) === 0, 1L).otherwise(0L))).head
+    r.getLong(0) + (if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** 8-bit band key `b` of the (16,8) geometry — DuckDB twin of
     * Similarity.bandsOf at bitsPerBand=8 (same hyperplanes via sqlHpSign). */
   private def sqlBandKeyWide(b: Int): String = (8 * b until 8 * b + 8).map { j =>
@@ -465,9 +479,13 @@ object VectorQueries {
   // hash-compare thus pins the adaptive band construction itself, not a
   // lucky recall draw. Plane superset 15360 = maxBands 512 × bits cap 30.
   private val dedupLshCosineAdaptive = Q(
-    (s, d) => graft.api.Similarity.lshCosineNearDupAdaptive(
-        widenedCorpus(embeddings(s, d)), "vec_id", "embedding", tau = 0.8)
-      .orderBy("id1", "id2"),
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.api.Similarity.lshCosineNearDupAdaptive(
+          widenedCorpus(e), "vec_id", "embedding", tau = 0.8,
+          knownCount = Some(widenedCount(e)))
+        .orderBy("id1", "id2")
+    },
     Some(s"""WITH $sqlWidenedCorpus,
             g AS (SELECT LEAST(30, GREATEST(8,
                     CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT) - 2)) AS bits,
@@ -513,9 +531,13 @@ object VectorQueries {
   // the 4σ cut admits unconditionally, and the exact rerank forbids false
   // positives on both sides.
   private val dedupLshSketchedAdaptive = Q(
-    (s, d) => graft.api.Similarity.lshCosineNearDupSketchedAdaptive(
-        widenedCorpus(embeddings(s, d)), "vec_id", "embedding", tau = 0.8)
-      .orderBy("id1", "id2"),
+    (s, d) => {
+      val e = embeddings(s, d)
+      graft.api.Similarity.lshCosineNearDupSketchedAdaptive(
+          widenedCorpus(e), "vec_id", "embedding", tau = 0.8,
+          knownCount = Some(widenedCount(e)))
+        .orderBy("id1", "id2")
+    },
     Some(s"""WITH $sqlWidenedCorpus,
             g AS (SELECT LEAST(30, GREATEST(8,
                     CAST(ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0)) AS INT) - 8)) AS bits,

@@ -83,7 +83,11 @@ object Similarity {
     require(nBands > 0 && bitsPerBand > 0)
     val e = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"))
       // embeddings tables often arrive as few input splits; spreading by id
-      // parallelizes the projection pass (row-count-preserving reshuffle)
+      // parallelizes the projection pass (row-count-preserving reshuffle).
+      // Width stays AQE-owned: a pinned-width A/B (r17) measured the
+      // coalesced form FASTER on every LSH entry at sf0.1 (e.g.
+      // dedup_lsh_cosine_adaptive 0.7 vs 1.5-1.8 s pinned) — unlike
+      // simhashOf's far heavier per-row pipeline, which needed the pin.
       .repartition(col("__id"))
     // One compiled traversal computes every plane's projection (see
     // expressions.BandKeys) — semantically identical to per-band
@@ -350,12 +354,15 @@ object Similarity {
   /** [[lshCosineNearDup]] with the geometry chosen from the corpus size by
     * [[adaptiveBandGeometry]] — the shape a 100 TB dedup run should use.
     * Costs one `count()` of the input (a column-pruned scan) before the
-    * projection pass; callers that already know n should call
-    * [[adaptiveBandGeometry]] + the explicit-geometry overload directly.
-    */
+    * projection pass — unless the caller already knows the corpus size
+    * (`knownCount`: e.g. from txlog/parquet footer row counts, or a count
+    * fused into an upstream pass), in which case the geometry derivation is
+    * FREE. Geometry is identical either way — `knownCount` must be the
+    * exact row count, never an estimate. */
   def lshCosineNearDupAdaptive(emb: DataFrame, idCol: String, embCol: String,
-      tau: Double, targetRecall: Double = 0.9): DataFrame = {
-    val n = emb.select(idCol).count()
+      tau: Double, targetRecall: Double = 0.9,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.select(idCol).count())
     val (bands, bits) = adaptiveBandGeometry(tau, math.max(n, 1L), targetRecall)
     log.info(s"adaptive lsh geometry: n=$n tau=$tau -> ($bands bands, $bits bits)")
     lshCosineNearDup(emb, idCol, embCol, tau, bands, bits)
@@ -388,20 +395,31 @@ object Similarity {
     */
   def assignCellsCosine(emb: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, cellCol: String, centEmbCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids.select(col(cellCol).as("__cid"), col(centEmbCol).as("__ce"),
       VecDot(col(centEmbCol), col(centEmbCol)).as("__cn"))
-    val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cid").asc)
+    // The per-id argmax is an aggregate max(struct(__csim, −cell, payload))
+    // — struct ordering is lexicographic, so the maximum is exactly the old
+    // row_number() OVER (ORDER BY __csim DESC, __cid ASC) = 1 row, including
+    // NaN placement (NaN is greatest both to DESC-first window sort and to
+    // max) — rather than a window: a window shuffles+sorts all n·k scored
+    // rows, while the aggregate folds map-side to one partial row per id
+    // before any exchange (guide §2.3), and grouping by the same idCol the
+    // rows are hash-partitioned on keeps it single-exchange like before.
     emb.select(col(idCol), col(embCol), VecDot(col(embCol), col(embCol)).as("__nn"))
       .repartition(col(idCol))
       .withColumn("__z", pmod(col(idCol).cast("long"), lit(1L)))
       .join(broadcast(cents.withColumn("__z", pmod(col("__cid").cast("long"), lit(1L)))), Seq("__z"))
-      .select(col(idCol), col(embCol), col("__nn"), col("__cid"),
-        (VecDot(col(embCol), col("__ce")) /
-          (sqrt(col("__nn")) * sqrt(col("__cn")))).as("__csim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(embCol), col("__nn"), col("__cid").as("cell"))
+      .select(col(idCol),
+        struct(
+          (VecDot(col(embCol), col("__ce")) /
+            (sqrt(col("__nn")) * sqrt(col("__cn")))).as("__csim"),
+          (lit(0L) - col("__cid").cast("long")).as("__negcid"),
+          col("__cid").as("__cell"), col(embCol).as("__e"), col("__nn").as("__n"))
+          .as("__sc"))
+      .groupBy(col(idCol))
+      .agg(max(col("__sc")).as("__best"))
+      .select(col(idCol), col("__best.__e").as(embCol), col("__best.__n").as("__nn"),
+        col("__best.__cell").as("cell"))
   }
 
   /** Band geometry for the SKETCH-VERIFIED path ([[lshCosineNearDupSketched]]).

@@ -84,19 +84,27 @@ object ProductQuant {
 
   /** Encode every vector: (idCol, b, code) — per block, the codeword with
     * the smallest squared distance, ties to the smallest code. `codebook`
-    * rows are (code, b, sub). */
+    * rows are (code, b, sub).
+    *
+    * The argmin is an aggregate `min(struct(__d, code))` — struct ordering
+    * is lexicographic, so the minimum is exactly the old
+    * `row_number() OVER (ORDER BY __d ASC, code ASC) = 1` row — rather than
+    * a window: a window must shuffle AND sort every (vector, block,
+    * codeword) scored row (n·m·k rows — k× the encoded output), while the
+    * aggregate folds map-side to one partial row per (vector, block) before
+    * the exchange (guide §2.3 "aggregate before you shuffle"). At 10⁹
+    * vectors with k=16 that is 16× fewer shuffled rows and no sort. */
   def encode(vectors: DataFrame, idCol: String, embCol: String,
       codebook: DataFrame, m: Int): DataFrame = {
     val blocks = vectors
       .select(col(idCol), posexplode(subBlocks(embCol, m)).as(Seq("b", "__sub")))
-    val w = Window.partitionBy(col(idCol), col("b"))
-      .orderBy(col("__d").asc, col("code").asc)
     blocks
       .join(broadcast(codebook), Seq("b"))
-      .withColumn("__d", sqDist(col("__sub"), col("sub")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("b"), col("code"))
+      .select(col(idCol), col("b"),
+        struct(sqDist(col("__sub"), col("sub")).as("__d"), col("code")).as("__dc"))
+      .groupBy(col(idCol), col("b"))
+      .agg(min(col("__dc")).as("__best"))
+      .select(col(idCol), col("b"), col("__best.code").as("code"))
   }
 
   /** IVF-PQ search — the two halves of the standard web-scale vector-store

@@ -25,6 +25,15 @@ import org.apache.spark.sql.SparkSession
   * decimals, timestamps) — returns None and the caller falls back to the
   * scan path, byte-identical to the old behavior.
   *
+  * One documented widening (r16 ADVICE): BINARY/string stats from FOREIGN
+  * writers using footer-statistics truncation (parquet-mr ≥ 1.12's
+  * `parquet.statistics.truncate.length`) are a prefix-min / incremented-max
+  * — a VALID envelope (pruning can only widen, never lose rows) but not
+  * byte-exact values. Our own writer never truncates (FooterStatsSpec pins
+  * byte equality on everything this repo writes), and the only consumer of
+  * the strings-as-values is commitExisting's add-action recording, where a
+  * widened envelope is still a correct prune bound.
+  *
   * Rendering contract: the returned min/max STRINGS must equal what
   * `min(col).cast("string")` / `max(col).cast("string")` produce over the
   * same file, because TxLog records them verbatim in add-actions and
@@ -83,7 +92,11 @@ object ParquetFooters {
   }
 
   /** Spark's hidden-path discipline: skip any path component starting
-    * with `_` or `.` (committer litter, _SUCCESS), like the file index. */
+    * with `.`, or with `_` UNLESS it contains `=` — Spark's file index
+    * treats `_name=value` partition directories as VISIBLE (r16 ADVICE:
+    * skipping them would make maxLong compute an "exact" max over a
+    * subset of the files Spark scans and silently mis-bound slice
+    * appends on such layouts). `_SUCCESS`/committer litter still skips. */
   private def listVisibleParquet(path: String): Seq[String] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
@@ -91,7 +104,7 @@ object ParquetFooters {
     def visible(p: Path): Boolean =
       root.relativize(p).iterator().asScala.forall { seg =>
         val s = seg.toString
-        !s.startsWith("_") && !s.startsWith(".")
+        !s.startsWith(".") && !(s.startsWith("_") && !s.contains("="))
       }
     scala.util.Using.resource(Files.walk(root)) { s =>
       s.iterator().asScala

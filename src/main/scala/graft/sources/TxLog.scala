@@ -538,8 +538,6 @@ object TxLog {
       }
       case None if cols.isEmpty => Map.empty
       case None => {
-        // keyed by file NAME (unique within this fresh stage dir) because
-        // _metadata.file_path is URI-spelled while `files` is path-spelled
         // min/max MUST aggregate in the column's own type and cast only the
         // RESULT to string for storage: aggregating the string cast orders
         // numerics lexicographically ("9" > "2000"), which records a file
