@@ -57,44 +57,32 @@ object KMeans {
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
-        // ONE shuffle per iteration (r16): collect the k·dim flat rows and
-        // group them on the driver — the former second groupBy("cell")
-        // that packed them into per-cell structs was a whole extra
-        // exchange + stage per iteration just to save a driver-side
-        // groupBy over a model-sized (k·dim, never data-sized) result.
-        // Measured: sim_ivf_trained 30 → 21 jobs, 3.2 → 2.4 s at sf0.1.
-        val byCell = assignTo(base, "v", cents)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          // try_cast/try_sum, not cast/sum: under ANSI (Spark 4 default) a
-          // float beyond DECIMAL(38,10) capacity (|x| ≥ 10^28) or an
-          // overflowing accumulation would THROW mid-job; the try_ forms
-          // yield NULL instead, and bool_or pins the whole (cell, dim) mean
-          // to NULL whenever any member was uncastable (a partial mean that
-          // silently dropped members would be worse than no update)
-          .agg(when(expr("bool_or(try_cast(x AS DECIMAL(38,10)) IS NULL)"),
-              lit(null).cast("double"))
-            .otherwise((expr("try_sum(try_cast(x AS DECIMAL(38,10)))") /
-              count(lit(1))).cast("double")).as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-        // A decimal sum past DECIMAL(38,10) capacity (|Σx| ≥ 10^28 — only
-        // reachable on adversarial float magnitudes) comes back NULL from
-        // Spark; keep the previous centroid for that (cell, dim) instead of
-        // NPEing inside fit. Cells that lose all members keep their previous
-        // centroid wholesale, as before.
+        // ONE Spark JOB per iteration (r17, after r16's one-shuffle form):
+        // the (cell, dim) decimal means ride a NARROW plan — codegen'd
+        // assignment, per-partition exact-decimal partials in a
+        // mapPartitions, driver-side combine — so Lloyd's barrier is a
+        // single job round-trip with NO exchange at all (the former
+        // groupBy(cell, pos) paid a shuffle materialization + result job
+        // per iteration under AQE). The driver holds P·k·dim partials —
+        // model-sized × partition count, the same bounded-state contract
+        // as before; decimal addition is order-independent, so the result
+        // is bit-identical on any partitioning (cellMeansSpec pins it
+        // against the groupBy reference, poison values included).
+        val byCell = cellMeans(assignTo(base, "v", cents))
+        // An uncastable float (|x| ≥ 10^28) or a sum past DECIMAL(38,10)
+        // capacity pins that (cell, dim) mean to None — keep the previous
+        // centroid for it, as the try_cast/try_sum SQL form did. Cells
+        // that lose all members keep their previous centroid wholesale.
         val next = cents.indices.map { j =>
-          byCell.get(j) match {
-            case None => cents(j)
-            case Some(dims) =>
-              val arr = cents(j).clone()
-              dims.foreach { row =>
-                val pos = row.getInt(1)
-                if (!row.isNullAt(2) && pos >= 0 && pos < arr.length)
-                  arr(pos) = row.getDouble(2)
-              }
-              arr
+          val arr = cents(j).clone()
+          var touched = false
+          byCell.foreach { case ((cell, pos), m) =>
+            if (cell == j && pos >= 0 && pos < arr.length) {
+              touched = true
+              m.foreach(v => arr(pos) = v)
+            }
           }
+          if (touched) arr else cents(j)
         }.toArray
         converged = next.zip(cents).forall { case (a, b) => a.sameElements(b) }
         cents = next
@@ -102,6 +90,71 @@ object KMeans {
       }
       Model(cents)
     } finally { base.unpersist(); () }
+  }
+
+  /** Per-(cell, dim) decimal means of an assignment frame (`cell` int,
+    * `v` array<float>) in ONE narrow Spark job — no exchange. Exactness
+    * contract, replicated from the former try_cast/try_sum SQL aggregate:
+    *
+    *  - every element is cast float → DECIMAL(38,10) BY SPARK (the same
+    *    try_cast expression, so rounding is bit-identical); the closure
+    *    receives plain decimal STRINGS — nothing re-rounds in transit;
+    *  - per-partition partials sum exactly (java BigDecimal — unbounded,
+    *    order-independent like decimal addition everywhere in this repo);
+    *  - an uncastable element (try_cast NULL, |x| ≥ 10^28) poisons its
+    *    (cell, dim) to None, as bool_or(isnull) did;
+    *  - a combined sum past DECIMAL(38,10) capacity is None, as
+    *    try_sum's null-on-overflow was;
+    *  - mean = sum / count rounded HALF_UP at scale 10 then cast double —
+    *    exactly Spark's Divide(DECIMAL(38,10), count) → cast("double").
+    *
+    * KMeansSpec pins equality against the groupBy reference, poison and
+    * empty-cell cases included. */
+  private[ops] def cellMeans(assigned: DataFrame): Map[(Int, Int), Option[Double]] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val partials = assigned
+      .select(col("cell").cast("int").as("cell"),
+        expr("transform(v, x -> cast(try_cast(x AS DECIMAL(38,10)) AS STRING))").as("vd"))
+      .as[(Int, Seq[String])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Int, Int), (java.math.BigDecimal, Long, Boolean)]
+        it.foreach { case (cell, vd) =>
+          if (vd != null) {
+            var p = 0
+            val n = vd.size
+            while (p < n) {
+              val key = (cell, p)
+              val (s, c, bad) = acc.getOrElse(key,
+                (java.math.BigDecimal.ZERO, 0L, false))
+              val x = vd(p)
+              acc(key) =
+                if (x == null) (s, c + 1L, true)
+                else (s.add(new java.math.BigDecimal(x)), c + 1L, bad)
+              p += 1
+            }
+          }
+        }
+        acc.iterator.map { case ((cell, pos), (s, c, bad)) =>
+          (cell, pos, s.toPlainString, c, bad)
+        }
+      }
+      .collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[(Int, Int), (java.math.BigDecimal, Long, Boolean)]
+    partials.foreach { case (cell, pos, s, c, bad) =>
+      val key = (cell, pos)
+      val (s0, c0, b0) = merged.getOrElse(key, (java.math.BigDecimal.ZERO, 0L, false))
+      merged(key) = (s0.add(new java.math.BigDecimal(s)), c0 + c, b0 || bad)
+    }
+    // DECIMAL(38,10) capacity: |unscaled| < 10^38, i.e. |value| < 10^28
+    val cap = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(28))
+    merged.iterator.map { case (key, (s, c, bad)) =>
+      key -> (if (bad || s.abs.compareTo(cap) >= 0) None
+              else Some(s.divide(new java.math.BigDecimal(c), 10,
+                java.math.RoundingMode.HALF_UP).doubleValue))
+    }.toMap
   }
 
   /** Assign every row to its nearest centroid (squared L2, ties to the

@@ -972,11 +972,19 @@ object Dev {
               .map(java.nio.file.Files.size).sum)
           val (snap2, ckptReadMs) = ms(graft.sources.TxLog.snapshot(table))
           val (_, warmMs) = ms(graft.sources.TxLog.snapshot(table))
+          // readChanges' metadata half (r16 verdict item 7): changes() reads
+          // each version file serially on the driver — O(versions). Timed
+          // over the FULL version range so the rung's commit count is the
+          // ladder variable (run with small addsPerCommit to sweep
+          // 10²–10⁴ commits).
+          val (chg, chgMs) = ms(
+            graft.sources.TxLog.changes(table, 0L, Long.MaxValue))
           println(f"TXLADDER: n=${snap.files.size} commits=$commits tip_ms=$tipMs%.1f " +
             f"replay_ms=$replayMs%.1f ckpt_write_ms=$ckptWriteMs%.1f " +
             f"ckpt_read_ms=$ckptReadMs%.1f warm_ms=$warmMs%.1f " +
             f"retained_mb=${(used1 - used0) / 1048576.0}%.1f peak_mb=${peak / 1048576.0}%.1f " +
-            f"ckpt_bytes=$ckptBytes live2=${snap2.files.size}")
+            f"ckpt_bytes=$ckptBytes live2=${snap2.files.size} " +
+            f"changes_ms=$chgMs%.1f changes_n=${chg.size}")
           scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
             s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
           }

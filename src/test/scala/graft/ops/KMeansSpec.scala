@@ -34,6 +34,35 @@ class KMeansSpec extends SparkSpec {
     assert(byBlob.values.flatten.toSet.size == 3, s"merged blobs: $byBlob")
   }
 
+  test("cellMeans equals the groupBy decimal-mean reference, poison included") {
+    import spark.implicits._
+    // 4 cells, 3 dims; row 13 carries an uncastable first dim (1e30 is past
+    // DECIMAL(38,10) capacity) so exactly one (cell, dim) must poison to None
+    val rows = (0 until 57).map { i =>
+      val v =
+        if (i == 13) Seq(1.0e30f, 2.5f, -3.25f)
+        else Seq(i * 0.1f, -i * 0.25f + 0.3f, (i % 7) * 1.5f)
+      (i % 4, v)
+    }.toDF("cell", "v").repartition(5)
+    val got = KMeans.cellMeans(rows)
+    val ref = rows
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(when(expr("bool_or(try_cast(x AS DECIMAL(38,10)) IS NULL)"),
+          lit(null).cast("double"))
+        .otherwise((expr("try_sum(try_cast(x AS DECIMAL(38,10)))") /
+          count(lit(1))).cast("double")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got.size == ref.size)
+    assert(got((1, 0)).isEmpty, "the 1e30 dim must poison to None")
+    ref.foreach { case (k, v) =>
+      assert(got(k) == v, s"cellMeans diverged from the groupBy reference at $k")
+    }
+  }
+
   test("fit is bit-deterministic across input partitionings") {
     val a = KMeans.fit(blobs.repartition(7), "id", "emb", k = 3)
     val b = KMeans.fit(blobs.repartition(2).sortWithinPartitions(desc("id")),
