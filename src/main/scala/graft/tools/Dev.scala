@@ -900,6 +900,26 @@ object Dev {
             s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
+      case "jacab" :: sfDir :: rest =>
+        // A/B the two lossless Jaccard join shapes (inverted index vs
+        // prefix filter) over the SAME per-doc shingle sets — the r16
+        // verdict item 3 measurement. hotDf=2 forces the prefix path on
+        // any corpus whose max df exceeds 2; the production hotDf forces
+        // the inverted path on this corpus (maxDf below the guard).
+        import org.apache.spark.sql.functions.{col, array_distinct}
+        val reps = rest.headOption.map(_.toInt).getOrElse(2)
+        val sets = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), array_distinct(graft.expressions.ShingleHashes(
+            graft.functions.TextFns.tokens(col("text")))).as("hs"))
+        for (r <- 1 to reps; (label, hotDf) <- Seq(
+            "inverted" -> graft.api.Dedup.hotShingleDf, "prefix" -> 2L)) {
+          val t0 = System.nanoTime()
+          val n = graft.ops.JaccardPrefix.nearDupPairsAutoSets(
+            sets, "doc_id", "hs", graft.api.Dedup.jaccardTau, hotDf).count()
+          println(f"jacab[$label][$r]: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs, " +
+            s"decision=${graft.ops.JaccardPrefix.lastDecision}")
+        }
       case "txladder" :: rest =>
         // Driver-side ceiling ladder for the transaction log (r15 verdict
         // item 1): TxLog.Snapshot holds the live-file list (+ verbatim
