@@ -900,6 +900,14 @@ object Dev {
             s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
+      case "execplan" :: sfDir :: id :: _ =>
+        // EXECUTED (final adaptive) plan: run the frame through the noop
+        // sink, then print the post-execution plan — the only place
+        // AQEShuffleRead(coalesced) nodes and cached-plan materialization
+        // shapes are visible (static explain shows isFinalPlan=false).
+        val df = graft.SparkEntry.queries(id)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
       case "jacab" :: sfDir :: rest =>
         // A/B the two lossless Jaccard join shapes (inverted index vs
         // prefix filter) over the SAME per-doc shingle sets — the r16
